@@ -1,0 +1,106 @@
+"""Layered table IO and schema-pinned CSV scans.
+
+Re-expression of the reference's IO helpers
+(reference: src/notebooks/utilities.py:20-39):
+
+- ``save_data``  -> :meth:`TableStore.save`   (K1/K2 sinks)
+- ``load_data``  -> :meth:`TableStore.load`   (S4 scan)
+- ``table_exists`` -> :meth:`TableStore.exists` — the reference ran
+  ``SHOW TABLES`` + driver ``collect()`` (utilities.py:34-39); we do a
+  single filesystem/catalog check, no job launched.
+- CSV scans (S1-S3, reviews_fact.py:117-125, auxillary_dims.py:50-58,
+  106-114) -> :func:`read_csv` with an **explicit schema** — the
+  reference used ``inferSchema=True``, which is a second full pass over
+  the file and unacceptable at 100 TB. Schemas are declared once, in
+  code.
+
+Format is pluggable (parquet default; the reference wrote Delta —
+utilities.py:23 — which needs jars not present in OSS-only deploys).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def table_path(warehouse_dir: str, layer: str, name: str) -> str:
+    """``{warehouse}/{layer}_{name}`` — same layered naming contract as
+    the reference's ``f"{catalog}.{schema}.{layer}_{table_name}"``
+    (utilities.py:22)."""
+    return os.path.join(warehouse_dir, f"{layer}_{name}")
+
+
+class TableStore:
+    """Filesystem-backed layered table store (catalog-free parity).
+
+    On a cluster this would address a metastore catalog via
+    ``saveAsTable``; the mechanics (layer naming, overwrite/append
+    modes, format pluggability) are identical.
+    """
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str, fmt: str = "parquet"):
+        self.spark = spark
+        self.warehouse_dir = warehouse_dir
+        self.fmt = fmt
+
+    def path(self, layer: str, name: str) -> str:
+        return table_path(self.warehouse_dir, layer, name)
+
+    def save(
+        self,
+        layer: str,
+        name: str,
+        df: DataFrame,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """utilities.py:20-23 (``save_data``). ``mode='append'`` is the
+        incremental fact sink (K2, reviews_fact.py:185-186)."""
+        writer = df.write.format(self.fmt).mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(self.path(layer, name))
+
+    def load(self, layer: str, name: str) -> DataFrame:
+        """utilities.py:27-30 (``load_data``)."""
+        return self.spark.read.format(self.fmt).load(self.path(layer, name))
+
+    def exists(self, layer: str, name: str) -> bool:
+        """utilities.py:34-39 (``table_exists``) without the
+        SHOW TABLES + collect() round-trip."""
+        p = self.path(layer, name)
+        return os.path.isdir(p) and any(
+            f.endswith(f".{self.fmt}") or f.startswith("part-")
+            for f in os.listdir(p)
+        )
+
+    def drop(self, layer: str, name: str) -> None:
+        p = self.path(layer, name)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+
+
+#: CSV options shared by every reference scan (reviews_fact.py:117-125,
+#: auxillary_dims.py:50-58,106-114) minus ``inferSchema``: multiline
+#: quoted fields with embedded quotes/newlines must survive.
+CSV_OPTIONS: dict[str, str] = {
+    "header": "true",
+    "sep": ",",
+    "multiLine": "true",
+    "escape": '"',
+    "encoding": "UTF-8",
+}
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType, **extra: str
+) -> DataFrame:
+    """Schema-pinned CSV scan (S1-S3) — no inference pass."""
+    reader = spark.read.schema(schema)
+    for k, v in {**CSV_OPTIONS, **extra}.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)

@@ -1,0 +1,32 @@
+"""Loader for the synthetic star-schema fixtures (TESTDATA.md).
+
+One parquet file per table under ``{sf_dir}/{name}.parquet``. Parquet
+scans give Catalyst pushdown + pruning for free; every query in the
+engine starts here (the analog of the reference's ``spark.read.table``
+catalog scans, utilities.py:27-30).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gaming_ai_analytics_spark.constants import Star
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_star(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load every fixture table as a dict of DataFrames."""
+    return {t: load_table(spark, sf_dir, t) for t in Star.TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register all fixture tables as temp views for the SQL API."""
+    for name, df in load_star(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
