@@ -1,0 +1,53 @@
+"""Aggregation building blocks.
+
+Covers the reference's aggregate surface (SURVEY.md §2.6): COUNT(*)
+(A1, semantic_layer.sql:77-78), AVG (A2, :79-82), conditional ratios
+(A3, :83-90), exact percentile (A4, :91-93), DISTINCT (A5,
+exploration/analysis.sql:25), and the dataset-uniqueness rule (A8,
+data_quality.py:25-29).
+
+Scale note: Spark evaluates all of these with partial (map-side)
+aggregation before the shuffle, so the shuffle carries one row per
+(partition, group), not per input row. ``percentile`` is exact — at
+100 TB prefer :func:`median_approx` (t-digest based
+``percentile_approx``), same API shape; the exact version exists for
+oracle parity at test scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def conditional_pct(cond: Column, ndigits: int = 4) -> Column:
+    """A3 (semantic_layer.sql:83-90): share of rows satisfying ``cond``.
+
+    ``SUM(CASE WHEN cond THEN 1 ELSE 0 END) / COUNT(*)`` — expressed
+    with built-ins so it stays inside whole-stage codegen.
+    """
+    ratio = F.sum(F.when(cond, 1).otherwise(0)) / F.count(F.lit(1))
+    return F.round(ratio, ndigits)
+
+
+def median_exact(col: str | Column, ndigits: int = 2) -> Column:
+    """A4 exact PERCENTILE(x, 0.5) with linear interpolation — matches
+    DuckDB ``quantile_cont``; use only at oracle/test scale."""
+    return F.round(F.percentile(col, F.lit(0.5)), ndigits)
+
+
+def median_approx(col: str | Column, accuracy: int = 10_000) -> Column:
+    """A4 at 100 TB: ``percentile_approx`` — mergeable sketch, no
+    global sort, bounded memory per group."""
+    return F.percentile_approx(col, F.lit(0.5), F.lit(accuracy))
+
+
+def duplicate_keys(df: DataFrame, keys: list[str]) -> DataFrame:
+    """A8 (data_quality.py:25-29 ``is_unique``): keys appearing more
+    than once. groupBy + HAVING — one shuffle on the key, partial
+    counts map-side."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )

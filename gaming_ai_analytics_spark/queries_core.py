@@ -1,0 +1,741 @@
+"""Core operator queries (SURVEY.md §2.1-2.10) with DuckDB oracles.
+
+Each function is the Spark-first expression of one reference operator
+site; the paired oracle SQL is the ANSI twin DuckDB runs on the same
+parquet. Aliases + rounding are aligned on both sides (driver hashes
+values order-insensitively after sorting columns by name).
+
+Determinism rules applied throughout:
+- per-row double arithmetic is left unrounded (identical IEEE ops on
+  identical parquet bits on both engines);
+- multi-row double aggregates (sum/avg/percentile) are ROUNDed on both
+  sides — double addition is order-sensitive;
+- every ranking window carries a unique tiebreaker column;
+- no raw ``events.ts`` in outputs (parquet ns vs Spark micros) — always
+  ``date_trunc`` first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gaming_ai_analytics_spark.operators.aggregates import (
+    conditional_pct,
+    duplicate_keys,
+    median_exact,
+)
+from gaming_ai_analytics_spark.operators.joins import (
+    flatten_dimension,
+    incremental_anti_join,
+    star_join,
+)
+from gaming_ai_analytics_spark.registry import register
+from gaming_ai_analytics_spark.sources.star import load_table
+
+
+# --------------------------------------------------------------------------
+# Filters (SURVEY §2.4)
+# --------------------------------------------------------------------------
+def q_filter_numeric_conjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 (reviews_fact.py:131-133): conjunction of numeric comparisons
+    (the spam-removal filter) — pushed down to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_quantity") > 45) & (F.col("l_discount") > 0.08)).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount"
+    )
+
+
+register(
+    "filter_numeric_conjunction",
+    q_filter_numeric_conjunction,
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem WHERE l_quantity > 45 AND l_discount > 0.08
+    """,
+)
+
+
+def q_filter_boolean_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2+F4 (reviews_fact.py:133; auxillary_dims.py:128-130): boolean
+    equality + OR-of-conjunctions consistency predicate, transposed to
+    the star schema: returned lines must be tax-free, others pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    is_return = F.col("l_returnflag") == "R"
+    keep = (is_return & (F.col("l_tax") < 0.02)) | (~is_return)
+    return li.filter(keep).select("l_orderkey", "l_linenumber", "l_returnflag", "l_tax")
+
+
+register(
+    "filter_boolean_algebra",
+    q_filter_boolean_algebra,
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_tax
+    FROM lineitem
+    WHERE (l_returnflag = 'R' AND l_tax < 0.02) OR (l_returnflag <> 'R')
+    """,
+)
+
+
+def q_filter_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 (auxillary_dims.py:118, GAME_TYPES IN-list utilities.py:11)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(
+        F.col("o_orderpriority").isin(["1-URGENT", "2-HIGH"])
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+register(
+    "filter_isin",
+    q_filter_isin,
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+)
+
+
+def q_filter_null_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 (reviews_fact.py:106): null/empty-text guard before scoring."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    ).select("doc_id", "lang")
+
+
+register(
+    "filter_null_guard",
+    q_filter_null_guard,
+    "SELECT doc_id, lang FROM documents WHERE text IS NOT NULL AND text <> ''",
+)
+
+
+# --------------------------------------------------------------------------
+# Projections & scalar expressions (SURVEY §2.3, §2.7)
+# --------------------------------------------------------------------------
+def q_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2 (reviews_fact.py:137-146, auxillary_dims.py:136-148):
+    narrow select + alias normalization — column pruning reaches the
+    scan (ReadSchema carries only 5 of 11 columns)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_no"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_returnflag").alias("flag"),
+    )
+
+
+register(
+    "project_rename",
+    q_project_rename,
+    """
+    SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+           l_quantity AS qty, l_extendedprice AS price, l_returnflag AS flag
+    FROM lineitem
+    """,
+)
+
+
+def q_derived_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3+X1+X2 (reviews_fact.py:162-167 weighted_score;
+    auxillary_dims.py:127 on_sale): withColumn arithmetic + CASE WHEN.
+    ``net_price`` is per-row IEEE math — bit-identical across engines,
+    no rounding needed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        F.when(F.col("l_returnflag") == "R", F.col("l_quantity") * 0.5)
+        .otherwise(F.col("l_quantity"))
+        .alias("weighted_qty"),
+        (F.col("l_discount") > 0).alias("discounted"),
+    )
+
+
+register(
+    "derived_columns",
+    q_derived_columns,
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           CASE WHEN l_returnflag = 'R' THEN l_quantity * 0.5
+                ELSE l_quantity END AS weighted_qty,
+           l_discount > 0 AS discounted
+    FROM lineitem
+    """,
+)
+
+
+def q_scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+X4 (auxillary_dims.py:18-25 CONCAT prompt assembly;
+    semantic_layer.sql:92 LENGTH)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(F.col("lang"), F.lit(":"), F.col("source")).alias("tag"),
+        F.length("text").alias("text_len"),
+        F.lower(F.col("source")).alias("source_lc"),
+    )
+
+
+register(
+    "scalar_string_functions",
+    q_scalar_string_functions,
+    """
+    SELECT doc_id, lang || ':' || source AS tag,
+           LENGTH(text) AS text_len, LOWER(source) AS source_lc
+    FROM documents
+    """,
+)
+
+
+def q_fillna_after_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 (auxillary_dims.py:123-126 fillna dict): nulls arise from the
+    left join (customers with no orders), defaulted to 0 before the
+    rollup — the reference's prices→0 pattern."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left"
+    ).fillna({"o_totalprice": 0.0})
+    return (
+        joined.groupBy("c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+    )
+
+
+register(
+    "fillna_after_left_join",
+    q_fillna_after_left_join,
+    """
+    SELECT c_custkey,
+           ROUND(SUM(COALESCE(o_totalprice, 0)), 2) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+
+
+def q_case_when_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 (reviews_fact.py:104-109, semantic_layer.sql:84-88): multi-arm
+    CASE WHEN classification + group count."""
+    orders = load_table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 50_000, "low")
+        .when(F.col("o_totalprice") < 150_000, "mid")
+        .otherwise("high")
+    )
+    return (
+        orders.select(band.alias("price_band"))
+        .groupBy("price_band")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+register(
+    "case_when_banding",
+    q_case_when_banding,
+    """
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                ELSE 'high' END AS price_band,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# Joins (SURVEY §2.5)
+# --------------------------------------------------------------------------
+def q_join_flatten_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 (auxillary_dims.py:73-97): left equi-join to a tiny dim,
+    broadcast — zero shuffle on the big side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return flatten_dimension(li, supplier, "l_suppkey", "s_suppkey").select(
+        "l_orderkey", "l_linenumber", "s_name", "s_acctbal"
+    )
+
+
+register(
+    "join_flatten_dim",
+    q_join_flatten_dim,
+    """
+    SELECT l_orderkey, l_linenumber, s_name, s_acctbal
+    FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+    """,
+)
+
+
+def q_join_anti_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (reviews_fact.py:151-153): left anti join — keep lineitems
+    whose order is NOT already finalized ('F'), i.e. not yet
+    processed. Oracle uses NOT EXISTS (null-safe, unlike NOT IN)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    done = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select(F.col("o_orderkey").alias("l_orderkey"))
+    return incremental_anti_join(li, done, "l_orderkey").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+register(
+    "join_anti_incremental",
+    q_join_anti_incremental,
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey
+                        AND o.o_orderstatus = 'F')
+    """,
+)
+
+
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 (exploration/analysis.sql:20-21): inner equi-join of two dims."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner"
+    ).select("n_nationkey", "n_name", "r_name")
+
+
+register(
+    "join_inner",
+    q_join_inner,
+    """
+    SELECT n_nationkey, n_name, r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+
+
+def q_join_chain_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 (exploration/analysis.sql:51-59): 4-way chained left joins,
+    orders → customer → nation → region, dims broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return star_join(
+        orders,
+        [
+            (customer, orders.o_custkey == customer.c_custkey),
+            (nation, customer.c_nationkey == nation.n_nationkey),
+            (region, nation.n_regionkey == region.r_regionkey),
+        ],
+    ).select("o_orderkey", "c_name", "n_name", "r_name")
+
+
+register(
+    "join_chain_left",
+    q_join_chain_left,
+    """
+    SELECT o_orderkey, c_name, n_name, r_name
+    FROM orders
+    LEFT JOIN customer ON o_custkey   = c_custkey
+    LEFT JOIN nation   ON c_nationkey = n_nationkey
+    LEFT JOIN region   ON n_regionkey = r_regionkey
+    """,
+)
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (absent in reference, SURVEY §2.5 'absent kinds' —
+    completes the join surface): customers that have ≥1 urgent order."""
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return customer.join(urgent, on="c_custkey", how="left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+register(
+    "join_semi",
+    q_join_semi,
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# Aggregates (SURVEY §2.6)
+# --------------------------------------------------------------------------
+def q_agg_count_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (semantic_layer.sql:77-78): COUNT(*) by dimension."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+register(
+    "agg_count_by_group",
+    q_agg_count_by_group,
+    "SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders GROUP BY 1",
+)
+
+
+def q_agg_avg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (semantic_layer.sql:79-82): AVG by dimension."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_mktsegment").agg(
+        F.round(F.avg("c_acctbal"), 2).alias("avg_balance")
+    )
+
+
+register(
+    "agg_avg_by_group",
+    q_agg_avg_by_group,
+    """
+    SELECT c_mktsegment, ROUND(AVG(c_acctbal), 2) AS avg_balance
+    FROM customer GROUP BY 1
+    """,
+)
+
+
+def q_agg_conditional_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (semantic_layer.sql:83-90): positive/negative percentage."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        conditional_pct(F.col("l_discount") > 0.05).alias("high_discount_pct"),
+        conditional_pct(F.col("l_tax") < 0.02).alias("low_tax_pct"),
+    )
+
+
+register(
+    "agg_conditional_ratio",
+    q_agg_conditional_ratio,
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS high_discount_pct,
+           ROUND(SUM(CASE WHEN l_tax < 0.02 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS low_tax_pct
+    FROM lineitem GROUP BY 1
+    """,
+)
+
+
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (semantic_layer.sql:91-93): exact median with interpolation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        median_exact("l_extendedprice").alias("median_price"),
+        median_exact("l_quantity").alias("median_qty"),
+    )
+
+
+register(
+    "agg_percentile",
+    q_agg_percentile,
+    """
+    SELECT l_linestatus,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+           ROUND(quantile_cont(l_quantity, 0.5), 2) AS median_qty
+    FROM lineitem GROUP BY 1
+    """,
+)
+
+
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (exploration/analysis.sql:25): SELECT DISTINCT."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+register(
+    "agg_distinct",
+    q_agg_distinct,
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+
+
+def q_agg_global_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A7 (reviews_fact.py:177-181 batch sizing count;
+    data_quality.py:44-46 gate count) as one global-aggregate row,
+    plus approx_count_distinct's exact twin for the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+
+
+register(
+    "agg_global_counts",
+    q_agg_global_counts,
+    """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM lineitem
+    """,
+)
+
+
+def q_agg_uniqueness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 (data_quality.py:25-29 is_unique): keys with duplicates —
+    here customers with more than 12 orders (o_custkey is non-unique
+    by design, exercising the HAVING path with a non-empty result)."""
+    orders = load_table(spark, sf_dir, "orders")
+    dups = duplicate_keys(orders, ["o_custkey"])
+    return dups.filter(F.col("n") > 12)
+
+
+register(
+    "agg_uniqueness_check",
+    q_agg_uniqueness_check,
+    """
+    SELECT o_custkey, COUNT(*) AS n
+    FROM orders GROUP BY 1 HAVING COUNT(*) > 12
+    """,
+)
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals (beyond-reference coverage; SURVEY §2.6 notes
+    grouping sets absent) — region → nation hierarchy with grand total."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+    )
+
+
+register(
+    "agg_rollup",
+    q_agg_rollup,
+    """
+    SELECT r_name, n_name, COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS total_balance
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# Sorts / limits / top-k (SURVEY §2.8) + windows (§2.9 extension)
+# --------------------------------------------------------------------------
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1-O3 (reviews_fact.py:178 limit; exploration/analysis.sql:21,37
+    ORDER BY + LIMIT): global top-k with unique tiebreaker. Spark
+    executes this as TakeOrderedAndProject — no full sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+register(
+    "topk_orders",
+    q_topk_orders,
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+
+
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranking window (extension; reference has no
+    windows — SURVEY §2.9). Unique tiebreaker keeps it deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+    )
+
+
+register(
+    "window_topk_per_group",
+    q_window_topk_per_group,
+    """
+    SELECT o_orderpriority, rk, o_orderkey, o_totalprice
+    FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders)
+    WHERE rk <= 3
+    """,
+)
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) aggregate window — frame spec coverage.
+    Rounded: cumulative double sums are order-defined here (unique
+    orderBy key) but partial-sum association still differs per engine."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return customer.select(
+        "c_nationkey",
+        "c_custkey",
+        F.round(F.sum("c_acctbal").over(w), 2).alias("running_balance"),
+    )
+
+
+register(
+    "window_running_sum",
+    q_window_running_sum,
+    """
+    SELECT c_nationkey, c_custkey,
+           ROUND(SUM(c_acctbal) OVER (PARTITION BY c_nationkey ORDER BY c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS running_balance
+    FROM customer
+    """,
+)
+
+
+def q_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() analytic window — per-customer order-value delta over time.
+    date_trunc'd tiebreakered ordering; ts-derived column emitted as date."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice", 1).over(w), 2
+        ).alias("price_delta"),
+    )
+
+
+register(
+    "window_lag_delta",
+    q_window_lag_delta,
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(o_totalprice - LAG(o_totalprice, 1) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS price_delta
+    FROM orders
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# Set operations (SURVEY §2.9 — absent in reference, added for coverage)
+# --------------------------------------------------------------------------
+def q_set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct): nations having customers ∪ nations having
+    suppliers."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("nationkey"))
+        .union(supplier.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+register(
+    "set_union_distinct",
+    q_set_union_distinct,
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+
+
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nations with both customers and suppliers."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return customer.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+register(
+    "set_intersect",
+    q_set_intersect,
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: nations with customers but no suppliers."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return customer.select(F.col("c_nationkey").alias("nationkey")).subtract(
+        supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+register(
+    "set_except",
+    q_set_except,
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# Date/time over events (SURVEY §2.7 'absent' date functions + §2.11)
+# --------------------------------------------------------------------------
+def q_events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch tumbling-day aggregation over the events surface —
+    date_trunc on both engines avoids the parquet-ns vs Spark-micros
+    timestamp mismatch."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+register(
+    "events_daily_rollup",
+    q_events_daily_rollup,
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)

@@ -48,7 +48,4 @@ def _load_all() -> None:
     from gaming_ai_analytics_spark import queries_ext  # noqa: F401
 
 
-try:
-    _load_all()
-except ImportError:  # modules land incrementally during the build
-    pass
+_load_all()
