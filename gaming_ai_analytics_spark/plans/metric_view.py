@@ -1,0 +1,136 @@
+"""Metric-view compiler — the reference's one non-built-in idea.
+
+The reference declares a Databricks *metric view*: a YAML spec with a
+source table, a view-level filter, declarative joins, dimensions, and
+measures (reference: src/notebooks/modelling/semantic_layer.sql:7-94 —
+source :13, filter :14, joins :15-30, dimensions :31-75, measures
+:76-93). At consumer query time Databricks compiles
+``SELECT <dims>, MEASURE(<m>) ... GROUP BY <dims>`` into a
+join+filter+aggregate plan. There is no OSS equivalent, so this module
+*is* the replacement: the same spec shape compiled to a Spark SQL
+statement (one declarative plan → Catalyst optimizes joins, pushdown,
+pruning; broadcast hints are emitted for dim joins).
+
+Contract (mirrors the Databricks semantics):
+- the consumer picks any subset of declared dimensions and measures;
+- the engine groups by exactly the chosen dimensions and evaluates the
+  chosen measures post-join, after the view-level filter;
+- 1:N joins intentionally fan out fact rows (the reference's
+  per-genre COUNT(*) double-counts reviews across genres — SURVEY
+  §7.3.2); this is preserved, not "fixed".
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class JoinSpec:
+    """One declarative join (semantic_layer.sql:15-30 shape:
+    ``name`` + ``sql_on``)."""
+
+    name: str  # table alias to join (must exist in the view's tables)
+    on: str  # SQL boolean expr, e.g. "source.o_custkey = customer.c_custkey"
+    how: str = "left"
+    broadcast: bool = True  # dims are small; hint unless told otherwise
+
+
+@dataclass
+class MetricViewSpec:
+    """The YAML-shaped spec (semantic_layer.sql:11-93)."""
+
+    source: str  # name of the fact table
+    filter: str | None = None  # view-level filter (semantic_layer.sql:14)
+    joins: list[JoinSpec] = field(default_factory=list)
+    dimensions: dict[str, str] = field(default_factory=dict)  # name -> SQL expr
+    measures: dict[str, str] = field(default_factory=dict)  # name -> SQL agg expr
+
+
+class MetricView:
+    """Compile metric queries against a spec + a table catalog.
+
+    ``tables`` maps names used in the spec (source + join names) to
+    DataFrames; they are registered as temp views under a unique
+    prefix so compiled SQL never collides with user views.
+    """
+
+    _seq = 0
+
+    def __init__(
+        self, spark: SparkSession, spec: MetricViewSpec, tables: dict[str, DataFrame]
+    ):
+        missing = {spec.source, *(j.name for j in spec.joins)} - set(tables)
+        if missing:
+            raise ValueError(f"metric view references unknown tables: {missing}")
+        self.spark = spark
+        self.spec = spec
+        MetricView._seq += 1
+        self._prefix = f"__mv{MetricView._seq}_"
+        self._alias = {name: f"{self._prefix}{name}" for name in tables}
+        for name, df in tables.items():
+            df.createOrReplaceTempView(self._alias[name])
+
+    def _rewrite(self, expr: str) -> str:
+        """Qualify spec table names with the registered view prefix."""
+        out = expr
+        for name, view in self._alias.items():
+            out = out.replace(f"{name}.", f"{view}.")
+        return out
+
+    def compile_sql(
+        self,
+        dimensions: list[str],
+        measures: list[str],
+        where: str | None = None,
+    ) -> str:
+        """Emit the SELECT the consumer's (dims, measures) choice
+        compiles to — the ``SELECT <dims>, MEASURE(<m>) GROUP BY``
+        expansion."""
+        spec = self.spec
+        unknown = set(dimensions) - set(spec.dimensions)
+        if unknown:
+            raise ValueError(f"unknown dimensions: {unknown}")
+        unknown = set(measures) - set(spec.measures)
+        if unknown:
+            raise ValueError(f"unknown measures: {unknown}")
+
+        select = [
+            f"{self._rewrite(spec.dimensions[d])} AS {d}" for d in dimensions
+        ] + [f"{self._rewrite(spec.measures[m])} AS {m}" for m in measures]
+
+        hints = [
+            f"BROADCAST({self._alias[j.name]})" for j in self.spec.joins if j.broadcast
+        ]
+        hint_sql = f"/*+ {', '.join(hints)} */ " if hints else ""
+
+        lines = [
+            f"SELECT {hint_sql}{', '.join(select)}",
+            f"FROM {self._alias[spec.source]} AS {self._alias[spec.source]}",
+        ]
+        for j in spec.joins:
+            lines.append(
+                f"{j.how.upper()} JOIN {self._alias[j.name]} ON {self._rewrite(j.on)}"
+            )
+        conds = [c for c in (spec.filter, where) if c]
+        if conds:
+            lines.append(
+                "WHERE " + " AND ".join(f"({self._rewrite(c)})" for c in conds)
+            )
+        if dimensions:
+            lines.append(
+                "GROUP BY " + ", ".join(str(i + 1) for i in range(len(dimensions)))
+            )
+        return "\n".join(lines)
+
+    def query(
+        self,
+        dimensions: list[str],
+        measures: list[str],
+        where: str | None = None,
+    ) -> DataFrame:
+        """The consumer entry point: pick dims + measures, get a
+        DataFrame plan (lazy — Catalyst sees one declarative query)."""
+        return self.spark.sql(self.compile_sql(dimensions, measures, where))

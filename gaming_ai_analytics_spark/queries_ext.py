@@ -1,7 +1,236 @@
-"""Extension operator queries (SURVEY.md §2.11): dedup, similarity
-search, text analysis, multimodal, pipeline/metric-view surfaces.
+"""Extension + pipeline-surface queries (SURVEY.md §2.10-2.11, §7).
 
-Populated incrementally; see queries_core.py for the conventions.
+Registers oracle-checked queries for:
+- the fact-build transform chain (scoring U1 + weighting U3) — the
+  lexicon scorer is substring-count arithmetic, so the oracle can
+  reproduce it in pure SQL;
+- the translation transformer (U2 analog);
+- the metric-view compiler output (M4);
+- data-quality rule outputs (A8 / range rules as queries).
+
+Dedup / similarity / text-analysis operators register from their own
+modules (see queries_llm.py).
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gaming_ai_analytics_spark.functions.scoring import translate_text
+from gaming_ai_analytics_spark.operators.quality import (
+    IsInRange,
+    IsUnique,
+    violations,
+)
+from gaming_ai_analytics_spark.plans.metric_view import (
+    JoinSpec,
+    MetricView,
+    MetricViewSpec,
+)
+from gaming_ai_analytics_spark.plans.pipeline import fact_transform
+from gaming_ai_analytics_spark.registry import register
+from gaming_ai_analytics_spark.sources.star import load_table
+
+# SQL twin of functions.scoring.SENTIMENT_LEXICON substring-count
+# scoring: cnt(w) = (len(s) - len(replace(s, w, ''))) / len(w).
+_SENTIMENT_SQL = """
+    CAST(CASE WHEN text IS NULL OR LENGTH(text) = 0 THEN 0
+         ELSE GREATEST(LEAST(
+              2 * (LENGTH(text) - LENGTH(REPLACE(text, 'fast', ''))) / 4
+            - 2 * (LENGTH(text) - LENGTH(REPLACE(text, 'slow', ''))) / 4
+            + 1 * (LENGTH(text) - LENGTH(REPLACE(text, 'big', ''))) / 3
+            - 1 * (LENGTH(text) - LENGTH(REPLACE(text, 'small', ''))) / 5,
+            5), -5) END AS INT)
+"""
+
+
+def q_fact_build_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole reviews_fact transform chain (reviews_fact.py:131-167)
+    lazily, minus the sink: filter → project → score → weight."""
+    return fact_transform(load_table(spark, sf_dir, "documents")).select(
+        "review_id",
+        "language",
+        "source",
+        "review_length",
+        "sponsored_review",
+        "sentiment_score",
+        "weighted_score",
+    )
+
+
+register(
+    "fact_build_transform",
+    q_fact_build_transform,
+    f"""
+    SELECT doc_id AS review_id, lang AS language, source,
+           n_chars AS review_length,
+           doc_id % 10 = 0 AS sponsored_review,
+           {_SENTIMENT_SQL} AS sentiment_score,
+           CASE WHEN doc_id % 10 = 0 THEN {_SENTIMENT_SQL} * 0.5
+                ELSE CAST({_SENTIMENT_SQL} AS DOUBLE) END AS weighted_score
+    FROM documents
+    WHERE text IS NOT NULL AND n_chars > 0
+    """,
+)
+
+
+def q_translate_dim_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 (auxillary_dims.py:14-27): deterministic translation backend
+    over dim names, null → 'NA' failure contract."""
+    nation = load_table(spark, sf_dir, "nation")
+    return translate_text(nation, "n_name", "name_en").select(
+        "n_nationkey", "n_name", "name_en"
+    )
+
+
+register(
+    "translate_dim_names",
+    q_translate_dim_names,
+    """
+    SELECT n_nationkey, n_name,
+           CASE WHEN n_name IS NULL THEN 'NA'
+                ELSE 'EN:' || n_name END AS name_en
+    FROM nation
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# Metric view (M4) through the compiler
+# --------------------------------------------------------------------------
+def _orders_metric_view(spark: SparkSession, sf_dir: str) -> MetricView:
+    spec = MetricViewSpec(
+        source="orders",
+        filter="orders.o_totalprice IS NOT NULL",
+        joins=[
+            JoinSpec("customer", "orders.o_custkey = customer.c_custkey"),
+            JoinSpec("nation", "customer.c_nationkey = nation.n_nationkey"),
+            JoinSpec("region", "nation.n_regionkey = region.r_regionkey"),
+        ],
+        dimensions={
+            "region": "region.r_name",
+            "priority": "orders.o_orderpriority",
+            "status": "orders.o_orderstatus",
+        },
+        measures={
+            "order_count": "COUNT(*)",
+            "avg_price": "ROUND(AVG(orders.o_totalprice), 2)",
+            "urgent_pct": (
+                "ROUND(SUM(CASE WHEN orders.o_orderpriority = '1-URGENT' "
+                "THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)"
+            ),
+        },
+    )
+    tables = {
+        t: load_table(spark, sf_dir, t)
+        for t in ("orders", "customer", "nation", "region")
+    }
+    return MetricView(spark, spec, tables)
+
+
+def q_metric_view_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4: consumer picks one dimension + three measures; compiler
+    emits join→filter→groupBy→agg (semantic_layer.sql consumer path)."""
+    return _orders_metric_view(spark, sf_dir).query(
+        ["region"], ["order_count", "avg_price", "urgent_pct"]
+    )
+
+
+register(
+    "metric_view_region",
+    q_metric_view_region,
+    """
+    SELECT r_name AS region, COUNT(*) AS order_count,
+           ROUND(AVG(o_totalprice), 2) AS avg_price,
+           ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 4) AS urgent_pct
+    FROM orders
+    LEFT JOIN customer ON o_custkey   = c_custkey
+    LEFT JOIN nation   ON c_nationkey = n_nationkey
+    LEFT JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_totalprice IS NOT NULL
+    GROUP BY 1
+    """,
+)
+
+
+def q_metric_view_two_dims_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4: two dimensions + consumer-level WHERE on underlying columns."""
+    return _orders_metric_view(spark, sf_dir).query(
+        ["region", "status"],
+        ["order_count", "avg_price"],
+        where="orders.o_totalprice > 50000",
+    )
+
+
+register(
+    "metric_view_two_dims_where",
+    q_metric_view_two_dims_where,
+    """
+    SELECT r_name AS region, o_orderstatus AS status, COUNT(*) AS order_count,
+           ROUND(AVG(o_totalprice), 2) AS avg_price
+    FROM orders
+    LEFT JOIN customer ON o_custkey   = c_custkey
+    LEFT JOIN nation   ON c_nationkey = n_nationkey
+    LEFT JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_totalprice IS NOT NULL AND o_totalprice > 50000
+    GROUP BY 1, 2
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# Data-quality rules as queries (data_quality.py parity)
+# --------------------------------------------------------------------------
+def q_dq_range_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IsInRange (data_quality.py:30-35) reporting path: rows whose
+    discount falls outside the accepted band, with the rule message."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rule = IsInRange(
+        name="disc_range", column="l_discount", min_value=0.0, max_value=0.08
+    )
+    return violations(li, [rule]).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_discount",
+        F.element_at("_errors", 1).alias("error"),
+    )
+
+
+register(
+    "dq_range_violations",
+    q_dq_range_violations,
+    """
+    SELECT l_orderkey, l_linenumber, l_discount,
+           'disc_range: l_discount outside [0.0, 0.08]' AS error
+    FROM lineitem
+    WHERE l_discount IS NULL OR l_discount < 0.0 OR l_discount > 0.08
+    """,
+)
+
+
+def q_dq_uniqueness_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IsUnique (data_quality.py:25-29) reporting path over a key that
+    is non-unique by construction (l_orderkey fans out per line)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rule = IsUnique(name="unique_order", columns=("l_orderkey",))
+    return violations(li, [rule]).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at("_errors", 1).alias("error"),
+    )
+
+
+register(
+    "dq_uniqueness_violations",
+    q_dq_uniqueness_violations,
+    """
+    SELECT l_orderkey, l_linenumber,
+           'unique_order: duplicate key (l_orderkey)' AS error
+    FROM (SELECT l_orderkey, l_linenumber,
+                 COUNT(*) OVER (PARTITION BY l_orderkey) AS n
+          FROM lineitem)
+    WHERE n > 1
+    """,
+)

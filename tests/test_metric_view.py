@@ -1,0 +1,80 @@
+from __future__ import annotations
+
+import pytest
+
+from gaming_ai_analytics_spark.plans.metric_view import (
+    JoinSpec,
+    MetricView,
+    MetricViewSpec,
+)
+from gaming_ai_analytics_spark.sources.star import load_table
+
+
+@pytest.fixture()
+def mv(spark, sf_dir):
+    spec = MetricViewSpec(
+        source="orders",
+        filter="orders.o_totalprice IS NOT NULL",
+        joins=[
+            JoinSpec("customer", "orders.o_custkey = customer.c_custkey"),
+            JoinSpec("nation", "customer.c_nationkey = nation.n_nationkey"),
+            JoinSpec("region", "nation.n_regionkey = region.r_regionkey"),
+        ],
+        dimensions={
+            "region": "region.r_name",
+            "priority": "orders.o_orderpriority",
+        },
+        measures={
+            "order_count": "COUNT(*)",
+            "avg_price": "ROUND(AVG(orders.o_totalprice), 2)",
+            "urgent_pct": (
+                "ROUND(SUM(CASE WHEN orders.o_orderpriority = '1-URGENT' "
+                "THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)"
+            ),
+        },
+    )
+    tables = {
+        t: load_table(spark, sf_dir, t)
+        for t in ("orders", "customer", "nation", "region")
+    }
+    return MetricView(spark, spec, tables)
+
+
+def test_single_dimension(mv):
+    out = mv.query(["region"], ["order_count", "avg_price"]).collect()
+    assert len(out) == 5
+    assert set(out[0].asDict()) == {"region", "order_count", "avg_price"}
+
+
+def test_group_by_what_you_select(mv):
+    by_region = mv.query(["region"], ["order_count"]).collect()
+    by_both = mv.query(["region", "priority"], ["order_count"]).collect()
+    assert len(by_both) > len(by_region)
+    # measures are additive across the finer grouping
+    assert sum(r.order_count for r in by_both) == sum(
+        r.order_count for r in by_region
+    )
+
+
+def test_no_dimensions_grand_total(mv, spark, sf_dir):
+    out = mv.query([], ["order_count"]).collect()
+    assert len(out) == 1
+    assert out[0].order_count == load_table(spark, sf_dir, "orders").count()
+
+
+def test_consumer_where(mv):
+    out = mv.query(["region"], ["urgent_pct"], where="orders.o_totalprice > 100000")
+    rows = out.collect()
+    assert all(0.0 <= r.urgent_pct <= 1.0 for r in rows)
+
+
+def test_unknown_dim_rejected(mv):
+    with pytest.raises(ValueError):
+        mv.query(["nope"], ["order_count"])
+
+
+def test_broadcast_hint_in_plan(mv):
+    sql = mv.compile_sql(["region"], ["order_count"])
+    assert "BROADCAST" in sql
+    plan = mv.query(["region"], ["order_count"])._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -1,0 +1,57 @@
+from __future__ import annotations
+
+import pytest
+
+from gaming_ai_analytics_spark.operators.quality import (
+    IsInRange,
+    IsUnique,
+    NotNull,
+    QualityError,
+    quality_gate,
+    violations,
+)
+
+
+@pytest.fixture()
+def df(spark):
+    return spark.createDataFrame(
+        [(1, 2.0, "a"), (2, 7.0, "b"), (2, 3.0, None)],
+        "id long, score double, txt string",
+    )
+
+
+def test_is_unique_flags_dupes(spark, df):
+    v = violations(df, [IsUnique(name="u", columns=("id",))])
+    assert v.count() == 2  # both rows with id=2
+
+
+def test_is_in_range(spark, df):
+    v = violations(
+        df, [IsInRange(name="r", column="score", min_value=-5, max_value=5)]
+    )
+    rows = v.collect()
+    assert len(rows) == 1 and rows[0]["score"] == 7.0
+
+
+def test_not_null(spark, df):
+    v = violations(df, [NotNull(name="n", column="txt")])
+    assert v.count() == 1
+
+
+def test_gate_raises_and_passes(spark, df):
+    with pytest.raises(QualityError):
+        quality_gate(df, [IsUnique(name="u", columns=("id",))])
+    clean = df.filter("id = 1")
+    quality_gate(
+        clean,
+        [
+            IsUnique(name="u", columns=("id",)),
+            IsInRange(name="r", column="score", min_value=-5, max_value=5),
+        ],
+    )  # must not raise
+
+
+def test_warn_rules_do_not_block(spark, df):
+    quality_gate(
+        df, [IsUnique(name="u", criticality="warn", columns=("id",))]
+    )  # warn-level: no raise
