@@ -1,0 +1,125 @@
+"""Text-analysis functions — language ID, quality scoring, token
+counting, shingling, fingerprinting.
+
+Extension surface (SURVEY §2.11; no reference analog — the reference's
+only text ops are LENGTH and the LLM UDF). All built-ins: string /
+regex / array higher-order functions, whole-stage-codegen'd, no Python
+in the hot path. Regex patterns are restricted to class/quantifier
+syntax that behaves identically under Java regex (Spark) and RE2
+(DuckDB) so oracles can mirror them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword markers for the heuristic language ID.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "los"],
+    "fr": ["le", "les", "des"],
+    "de": ["der", "die", "und"],
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for dedup/fingerprinting: lowercase, strip
+    non-alphanumerics, collapse whitespace."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization → array<string> (empty array for empty
+    text, not [''])."""
+    t = F.split(F.trim(col), " +")
+    return F.when(F.length(F.trim(col)) == 0, F.array().cast("array<string>")).otherwise(t)
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token count: alpha runs up to 4 chars count as one
+    token per 4-char chunk (a BPE-like length proxy), digits and
+    punctuation one each. Implemented as a pure regex count."""
+    return F.regexp_count(col, F.lit("[a-zA-Z]{1,4}|[0-9]|[^a-zA-Z0-9\\s]"))
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles: array of 'w1 w2 w3' strings —
+    the dedup unit for Jaccard/MinHash. Built with sequence+transform
+    (no explode here; callers explode when they need rows)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - k)  # 0-based start positions
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(sh)
+    )
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = tokens(F.lower(col))
+    stop = F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    return F.when(F.size(toks) == 0, 0.0).otherwise(
+        F.size(stop) / F.size(toks)
+    )
+
+
+def mean_word_length(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return F.when(F.size(toks) == 0, 0.0).otherwise(total / F.size(toks))
+
+
+def punctuation_ratio(col: Column) -> Column:
+    n_punct = F.length(col) - F.length(F.regexp_replace(col, "[^a-zA-Z0-9 ]", ""))
+    return F.when(F.length(col) == 0, 0.0).otherwise(n_punct / F.length(col))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite document-quality heuristic in [0, 1]: favors texts of
+    moderate length with low punctuation noise and a natural stopword
+    share — the usual pretraining-corpus filter shape."""
+    length_term = F.least(F.length(col) / 400.0, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    punct_penalty = punctuation_ratio(col)
+    score = 0.5 * length_term + 0.3 * stop_term + 0.2 * (1.0 - punct_penalty)
+    # +5e-10 before rounding: the two oracle engines can disagree by
+    # 1 ulp on the composite, which flips ROUND at an exact .00005
+    # boundary; the epsilon pushes both off the knife edge identically.
+    return F.round(score + 5e-10, 4)
+
+
+def language_id(col: Column) -> Column:
+    """Marker-stopword language heuristic: pick the language with the
+    most marker hits, 'und' (undetermined) when nothing matches.
+    Deterministic tie-break by language code order of LANG_MARKERS."""
+    toks = tokens(F.lower(col))
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in reversed(list(LANG_MARKERS)):  # earlier langs win ties
+        markers = LANG_MARKERS[lang]
+        hits = F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        better = hits >= best_hits  # >= so earlier language wins equal counts
+        best_lang = F.when(better & (hits > 0), F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(better, hits).otherwise(best_hits)
+    return best_lang
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (md5 exists on both engines, so the oracle can mirror it)."""
+    return F.md5(normalize_text(col))

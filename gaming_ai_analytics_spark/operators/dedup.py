@@ -1,0 +1,387 @@
+"""Deduplication operators — exact through approximate, at scale.
+
+Extension surface (SURVEY §2.11): the training-data-pipeline dedup
+ladder. No reference analog beyond the key-based anti-join
+(reviews_fact.py:151-153, covered in operators.joins); everything here
+is the standard large-corpus design expressed Spark-first:
+
+- exact: hash-groupBy on a normalized-text fingerprint (one shuffle).
+- n-gram Jaccard: inverted-index self-join on shingles — the exact
+  pairwise formulation; quadratic only within a shingle's posting
+  list, so hot shingles can be capped (``max_shingle_df``).
+- MinHash + LSH: shingle→minhash signature→banding→bucket join —
+  candidate generation is linear-ish in corpus size; candidates are
+  verified with exact Jaccard. The 100 TB path.
+- SimHash: 64-bit token-hash sign aggregation; near-dup = small
+  Hamming distance, banded for blocking. Pure built-ins (explode +
+  bit ops), no Python.
+- embedding cosine: exact pairwise over id<id (oracle-checkable) and
+  a random-hyperplane LSH bucketed variant (scale path).
+
+All hash functions are ``xxhash64`` (JVM built-in, deterministic,
+seedable via a literal prefix column) — no Python ``hash()``
+(PYTHONHASHSEED-dependent) anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from gaming_ai_analytics_spark.functions.text import (
+    doc_fingerprint,
+    tokens,
+    word_shingles,
+)
+from gaming_ai_analytics_spark.functions.vectors import dot
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Exact duplicate removal (nondeterministic representative) —
+    ``dropDuplicates``: map-side partial dedup, then one shuffle."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def exact_dedup_canonical(
+    df: DataFrame, key_col: str, text_col: str
+) -> DataFrame:
+    """Exact text dedup with a *deterministic* representative: rows
+    grouped by normalized-text fingerprint, lowest key survives.
+    Window row_number, one shuffle on the fingerprint."""
+    fp = doc_fingerprint(F.col(text_col)).alias("_fp")
+    w = Window.partitionBy("_fp").orderBy(F.col(key_col))
+    return (
+        df.select("*", fp)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (exact pairwise via inverted index)
+# --------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All document pairs with shingle-Jaccard ≥ threshold.
+
+    Inverted-index formulation: explode distinct k-shingles, self-join
+    postings (id_a < id_b), count common shingles per pair, then
+    |A∪B| = |A| + |B| − common. Exact — the oracle for the LSH variant.
+
+    ``max_shingle_df`` drops shingles appearing in more than N docs
+    (stop-shingles create quadratic posting lists at corpus scale;
+    dropping them is the standard recall-safe-ish cap — pairs sharing
+    ONLY ubiquitous shingles are the ones you didn't want anyway).
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("_sh"),
+    )
+    if max_shingle_df is not None:
+        sh = sh.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("_sh"))
+        ).filter(F.col("_df") <= max_shingle_df).drop("_df")
+
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    jac = F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH (the 100 TB near-dup path)
+# --------------------------------------------------------------------------
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """Per-doc MinHash signature: for seed i, min over shingles of
+    xxhash64(seed_i, shingle). One explode + one groupBy with
+    ``num_hashes`` min-aggregates (map-side partials make the shuffle
+    one row per doc)."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("_sh"),
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("_id").agg(*mins)
+    return sig.select(
+        "_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash LSH, verified with exact
+    Jaccard (array_intersect/union on the distinct-shingle arrays).
+
+    16 bands × 4 rows ⇒ collision probability 1-(1-j⁴)¹⁶ — ~0.98 at
+    j=0.7, ~0.56 at j=0.5: tune bands to the target threshold. The
+    bucket join shuffles (band_id, band_hash) keys only; verification
+    touches candidate pairs, never the full n² space.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+
+    band_entries = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("signature", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+
+    a, b = band_entries.alias("a"), band_entries.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+    shingle_arrays = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), k).alias("_shs"),
+    )
+    sa = shingle_arrays.select(F.col("_id").alias("id_a"), F.col("_shs").alias("_sa"))
+    sb = shingle_arrays.select(F.col("_id").alias("id_b"), F.col("_shs").alias("_sb"))
+    jac = F.size(F.array_intersect("_sa", "_sb")) / F.size(F.array_union("_sa", "_sb"))
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per doc, pure built-ins: token xxhash64 →
+    per-bit ±1 sign sums → reassembled bit vector. The bit explode
+    multiplies token rows ×64 but stays in whole-stage codegen."""
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(F.col(text_col))).alias("_t"),
+    ).select("_id", F.xxhash64(F.col("_t")).alias("_h"))
+    # shiftright/shiftleft take a Column bit index only via SQL expr
+    sign = F.when(
+        F.expr("shiftrightunsigned(_h, CAST(_i AS INT)) & 1") == 1, 1
+    ).otherwise(-1)
+    per_bit = tok.select(
+        "_id", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("_i"), "_h"
+    ).select("_id", "_i", sign.alias("_sign"))
+    bit_sums = per_bit.groupBy("_id", "_i").agg(F.sum("_sign").alias("_s"))
+    fingerprint = F.sum(
+        F.when(
+            F.col("_s") > 0,
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_i AS INT))"),
+        ).otherwise(F.lit(0).cast("long"))
+    )
+    return bit_sums.groupBy("_id").agg(fingerprint.alias("simhash")).select(
+        F.col("_id").alias(id_col), "simhash"
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Blocking: split the 64-bit fingerprint into ``bands`` 16-bit
+    chunks — any pair within Hamming ≤ bands-1 shares at least one
+    chunk (pigeonhole), so the bucket join finds all such pairs
+    without n² comparisons; the Hamming filter then verifies."""
+    fp = simhash_fingerprints(df, id_col, text_col)
+    width = 64 // bands
+    chunks = fp.select(
+        F.col(id_col).alias("_id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "simhash", "bb.band", "bb.chunk")
+
+    a, b = chunks.alias("a"), chunks.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding cosine near-dup
+# --------------------------------------------------------------------------
+def embedding_cosine_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9
+) -> DataFrame:
+    """Exact pairwise cosine near-dups (id_a < id_b). O(n²) — the
+    correctness oracle; use the LSH variant beyond ~10⁵ vectors."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    sim = F.round(dot(F.col("_va"), F.col("_vb")), 6)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+    return planes / np.linalg.norm(planes, axis=1, keepdims=True)
+
+
+def _rhp_signature(vec_col: Column, planes: np.ndarray) -> Column:
+    """Random-hyperplane (SRP) signature: bit i = sign(v·pᵢ), packed
+    into a long — built from literal plane arrays, all JVM-side."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(vec_col, p) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig + F.shiftleft(bit, i)
+    return sig
+
+
+def embedding_cosine_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Scale path: random-hyperplane LSH buckets candidate pairs
+    (cosine-similar vectors agree on most hyperplane signs →
+    pigeonhole on signature chunks), then exact cosine verifies.
+    Deterministic planes (fixed seed) — reruns give identical plans."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes)
+    width = n_planes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        _rhp_signature(F.col(vec_col), planes).alias("_sig"),
+    )
+    chunks = sig.select(
+        "_id",
+        "_v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("_sig"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "_v", "bb.band", "bb.chunk")
+
+    a, b = chunks.alias("a"), chunks.alias("b")
+    sim = F.round(dot(F.col("a._v"), F.col("b._v")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+                sim.alias("cosine"))
+        .distinct()
+        .filter(F.col("cosine") >= threshold)
+    )

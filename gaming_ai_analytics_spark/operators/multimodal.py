@@ -1,0 +1,135 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Extension surface (SURVEY §2.11): image/audio/video assets ride in a
+DataFrame as ``binary`` columns next to a typed metadata struct; the
+compute pattern is Arrow-batched ``mapInPandas`` over partition-sized
+pandas batches — the payload never round-trips through Python row by
+row, and partitioning stays whatever the upstream scan gave us.
+
+Codec note: image/audio libraries are not available in this
+environment, so the *decode* step is pluggable: ``StubDecoder`` raises
+``NotImplementedError`` (the honest production placeholder) and
+``FakeDecoder`` produces deterministic synthetic "pixels" from the
+payload bytes so the full pipeline (schema, batching, UDF signatures,
+feature shapes) is exercised end-to-end in tests.
+
+Asset fixtures are synthesized from the ``documents`` table (UTF-8
+payloads) — the driver ships no binary fixtures.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Protocol
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Output schema of the feature extractor (stable driver-checkable shape).
+ASSET_FEATURES_SCHEMA = (
+    "asset_id long, kind string, n_bytes long, features array<float>"
+)
+
+N_FEATURES = 16
+
+
+class Decoder(Protocol):
+    def decode(self, payload: bytes) -> np.ndarray: ...
+
+
+class StubDecoder:
+    """Production placeholder: real codecs (PIL/ffmpeg/soundfile) are
+    not installed here."""
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        raise NotImplementedError(
+            "media codecs unavailable in this environment; plug a real "
+            "Decoder or use FakeDecoder for deterministic tests"
+        )
+
+
+class FakeDecoder:
+    """Deterministic fake: payload bytes ARE the sample buffer."""
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        return np.frombuffer(payload or b"\x00", dtype=np.uint8)
+
+
+def make_assets(docs: DataFrame) -> DataFrame:
+    """Build a multimodal asset table from the documents fixture:
+    UTF-8 payload + typed metadata struct. Kind assignment is
+    deterministic (doc_id mod 3)."""
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            kind.alias("kind"),
+            F.col("n_chars").cast("long").alias("n_bytes"),
+            F.col("lang").alias("lang"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(
+    assets: DataFrame, decoder: Decoder | None = None
+) -> DataFrame:
+    """Decode + featurize each asset: 16-bin byte histogram (L1
+    normalized) as the stand-in embedding. ``mapInPandas`` — one
+    Python call per Arrow batch, vectorized numpy inside."""
+    decoder = decoder or FakeDecoder()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                buf = decoder.decode(payload)
+                hist, _ = np.histogram(buf, bins=N_FEATURES, range=(0, 256))
+                total = hist.sum() or 1
+                feats.append((hist / total).astype(np.float32))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": [m["kind"] for m in pdf["meta"]],
+                    "n_bytes": pdf["payload"].map(
+                        lambda b: len(b) if b is not None else 0
+                    ),
+                    "features": feats,
+                }
+            )
+
+    return assets.mapInPandas(run, schema=ASSET_FEATURES_SCHEMA)
+
+
+def sample_frames(
+    assets: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
+) -> DataFrame:
+    """Frame sampling for video-kind assets: deterministic stride over
+    the payload — a real frame sampler would seek keyframes; the
+    Spark-side contract (explode to one row per frame with an index)
+    is identical. Pure built-ins: no Python."""
+    frames = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.least(
+                (F.length("payload") / every_n_bytes).cast("int"),
+                F.lit(max_frames - 1),
+            ),
+        ),
+        lambda i: F.struct(
+            i.alias("frame_no"),
+            F.substring(
+                F.col("payload").cast("string"), i * every_n_bytes + 1, every_n_bytes
+            ).alias("frame_bytes"),
+        ),
+    )
+    return (
+        assets.filter(F.col("meta.kind") == "video")
+        .select("asset_id", F.explode(frames).alias("f"))
+        .select("asset_id", "f.frame_no", "f.frame_bytes")
+    )

@@ -1,0 +1,119 @@
+"""Similarity search over embedding columns: exact top-k and ANN.
+
+Extension surface (SURVEY §2.11). Two tiers, same output contract
+``(probe_id, rank, vec_id, cosine)``:
+
+- :func:`topk_similar` — brute-force cosine top-k. The probe set is
+  broadcast (it's small by definition), so the corpus never shuffles:
+  scan → broadcast-nested-loop join → per-probe ranking window on the
+  (tiny) per-probe candidate space. Exact; the recall oracle.
+- :func:`topk_similar_lsh` — IVF-flavored scale path: corpus and
+  probes are bucketed by random-hyperplane signature chunks; only
+  colliding buckets are compared exactly, then ranked. Sub-linear
+  comparisons at the cost of recall (tunable via planes/bands).
+
+Cosine math is the shared double-fold from functions.vectors (JVM
+higher-order functions, codegen'd — no Python, no UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gaming_ai_analytics_spark.functions.vectors import dot
+from gaming_ai_analytics_spark.operators.dedup import _hyperplanes, _rhp_signature
+
+
+def topk_similar(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Exact cosine top-k per probe. Probes broadcast; ranking uses a
+    unique (cosine desc, vec_id) order so results are deterministic."""
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
+    p = probes.select(
+        F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
+    )
+    sim = F.round(dot(F.col("_cv"), F.col("_pv")), 6)
+    scored = c.join(F.broadcast(p), F.col("vec_id") != F.col("probe_id")).withColumn(
+        "cosine", sim
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "rank", "vec_id", "cosine")
+    )
+
+
+def topk_similar_lsh(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    n_planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """ANN top-k: compare a probe only against corpus vectors sharing
+    at least one signature chunk (random-hyperplane LSH). Recall < 1
+    by design; raise ``bands`` (more, narrower chunks) for recall,
+    lower for speed."""
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes)
+    width = n_planes // bands
+    mask = (1 << width) - 1
+
+    def chunked(df: DataFrame, ident: str) -> DataFrame:
+        sig = _rhp_signature(F.col(vec_col), planes)
+        return df.select(
+            F.col(ident).alias(f"_{ident}"),
+            F.col(vec_col).alias(f"_v_{ident}"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftrightunsigned(sig, b * width)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("chunk"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(f"_{ident}", f"_v_{ident}", "bb.band", "bb.chunk")
+
+    c = chunked(corpus, id_col)
+    p = chunked(probes, probe_id_col)
+    sim = F.round(dot(F.col(f"_v_{id_col}"), F.col(f"_v_{probe_id_col}")), 6)
+    cand = (
+        c.join(
+            F.broadcast(p),
+            (c["band"] == p["band"])
+            & (c["chunk"] == p["chunk"])
+            & (F.col(f"_{id_col}") != F.col(f"_{probe_id_col}")),
+        )
+        .select(
+            F.col(f"_{probe_id_col}").alias("probe_id"),
+            F.col(f"_{id_col}").alias("vec_id"),
+            sim.alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "rank", "vec_id", "cosine")
+    )

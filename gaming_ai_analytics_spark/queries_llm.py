@@ -1,0 +1,319 @@
+"""LLM-data-pipeline queries: text analysis, dedup, similarity,
+multimodal (SURVEY §2.11) over the documents/embeddings fixtures.
+
+Thresholds are calibrated to the fixtures: the corpus plants 25
+near-dup pairs at Jaccard ≥ 0.9 with a clean gap below 0.5, so
+threshold 0.5 captures exactly the planted set and banded MinHash-LSH
+reaches recall 1.0 there (verified in tests against the exact join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gaming_ai_analytics_spark.functions.text import (
+    bpe_ish_token_count,
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+from gaming_ai_analytics_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    embedding_cosine_pairs_lsh,
+    exact_dedup_canonical,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from gaming_ai_analytics_spark.operators.multimodal import (
+    extract_features,
+    make_assets,
+    sample_frames,
+)
+from gaming_ai_analytics_spark.operators.similarity import (
+    topk_similar,
+    topk_similar_lsh,
+)
+from gaming_ai_analytics_spark.registry import register
+from gaming_ai_analytics_spark.sources.star import load_table
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+def q_text_analysis_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID + quality + token counts + fingerprint, one pass,
+    all codegen'd built-ins (no UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.filter(t.isNotNull()).select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        quality_score(t).alias("quality"),
+        language_id(t).alias("lang_guess"),
+        doc_fingerprint(t).alias("fingerprint"),
+    )
+
+
+# SQL mirrors of functions.text (see that module for the Spark forms).
+_TOKS = "string_split_regex(TRIM(text), ' +')"
+_TOKS_L = "string_split_regex(TRIM(LOWER(text)), ' +')"
+_PUNCT_RATIO = (
+    "CASE WHEN LENGTH(text) = 0 THEN 0.0 ELSE "
+    "(LENGTH(text) - LENGTH(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))"
+    " * 1.0 / LENGTH(text) END"
+)
+_STOP_RATIO = (
+    f"CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0.0 ELSE "
+    f"len(list_filter({_TOKS_L}, tk -> tk IN ('the','a','of','and','to','in')))"
+    f" * 1.0 / len({_TOKS_L}) END"
+)
+_NORM = (
+    "TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),"
+    "' +', ' ', 'g'))"
+)
+
+
+def _lang_sql() -> str:
+    hits = {
+        "en": "('the','and','of')",
+        "es": "('el','la','los')",
+        "fr": "('le','les','des')",
+        "de": "('der','die','und')",
+    }
+    h = {
+        lang: f"len(list_filter({_TOKS_L}, tk -> tk IN {inlist}))"
+        for lang, inlist in hits.items()
+    }
+    return f"""
+    CASE WHEN {h['en']} >= GREATEST({h['es']}, {h['fr']}, {h['de']})
+              AND {h['en']} > 0 THEN 'en'
+         WHEN {h['es']} >= GREATEST({h['fr']}, {h['de']})
+              AND {h['es']} > 0 THEN 'es'
+         WHEN {h['fr']} >= {h['de']} AND {h['fr']} > 0 THEN 'fr'
+         WHEN {h['de']} > 0 THEN 'de'
+         ELSE 'und' END
+    """
+
+
+register(
+    "text_analysis_profile",
+    q_text_analysis_profile,
+    f"""
+    SELECT doc_id,
+           CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                ELSE len({_TOKS}) END AS n_tokens,
+           len(regexp_extract_all(text,
+               '[a-zA-Z]{{1,4}}|[0-9]|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens,
+           ROUND(0.5 * LEAST(LENGTH(text) / 400.0, 1.0)
+               + 0.3 * LEAST(({_STOP_RATIO}) * 5.0, 1.0)
+               + 0.2 * (1.0 - ({_PUNCT_RATIO})) + 5e-10, 4) AS quality,
+           {_lang_sql()} AS lang_guess,
+           md5({_NORM}) AS fingerprint
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+def q_dedup_exact_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized-text fingerprint, lowest doc_id
+    survives (deterministic representative)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return exact_dedup_canonical(docs, "doc_id", "text").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+register(
+    "dedup_exact_canonical",
+    q_dedup_exact_canonical,
+    f"""
+    SELECT doc_id, lang, n_chars
+    FROM (SELECT doc_id, lang, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY md5({_NORM})
+                                    ORDER BY doc_id) AS rn
+          FROM documents WHERE text IS NOT NULL)
+    WHERE rn = 1
+    """,
+)
+
+_JACCARD_PAIRS_SQL = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(TRIM(text), ' +') AS t
+      FROM documents
+      WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0
+    ),
+    pos AS (
+      SELECT doc_id, unnest(generate_series(1, len(t) - 2)) AS i, t
+      FROM toks WHERE len(t) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM pos
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT ia AS id_a, ib AS id_b,
+           ROUND(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
+    FROM pairs
+    JOIN sizes na ON ia = na.doc_id
+    JOIN sizes nb ON ib = nb.doc_id
+    WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-shingle Jaccard near-dup pairs via inverted index."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+
+
+register("dedup_ngram_jaccard", q_dedup_ngram_jaccard, _JACCARD_PAIRS_SQL)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH near-dup pairs, exact-Jaccard-verified.
+    Shares the exact join's oracle: at the fixtures' similarity gap
+    (planted pairs ≥0.9, rest <0.3) banded LSH recall is 1.0, so the
+    verified output equals the exact pair set."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+
+
+register("dedup_minhash_lsh", q_dedup_minhash_lsh, _JACCARD_PAIRS_SQL)
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-≤8 candidate pairs (rows-only check: the
+    fingerprint bit math has no SQL twin — xxhash64 is Spark-side).
+    Recall against exact Jaccard is asserted in tests/test_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=8)
+
+
+register("dedup_simhash_pairs", q_dedup_simhash_pairs, None)
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (O(n²) verify tier)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.5)
+
+
+register(
+    "dedup_embedding_cosine",
+    q_dedup_embedding_cosine,
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) >= 0.5 - 5e-7
+    """,
+)
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup pairs (scale tier; rows-only —
+    recall vs the exact tier asserted in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs_lsh(emb, "vec_id", "embedding", threshold=0.5)
+
+
+register("dedup_embedding_lsh", q_dedup_embedding_lsh, None)
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+def _probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per probe (exact tier)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_similar(emb, _probes(spark, sf_dir), k=5)
+
+
+register(
+    "similarity_topk",
+    q_similarity_topk,
+    """
+    WITH scored AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+             ROUND(list_sum(list_transform(list_zip(c.embedding, p.embedding),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS cosine
+      FROM embeddings c
+      JOIN embeddings p ON p.vec_id < 5 AND c.vec_id <> p.vec_id
+    )
+    SELECT probe_id, rank, vec_id, cosine
+    FROM (SELECT probe_id, vec_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY probe_id
+                                    ORDER BY cosine DESC, vec_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+
+
+def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-5 (scale tier; rows-only — recall vs the
+    exact tier asserted in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_similar_lsh(emb, _probes(spark, sf_dir), k=5)
+
+
+register("similarity_topk_lsh", q_similarity_topk_lsh, None)
+
+
+# --------------------------------------------------------------------------
+# multimodal
+# --------------------------------------------------------------------------
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-asset decode + byte-histogram featurization via
+    mapInPandas (rows-only: Python featurizer has no SQL twin;
+    shape/determinism asserted in tests)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(make_assets(docs))
+
+
+register("multimodal_features", q_multimodal_features, None)
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic frame sampling over video-kind assets — pure
+    built-ins, so it does have a SQL twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(make_assets(docs))
+
+
+register(
+    "multimodal_frame_sample",
+    q_multimodal_frame_sample,
+    """
+    SELECT doc_id AS asset_id,
+           unnest(generate_series(0,
+             LEAST(CAST(FLOOR(LENGTH(text) / 64) AS INT), 7))) AS frame_no,
+           SUBSTRING(text,
+             unnest(generate_series(0,
+               LEAST(CAST(FLOOR(LENGTH(text) / 64) AS INT), 7))) * 64 + 1,
+             64) AS frame_bytes
+    FROM documents
+    WHERE doc_id % 3 = 2 AND text IS NOT NULL
+    """,
+)

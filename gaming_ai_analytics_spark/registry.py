@@ -46,6 +46,7 @@ def _load_all() -> None:
     """Import every module that registers queries (side-effect imports)."""
     from gaming_ai_analytics_spark import queries_core  # noqa: F401
     from gaming_ai_analytics_spark import queries_ext  # noqa: F401
+    from gaming_ai_analytics_spark import queries_llm  # noqa: F401
 
 
 _load_all()

@@ -1,0 +1,122 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gaming_ai_analytics_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    embedding_cosine_pairs_lsh,
+    exact_dedup_canonical,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+from gaming_ai_analytics_spark.operators.multimodal import (
+    FakeDecoder,
+    extract_features,
+    make_assets,
+    sample_frames,
+)
+from gaming_ai_analytics_spark.operators.similarity import (
+    topk_similar,
+    topk_similar_lsh,
+)
+from gaming_ai_analytics_spark.sources.star import load_table
+
+SF = "/root/testdata/sf0.01"  # documents/embeddings are small at every sf
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b) for r in df.collect()}
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(3, "fast table scan"), (1, "fast table scan"), (2, "other text")],
+        "doc_id long, text string",
+    )
+    out = exact_dedup_canonical(df, "doc_id", "text")
+    assert {r.doc_id for r in out.collect()} == {1, 2}
+
+
+def test_minhash_lsh_recall_equals_exact(spark):
+    """At the fixtures' similarity gap (planted ≥0.9, noise <0.3),
+    banded MinHash must find every exact-Jaccard pair."""
+    docs = load_table(spark, SF, "documents")
+    exact = _pairs(ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5))
+    lsh = _pairs(minhash_lsh_pairs(docs, "doc_id", "text", 3, 0.5))
+    assert exact, "fixture should contain planted near-dups"
+    assert lsh == exact
+
+
+def test_simhash_identical_text_same_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(1, "fast table scan merge"), (2, "fast table scan merge"), (3, "zzz qqq")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.simhash for r in simhash_fingerprints(df, "doc_id", "text").collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_simhash_finds_planted_neardups(spark):
+    """Planted Jaccard-0.9 pairs must appear among Hamming-≤8 pairs."""
+    docs = load_table(spark, SF, "documents")
+    exact = _pairs(ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.9))
+    sim = _pairs(simhash_near_pairs(docs, "doc_id", "text", max_hamming=8))
+    assert exact
+    missed = exact - sim
+    assert len(missed) <= len(exact) * 0.2  # simhash is lossy; ≥80% recall here
+
+
+def test_embedding_lsh_recall(spark):
+    emb = load_table(spark, SF, "embeddings")
+    exact = _pairs(embedding_cosine_pairs(emb, "vec_id", "embedding", 0.5))
+    lsh = _pairs(embedding_cosine_pairs_lsh(emb, "vec_id", "embedding", 0.5))
+    assert exact
+    assert lsh == exact  # high-cosine pairs collide in some band at 4×4 bits
+
+
+def test_topk_lsh_recall_vs_exact(spark):
+    emb = load_table(spark, SF, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    exact = topk_similar(emb, probes, k=5).collect()
+    ann = topk_similar_lsh(emb, probes, k=5).collect()
+    exact_set = {(r.probe_id, r.vec_id) for r in exact}
+    ann_set = {(r.probe_id, r.vec_id) for r in ann}
+    # ANN is approximate, and the fixture corpus is adversarial for
+    # LSH: vectors are random, so true top-5 neighbors sit at cosine
+    # ~0.2 where hyperplane agreement is barely above chance (recall
+    # here ≈ 1-(1-p⁴)⁴, p≈0.56 → ~0.35). Real embedding corpora have
+    # high-cosine neighbors where banding recall → 1 (see
+    # test_embedding_lsh_recall, which hits 100% on the planted pair).
+    assert len(ann_set & exact_set) >= len(exact_set) * 0.2
+    # and every probe returns k results
+    by_probe = {}
+    for r in ann:
+        by_probe.setdefault(r.probe_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_probe.values())
+
+
+def test_multimodal_features_shape_and_determinism(spark):
+    docs = load_table(spark, SF, "documents").limit(50)
+    feats = extract_features(make_assets(docs), FakeDecoder())
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert len(r.features) == 16
+        assert abs(sum(r.features) - 1.0) < 1e-3  # L1-normalized histogram
+        assert r.kind in {"image", "audio", "video"}
+    again = {r.asset_id: list(r.features) for r in feats.collect()}
+    assert all(list(r.features) == again[r.asset_id] for r in rows)
+
+
+def test_frame_sampling_only_video(spark):
+    docs = load_table(spark, SF, "documents").limit(60)
+    frames = sample_frames(make_assets(docs))
+    rows = frames.collect()
+    assert rows
+    assert all(r.asset_id % 3 == 2 for r in rows)  # video kind
+    assert all(len(r.frame_bytes) <= 64 for r in rows)
