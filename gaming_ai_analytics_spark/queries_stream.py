@@ -1,0 +1,95 @@
+"""Windowed event queries — batch + Structured Streaming parity
+(SURVEY §2.9 extension; the reference is batch-only).
+
+The tumbling/sliding/session window definitions live in
+streaming.events and are shared verbatim by the batch and streaming
+paths; the streaming entry runs readStream → watermark → agg →
+memory sink and is checked against the SAME SQL oracle as the batch
+entry (complete output mode over the bounded fixture ⇒ identical
+results).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gaming_ai_analytics_spark.registry import register
+from gaming_ai_analytics_spark.sources.star import load_events
+from gaming_ai_analytics_spark.streaming.events import (
+    session_windows,
+    sliding_windows,
+    streaming_tumbling_hourly,
+    tumbling_hourly,
+)
+
+_TUMBLING_ORACLE = """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_hourly(load_events(spark, sf_dir))
+
+
+register("events_tumbling_hourly", q_events_tumbling_hourly, _TUMBLING_ORACLE)
+
+
+def q_events_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full streaming engine path; oracle identical to batch."""
+    return streaming_tumbling_hourly(spark, sf_dir)
+
+
+register("events_streaming_tumbling", q_events_streaming_tumbling, _TUMBLING_ORACLE)
+
+
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_windows(load_events(spark, sf_dir))
+
+
+register(
+    "events_sliding_window",
+    q_events_sliding_window,
+    # 1h window sliding every 30min ⇒ each event belongs to exactly the
+    # two windows starting at bucket(30m, ts) and bucket(30m, ts)−30m.
+    """
+    SELECT window_start, COUNT(*) AS n_events FROM (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+      FROM events
+    ) GROUP BY 1
+    """,
+)
+
+
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_windows(load_events(spark, sf_dir), gap="10 minutes")
+
+
+register(
+    "events_session_window",
+    q_events_session_window,
+    # Gap-based sessionization: a new session starts where the gap to
+    # the previous event (per user) exceeds 10 minutes; lag + running
+    # sum of session-start flags reproduces session_window exactly.
+    """
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '10 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    tagged AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM ordered
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM tagged GROUP BY user_id, session_no
+    """,
+)

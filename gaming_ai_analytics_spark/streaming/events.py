@@ -1,0 +1,127 @@
+"""Event-stream operators: tumbling/sliding/session windows, watermarks.
+
+Extension surface (SURVEY §2.9: the reference has no streaming — its
+ingestion is a daily batch cron, workflow.json:8-12). Here the same
+windowed aggregations are defined once and run in BOTH modes:
+
+- batch: ``F.window`` / ``F.session_window`` work on static DataFrames,
+  which is what the DuckDB oracle checks;
+- streaming: ``readStream`` over the same parquet + ``withWatermark``
+  drives identical logic through the incremental engine; tests run it
+  to a memory sink with ``processAllAvailable`` (exactly-once within
+  the run).
+
+At production scale the source would be Kafka/queue; the parquet
+directory source has the same semantics (files appear → micro-batch).
+State sizing: watermark bounds the window state; session windows
+additionally need ``spark.sql.shuffle.partitions`` sized to the key
+cardinality, not the event rate.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gaming_ai_analytics_spark.sources.star import load_events
+
+_sink_ids = itertools.count()
+
+#: Explicit source schema (never inferSchema — SURVEY §7.0); ts arrives
+#: as long nanos (parquet TIMESTAMP(NANOS) read under nanosAsLong).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with ts normalized to a
+    microsecond timestamp — the streaming twin of sources.star.load_events."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+# --------------------------------------------------------------------------
+# window definitions (shared by batch + streaming)
+# --------------------------------------------------------------------------
+def tumbling_hourly(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windows × event_type: count + sum."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_windows(events: DataFrame) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes (each event lands in 2)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Per-user session windows (gap-based). Emits session start and
+    event count — the sessionization primitive."""
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+# --------------------------------------------------------------------------
+# streaming execution
+# --------------------------------------------------------------------------
+def run_stream_to_memory(
+    agg: DataFrame, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a (bounded) streaming aggregation to completion through a
+    memory sink; returns the materialized result as a batch DataFrame.
+    ``complete`` mode emits every window, giving batch parity for the
+    oracle check."""
+    name = f"__stream_sink_{next(_sink_ids)}"
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full streaming path: readStream → watermark → tumbling
+    window agg → memory sink. Watermark bounds state; with the bounded
+    fixture + complete mode the result equals the batch computation."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "2 hours")
+    return run_stream_to_memory(tumbling_hourly(ev), spark)

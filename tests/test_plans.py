@@ -1,0 +1,70 @@
+"""Physical-plan audits — the 100 TB checklist (SURVEY §4, BASELINE.md).
+
+These tests pin the *plan shape*, not just results: filters reach the
+parquet scan, projections prune columns, dim joins broadcast, no
+Python UDF appears in built-in-only paths, aggregations are partial
+(map-side) before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gaming_ai_analytics_spark.plans.flagship import flagship_star_metrics
+from gaming_ai_analytics_spark.queries_core import (
+    q_filter_numeric_conjunction,
+    q_project_rename,
+)
+from gaming_ai_analytics_spark.queries_llm import q_text_analysis_profile
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _formatted(q_filter_numeric_conjunction(spark, sf_dir))
+    assert "PushedFilters:" in plan
+    assert "GreaterThan(l_quantity,45.0)" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = _formatted(q_project_rename(spark, sf_dir))
+    # ReadSchema must carry only the 5 projected columns
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read and "l_shipdate" not in read
+
+
+def test_flagship_broadcasts_dims(spark, sf_dir):
+    plan = _plan(flagship_star_metrics(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+
+
+def test_flagship_partial_aggregation(spark, sf_dir):
+    # map-side partial agg before the shuffle: the exchange carries one
+    # row per (partition, group), not per input row
+    plan = _plan(flagship_star_metrics(spark, sf_dir))
+    assert "partial_count" in plan and "partial_avg" in plan
+
+
+def test_scan_stays_in_codegen(spark, sf_dir):
+    plan = _formatted(q_filter_numeric_conjunction(spark, sf_dir))
+    assert "codegen id" in plan  # whole-stage codegen spans the filter
+
+
+def test_text_analysis_has_no_python_udf(spark, sf_dir):
+    plan = _plan(q_text_analysis_profile(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_anti_join_prunes_probe_side(spark, sf_dir):
+    from gaming_ai_analytics_spark.queries_core import q_join_anti_incremental
+
+    plan = _plan(q_join_anti_incremental(spark, sf_dir))
+    assert "LeftAnti" in plan
