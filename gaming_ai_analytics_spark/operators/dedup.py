@@ -123,21 +123,23 @@ def minhash_signatures(
     k: int = 3,
     num_hashes: int = 64,
 ) -> DataFrame:
-    """Per-doc MinHash signature: for seed i, min over shingles of
-    xxhash64(seed_i, shingle). One explode + one groupBy with
-    ``num_hashes`` min-aggregates (map-side partials make the shuffle
-    one row per doc)."""
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("_sh"),
+    """Per-doc MinHash signature, computed entirely per-row (NO
+    shuffle): for seed i, min over the shingle array of
+    xxhash64(i, shingle), via nested transform/array_min higher-order
+    functions. Stays inside whole-stage codegen; at 100 TB this is a
+    map-only stage, vs the explode+groupBy formulation which shuffles
+    one row per (doc, shingle). (A wrapping h1+i·h2 affine family
+    would halve the hash work but ANSI mode forbids overflowing long
+    arithmetic, and try_add's null-on-overflow corrupts the min.)"""
+    shs = word_shingles(F.col(text_col), k)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(shs, lambda s: F.xxhash64(i, s))),
     )
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = sh.groupBy("_id").agg(*mins)
-    return sig.select(
-        "_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
+    # docs with fewer than k tokens have no shingles → no signature
+    # (matches the explode formulation, which emitted no rows for them)
+    return df.select(F.col(id_col).alias("_id"), sig.alias("signature")).filter(
+        F.size(shs) > 0
     )
 
 
