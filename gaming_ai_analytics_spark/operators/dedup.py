@@ -35,6 +35,7 @@ from gaming_ai_analytics_spark.functions.text import (
     word_shingles,
 )
 from gaming_ai_analytics_spark.functions.vectors import dot
+from gaming_ai_analytics_spark.operators.parallelism import ensure_parallelism
 
 
 # --------------------------------------------------------------------------
@@ -84,7 +85,7 @@ def ngram_jaccard_pairs(
     dropping them is the standard recall-safe-ish cap — pairs sharing
     ONLY ubiquitous shingles are the ones you didn't want anyway).
     """
-    sh = df.select(
+    sh = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(F.col(text_col), k)).alias("_sh"),
     )
@@ -116,6 +117,19 @@ def ngram_jaccard_pairs(
 # --------------------------------------------------------------------------
 # MinHash + LSH (the 100 TB near-dup path)
 # --------------------------------------------------------------------------
+def _let(col: Column, body) -> Column:
+    """Let-binding for expression trees: evaluate ``col`` once per row,
+    reference it as a lambda variable inside ``body``. Emulated with
+    transform over a single-element array — Spark has no native let,
+    and both CollapseProject (which inlines a projected column's whole
+    expression into every downstream reference) and higher-order
+    lambdas (which re-evaluate captured subexpressions per element)
+    otherwise multiply the cost: the naive nested-minhash expression
+    re-derived the shingle array 64× per row and the full signature
+    64× per band reference — ~4000× redundant work per row."""
+    return F.element_at(F.transform(F.array(col), body), 1)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -131,15 +145,18 @@ def minhash_signatures(
     one row per (doc, shingle). (A wrapping h1+i·h2 affine family
     would halve the hash work but ANSI mode forbids overflowing long
     arithmetic, and try_add's null-on-overflow corrupts the min.)"""
-    shs = word_shingles(F.col(text_col), k)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(shs, lambda s: F.xxhash64(i, s))),
+    sig = _let(
+        word_shingles(F.col(text_col), k),
+        lambda shs: F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(F.transform(shs, lambda s: F.xxhash64(i, s))),
+        ),
     )
     # docs with fewer than k tokens have no shingles → no signature
-    # (matches the explode formulation, which emitted no rows for them)
-    return df.select(F.col(id_col).alias("_id"), sig.alias("signature")).filter(
-        F.size(shs) > 0
+    # (matches the explode formulation, which emitted no rows for them);
+    # the filter runs on cheap token count, never the shingle array
+    return df.filter(F.size(tokens(F.col(text_col))) >= k).select(
+        F.col(id_col).alias("_id"), sig.alias("signature")
     )
 
 
@@ -161,27 +178,21 @@ def minhash_lsh_pairs(
     touches candidate pairs, never the full n² space.
     """
     rows_per_band = num_hashes // bands
+    df = ensure_parallelism(df)
     sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
 
+    # let-bind the signature: CollapseProject would otherwise inline
+    # the full 64-hash expression into every band reference
+    buckets = _let(
+        F.col("signature"),
+        lambda s: F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.xxhash64(F.slice(s, b * rows_per_band + 1, rows_per_band)),
+        ),
+    )
     band_entries = sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("signature", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bucket")
+        "_id", F.posexplode(buckets).alias("band", "bucket")
+    )
 
     a, b = band_entries.alias("a"), band_entries.alias("b")
     candidates = (
@@ -220,7 +231,7 @@ def simhash_fingerprints(
     """64-bit SimHash per doc, pure built-ins: token xxhash64 →
     per-bit ±1 sign sums → reassembled bit vector. The bit explode
     multiplies token rows ×64 but stays in whole-stage codegen."""
-    tok = df.select(
+    tok = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"),
         F.explode(tokens(F.col(text_col))).alias("_t"),
     ).select("_id", F.xxhash64(F.col("_t")).alias("_h"))
