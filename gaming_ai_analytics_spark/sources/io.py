@@ -104,3 +104,16 @@ def read_csv(
     for k, v in {**CSV_OPTIONS, **extra}.items():
         reader = reader.option(k, v)
     return reader.csv(path)
+
+
+def discover_sources(raw_dir: str, suffix: str = ".csv") -> dict[str, str]:
+    """S5 (auxillary_dims.py:34,48,59): landing-zone listing that drives
+    the per-file dim dispatch — ``dbutils.fs.ls`` + filename split in
+    the reference, a plain sorted directory scan here. Returns
+    ``{table_name: absolute_path}``; deterministic order so pipeline
+    runs are reproducible."""
+    out: dict[str, str] = {}
+    for fname in sorted(os.listdir(raw_dir)):
+        if fname.endswith(suffix):
+            out[fname[: -len(suffix)]] = os.path.join(raw_dir, fname)
+    return out

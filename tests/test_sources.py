@@ -1,0 +1,127 @@
+"""IO-surface tests: schema-pinned CSV scans (S1-S3), the layered
+TableStore (S4/S6, K1/K2), and the small-scan parallelism guard.
+
+The CSV cases are SURVEY §7.3 hard-part #5: the reference's review text
+is multiline-quoted with embedded quotes and newlines
+(reference: reviews_fact.py:117-125 options), so the scan must keep
+``multiLine`` + ``escape`` semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from gaming_ai_analytics_spark.operators.parallelism import ensure_parallelism
+from gaming_ai_analytics_spark.sources.io import (
+    TableStore,
+    discover_sources,
+    read_csv,
+)
+from gaming_ai_analytics_spark.sources.star import register_views
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+#: (id, text, score) — embedded newline, embedded double quote, comma,
+#: unicode, empty string, and a null.
+PATHOLOGICAL = [
+    (1, "plain text", 1.5),
+    (2, "line one\nline two\n\nline four", -2.0),
+    (3, 'she said "never", twice', 0.0),
+    (4, "commas, everywhere, always", 3.25),
+    (5, "ünïcödé — 日本語 🎮", -5.0),
+    (6, "", 5.0),
+    (7, None, None),
+]
+
+
+def _write_csv(path, rows):
+    def cell(v):
+        if v is None:
+            return ""
+        if isinstance(v, str):
+            return '"' + v.replace('"', '""') + '"'
+        return str(v)
+
+    lines = ["id,text,score"]
+    lines += [",".join(cell(v) for v in row) for row in rows]
+    path.write_text("\n".join(lines), encoding="utf-8")
+
+
+def test_csv_pathological_roundtrip(spark, tmp_path):
+    f = tmp_path / "reviews.csv"
+    _write_csv(f, PATHOLOGICAL)
+    got = {
+        r["id"]: (r["text"], r["score"])
+        for r in read_csv(spark, str(f), SCHEMA).collect()
+    }
+    assert got[2][0] == "line one\nline two\n\nline four"
+    assert got[3][0] == 'she said "never", twice'
+    assert got[4][0] == "commas, everywhere, always"
+    assert got[5] == ("ünïcödé — 日本語 🎮", -5.0)
+    # empty quoted string and empty cell both surface as null under
+    # Spark's CSV reader defaults — what matters is no row corruption
+    assert got[6][1] == 5.0
+    assert got[7] == (None, None)
+    assert len(got) == len(PATHOLOGICAL)
+
+
+def test_csv_no_inference_pass(spark, tmp_path):
+    """The scan must use the declared schema, not infer: a column of
+    digit strings stays IntegerType only because we pinned it."""
+    f = tmp_path / "t.csv"
+    _write_csv(f, [(1, "00", 2.0)])
+    df = read_csv(spark, str(f), SCHEMA)
+    assert [f.dataType for f in df.schema.fields] == [
+        T.IntegerType(),
+        T.StringType(),
+        T.DoubleType(),
+    ]
+
+
+def test_tablestore_roundtrip_modes(spark, tmp_path, sf_dir):
+    store = TableStore(spark, str(tmp_path))
+    df = spark.read.parquet(f"{sf_dir}/region.parquet")
+    assert not store.exists("dim", "region")
+    store.save("dim", "region", df)
+    assert store.exists("dim", "region")
+    assert store.load("dim", "region").count() == df.count()
+    store.save("dim", "region", df, mode="append")
+    assert store.load("dim", "region").count() == 2 * df.count()
+    store.save("dim", "region", df, mode="overwrite")
+    assert store.load("dim", "region").count() == df.count()
+    store.drop("dim", "region")
+    assert not store.exists("dim", "region")
+
+
+def test_ensure_parallelism_widens_small_scan(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert docs.rdd.getNumPartitions() < 32
+    wide = ensure_parallelism(docs, 32)
+    assert wide.rdd.getNumPartitions() == 32
+    assert wide.count() == docs.count()
+
+
+def test_ensure_parallelism_noop_when_wide(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(64)
+    assert ensure_parallelism(docs, 32) is docs
+
+
+def test_discover_sources(tmp_path):
+    for name in ["categories.csv", "genres.csv", "notes.txt"]:
+        (tmp_path / name).write_text("id\n1")
+    got = discover_sources(str(tmp_path))
+    assert list(got) == ["categories", "genres"]
+    assert got["genres"].endswith("genres.csv")
+
+
+def test_register_views_sql_path(spark, sf_dir):
+    register_views(spark, sf_dir)
+    n = spark.sql("SELECT count(*) AS n FROM region").first()["n"]
+    assert n == 5
