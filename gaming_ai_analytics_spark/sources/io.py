@@ -83,6 +83,36 @@ class TableStore:
         if os.path.isdir(p):
             shutil.rmtree(p)
 
+    def save_bucketed(
+        self,
+        layer: str,
+        name: str,
+        df: DataFrame,
+        bucket_cols: list[str],
+        num_buckets: int = 8,
+        sort_cols: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> str:
+        """Bucketed managed table — the co-located-join lever at scale:
+        two tables bucketed on the same key with the same bucket count
+        join with ZERO shuffle on either side (asserted in
+        tests/test_scale.py). At 100 TB, bucket the fact on its join
+        key once at ingest and every downstream fact⋈fact join skips
+        both exchanges. ``bucketBy`` requires ``saveAsTable`` (bucket
+        metadata lives in the catalog), hence the managed-table path
+        rather than ``TableStore.save``'s location write. Returns the
+        table name."""
+        table = f"{layer}_{name}"
+        writer = (
+            df.write.format(self.fmt)
+            .mode(mode)
+            .bucketBy(num_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(table)
+        return table
+
 
 #: CSV options shared by every reference scan (reviews_fact.py:117-125,
 #: auxillary_dims.py:50-58,106-114) minus ``inferSchema``: multiline
