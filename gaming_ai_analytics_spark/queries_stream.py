@@ -11,13 +11,17 @@ results).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from gaming_ai_analytics_spark.registry import register
 from gaming_ai_analytics_spark.sources.star import load_events
 from gaming_ai_analytics_spark.streaming.events import (
+    run_stream_to_memory,
     session_windows,
     sliding_windows,
+    stateful_user_totals,
+    stream_events,
     streaming_tumbling_hourly,
     tumbling_hourly,
 )
@@ -91,5 +95,38 @@ register(
     )
     SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
     FROM tagged GROUP BY user_id, session_no
+    """,
+)
+
+
+def q_events_streaming_stateful_totals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Custom stateful operator path: readStream →
+    applyInPandasWithState per-user running totals → memory sink
+    (update mode). Running totals are monotone in n_events, so the
+    final total per user — what the batch oracle computes — is the
+    max-n_events emit, independent of how many micro-batches the
+    bounded source was split into."""
+    out = run_stream_to_memory(
+        stateful_user_totals(stream_events(spark, sf_dir)),
+        spark,
+        output_mode="update",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+
+
+register(
+    "events_streaming_stateful_totals",
+    q_events_streaming_stateful_totals,
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1
     """,
 )

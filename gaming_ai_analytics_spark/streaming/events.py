@@ -97,6 +97,62 @@ def session_windows(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# custom stateful operator (applyInPandasWithState)
+# --------------------------------------------------------------------------
+USER_TOTALS_STATE = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+USER_TOTALS_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-user running totals held
+    in explicit ``GroupState`` via ``applyInPandasWithState`` — the
+    template for stateful logic the built-in window/session_window
+    aggs can't express (custom counters, eviction policies, per-key
+    model state). Arrow-batched per micro-batch; state is one 2-field
+    tuple per user, so state size is bounded by |users|, not event
+    rate. Emits the updated running total for every user seen in the
+    micro-batch (``update`` semantics): totals are monotone in
+    ``n_events``, so the final value of a bounded run is the row with
+    the max ``n_events`` per user."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        USER_TOTALS_OUTPUT,
+        USER_TOTALS_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+# --------------------------------------------------------------------------
 # streaming execution
 # --------------------------------------------------------------------------
 def run_stream_to_memory(

@@ -30,3 +30,30 @@ def test_session_windows_partition_events(spark):
     sessions = session_windows(ev, gap="10 minutes")
     total = sessions.groupBy().sum("n_events").collect()[0][0]
     assert total == ev.count()  # every event in exactly one session
+
+
+def test_stateful_user_totals_matches_batch(spark):
+    """applyInPandasWithState running totals equal the batch groupBy
+    over the bounded fixture (monotone-final-emit extraction)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in e.queries()["events_streaming_stateful_totals"](
+            spark, SF
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in load_events(spark, SF)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert got
