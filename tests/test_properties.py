@@ -1,0 +1,95 @@
+"""Property-style invariants (SURVEY §5): things that must hold for
+ANY input, checked over an adversarial corpus in a single Spark job
+per property (one job, many rows — not one job per example).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gaming_ai_analytics_spark.functions.text import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+    word_shingles,
+)
+
+ADVERSARIAL = [
+    "",
+    " ",
+    "\t\n  \n",
+    "word",
+    "two words",
+    "a b c d e f g h",
+    "ALLCAPS SHOUTING TEXT HERE",
+    "punct!!! ??? ...,,,;;;",
+    "1234 5678 90",
+    "ünïcödé tëxt höre",
+    "日本語のテキストです",
+    "mixed 日本語 and english words",
+    "repeat repeat repeat repeat repeat",
+    "x" * 5000,
+    ("the quick brown fox " * 200).strip(),
+    'quotes "inside" text',
+    "emoji 🎮🎮🎮 text",
+]
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ADVERSARIAL)], ["id", "text"]
+    )
+
+
+def test_text_function_invariants(spark):
+    rows = _corpus(spark).select(
+        "id",
+        token_count(F.col("text")).alias("tc"),
+        F.size(F.split(F.trim("text"), " +")).alias("naive_tc"),
+        quality_score(F.col("text")).alias("q"),
+        language_id(F.col("text")).alias("lang"),
+        doc_fingerprint(F.col("text")).alias("fp1"),
+        doc_fingerprint(F.col("text")).alias("fp2"),
+        F.size(word_shingles(F.col("text"), 3)).alias("n_sh"),
+    ).collect()
+    assert len(rows) == len(ADVERSARIAL)
+    for r in rows:
+        assert r.tc >= 0
+        if ADVERSARIAL[r.id].strip():
+            assert r.tc == r.naive_tc, ADVERSARIAL[r.id][:40]
+        assert 0.0 <= r.q <= 1.0, (ADVERSARIAL[r.id][:40], r.q)
+        assert isinstance(r.lang, str) and r.lang
+        assert r.fp1 == r.fp2  # deterministic
+        # distinct k-shingles: 0 when tokens < k, else ≤ n-k+1
+        bound = max(0, r.tc - 3 + 1)
+        assert 0 <= r.n_sh <= bound or r.tc < 3, (r.n_sh, r.tc)
+
+
+def test_conditional_ratio_bounds(spark, sf_dir):
+    import __spark_entry__ as e
+
+    for r in e.queries()["agg_conditional_ratio"](spark, sf_dir).collect():
+        vals = [v for k, v in r.asDict().items() if "pct" in k or "ratio" in k]
+        assert vals, r
+        for v in vals:
+            assert 0.0 <= v <= 1.0
+        assert sum(vals) <= 1.0 + 1e-9
+
+
+def test_minhash_signature_shape(spark):
+    from gaming_ai_analytics_spark.operators.dedup import minhash_signatures
+
+    sigs = minhash_signatures(_corpus(spark), "id", "text", k=3, num_hashes=16)
+    rows = sigs.collect()
+    assert rows  # at least the long texts have ≥3 tokens
+    for r in rows:
+        assert len(r.signature) == 16
+        assert all(s is not None for s in r.signature)
+    # identical text (planted repeats) → identical signatures
+    dup = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        ["id", "text"],
+    )
+    s1, s2 = [r.signature for r in minhash_signatures(dup, "id", "text").collect()]
+    assert s1 == s2
