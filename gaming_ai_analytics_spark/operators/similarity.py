@@ -18,6 +18,7 @@ higher-order functions, codegen'd — no Python, no UDF).
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -109,6 +110,99 @@ def topk_similar_lsh(
         )
         .distinct()
     )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "rank", "vec_id", "cosine")
+    )
+
+
+def topk_similar_ivf(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k: a k-means coarse quantizer
+    partitions the corpus into ``n_clusters`` cells; each probe scans
+    only its ``n_probe`` nearest cells exactly. The other standard ANN
+    scale path next to :func:`topk_similar_lsh`.
+
+    Spark mapping: MLlib KMeans trains the quantizer (at 100 TB: fit
+    on a ``.sample()`` — IVF quantizers are always trained on a
+    sample) and assigns every corpus vector a cell id — that
+    assignment is the shuffle-free "index build", persistable as a
+    bucketed table keyed by cell. Probe→cell routing happens in one
+    expression over the (tiny, literal) centroid array; the cell join
+    broadcasts the probe side, so the corpus again never shuffles.
+    Recall is tuned by ``n_probe``/``n_clusters`` (asserted vs the
+    exact tier in tests)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = array_to_vector(F.col(vec_col).cast("array<double>")).alias("_f")
+    model = KMeans(
+        featuresCol="_f", k=n_clusters, seed=seed, predictionCol="_cell"
+    ).fit(corpus.select(feat))
+
+    assigned = model.transform(
+        corpus.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("_cv"), feat)
+    ).select("vec_id", "_cv", "_cell")
+
+    # probe → n_probe nearest cells, ranked by squared euclidean
+    # distance to each (literal) centroid: one array_sort + slice.
+    centers = [
+        F.struct(
+            F.lit(i).alias("cell"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_pv").cast("array<double>"),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda v, m: (v - m) * (v - m),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                9,
+            ).alias("dist"),
+        )
+        for i, c in enumerate(np.asarray(model.clusterCenters()))
+    ]
+    routed = probes.select(
+        F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
+    ).select(
+        "probe_id",
+        "_pv",
+        F.explode(
+            F.slice(
+                F.array_sort(
+                    F.array(*centers),
+                    lambda a, b: F.when(a["dist"] < b["dist"], -1)
+                    .when(a["dist"] > b["dist"], 1)
+                    .otherwise(0),
+                ),
+                1,
+                n_probe,
+            )
+        ).alias("_c"),
+    ).select("probe_id", "_pv", F.col("_c.cell").alias("_cell"))
+
+    sim = F.round(dot(F.col("_cv"), F.col("_pv")), 6)
+    cand = assigned.join(
+        F.broadcast(routed),
+        (assigned["_cell"] == routed["_cell"])
+        & (F.col("vec_id") != F.col("probe_id")),
+    ).select("probe_id", "vec_id", sim.alias("cosine"))
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
     )

