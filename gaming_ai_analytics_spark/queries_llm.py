@@ -27,6 +27,7 @@ from gaming_ai_analytics_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
+from gaming_ai_analytics_spark.operators.parallelism import ensure_parallelism
 from gaming_ai_analytics_spark.operators.multimodal import (
     extract_features,
     make_assets,
@@ -45,8 +46,9 @@ from gaming_ai_analytics_spark.sources.star import load_table
 # --------------------------------------------------------------------------
 def q_text_analysis_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID + quality + token counts + fingerprint, one pass,
-    all codegen'd built-ins (no UDF)."""
-    docs = load_table(spark, sf_dir, "documents")
+    all codegen'd built-ins (no UDF). CPU-bound per-row (regex/split
+    heavy) → widen small single-split scans."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     return docs.filter(t.isNotNull()).select(
         "doc_id",
