@@ -133,3 +133,45 @@ def sample_frames(
         .select("asset_id", F.explode(frames).alias("f"))
         .select("asset_id", "f.frame_no", "f.frame_bytes")
     )
+
+
+RESIZED_SCHEMA = "asset_id long, kind string, orig_bytes long, resized binary"
+
+TARGET_SAMPLES = 32
+
+
+def resize_assets(
+    assets: DataFrame, decoder: Decoder | None = None, target: int = TARGET_SAMPLES
+) -> DataFrame:
+    """Resize/resample each asset to a fixed sample count: decode →
+    bucketed mean over ``target`` equal slices → re-encode. A real
+    implementation would be PIL ``resize`` / ffmpeg scale with the
+    same mapInPandas plumbing (Arrow batches in, binary column out);
+    the bucketed mean is the deterministic stand-in. Payloads shorter
+    than ``target`` are zero-padded (never dropped), so the output
+    length is constant — the property downstream fixed-shape
+    feature extractors rely on."""
+    decoder = decoder or FakeDecoder()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = []
+            for payload in pdf["payload"]:
+                buf = decoder.decode(payload).astype(np.float64)
+                if len(buf) < target:
+                    buf = np.pad(buf, (0, target - len(buf)))
+                cut = (len(buf) // target) * target
+                means = buf[:cut].reshape(target, -1).mean(axis=1)
+                resized.append(bytes(np.clip(means, 0, 255).astype(np.uint8)))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": [m["kind"] for m in pdf["meta"]],
+                    "orig_bytes": pdf["payload"].map(
+                        lambda b: len(b) if b is not None else 0
+                    ),
+                    "resized": resized,
+                }
+            )
+
+    return assets.mapInPandas(run, schema=RESIZED_SCHEMA)

@@ -332,3 +332,16 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("similarity_topk_ivf", q_similarity_topk_ivf, None)
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length resample of binary assets via mapInPandas
+    (rows-only: Python resampler has no SQL twin; length/determinism
+    asserted in tests)."""
+    from gaming_ai_analytics_spark.operators.multimodal import resize_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_assets(make_assets(docs))
+
+
+register("multimodal_resize", q_multimodal_resize, None)

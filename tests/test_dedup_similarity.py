@@ -138,3 +138,24 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert len(exact & ivf) / len(exact) >= 0.6
     # every IVF hit is a real vector with a true cosine — no fabrication
     assert all(pid != vid for pid, vid in ivf)
+
+
+def test_resize_assets_fixed_length_and_deterministic(spark, sf_dir):
+    from gaming_ai_analytics_spark.operators.multimodal import (
+        StubDecoder,
+        make_assets,
+        resize_assets,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    assets = make_assets(docs)
+    out1 = {r.asset_id: r.resized for r in resize_assets(assets).collect()}
+    out2 = {r.asset_id: r.resized for r in resize_assets(assets).collect()}
+    assert out1 == out2
+    assert all(len(v) == 32 for v in out1.values())
+    assert len(out1) == 50
+
+    import pytest
+
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        resize_assets(assets, decoder=StubDecoder()).collect()
