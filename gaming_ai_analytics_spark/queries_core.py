@@ -760,3 +760,21 @@ register(
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
+
+
+def q_agg_scale_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twins of the exact aggregates: percentile_approx and
+    approx_count_distinct — mergeable sketches with bounded per-group
+    memory and no global sort (rows-only: sketch outputs are
+    implementation-defined; accuracy vs the exact tier is asserted in
+    tests/test_properties.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10_000)).alias(
+            "median_price_approx"
+        ),
+        F.approx_count_distinct("l_orderkey").alias("n_orders_approx"),
+    )
+
+
+register("agg_scale_sketches", q_agg_scale_sketches, None)

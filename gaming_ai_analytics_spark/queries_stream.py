@@ -130,3 +130,24 @@ register(
     FROM events GROUP BY 1
     """,
 )
+
+
+def q_events_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization: readStream → watermark →
+    session_window agg → memory sink. Session windows reject update
+    mode (state merges can retract emitted rows); complete mode over
+    the bounded fixture reproduces the batch result exactly."""
+    from gaming_ai_analytics_spark.streaming.events import session_windows
+
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "2 hours")
+    return run_stream_to_memory(session_windows(ev), spark)
+
+
+# reuse the batch sessionization oracle registered above
+from gaming_ai_analytics_spark.registry import oracle_sql as _oracle_sql
+
+register(
+    "events_streaming_session",
+    q_events_streaming_session,
+    _oracle_sql()["events_session_window"],
+)

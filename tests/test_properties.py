@@ -93,3 +93,30 @@ def test_minhash_signature_shape(spark):
     )
     s1, s2 = [r.signature for r in minhash_signatures(dup, "id", "text").collect()]
     assert s1 == s2
+
+
+def test_scale_sketches_near_exact(spark, sf_dir):
+    """Approximate tier must track the exact tier: percentile_approx
+    within 2% of the exact median, approx_count_distinct within 5%."""
+    import __spark_entry__ as e
+
+    approx = {
+        r.l_linestatus: (r.median_price_approx, r.n_orders_approx)
+        for r in e.queries()["agg_scale_sketches"](spark, sf_dir).collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = {
+        r.l_linestatus: (r.m, r.n)
+        for r in li.groupBy("l_linestatus")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("m"),
+            F.countDistinct("l_orderkey").alias("n"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        em, en = exact[k]
+        am, an = approx[k]
+        assert abs(am - em) / em < 0.02, (k, am, em)
+        assert abs(an - en) / en < 0.05, (k, an, en)
