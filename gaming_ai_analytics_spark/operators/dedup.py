@@ -359,29 +359,29 @@ def embedding_cosine_pairs_lsh(
     pigeonhole on signature chunks), then exact cosine verifies.
     Deterministic planes (fixed seed) — reruns give identical plans."""
     dim = len(df.select(vec_col).first()[0])
+    df = ensure_parallelism(df)
     planes = _hyperplanes(dim, n_planes)
     width = n_planes // bands
-    sig = df.select(
+    # let-bind the signature: each band reference would otherwise
+    # inline (and re-evaluate) the full n_planes-dot expression
+    bb = _let(
+        _rhp_signature(F.col(vec_col), planes),
+        lambda s: F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned(s, b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("chunk"),
+                )
+                for b in range(bands)
+            ]
+        ),
+    )
+    chunks = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        _rhp_signature(F.col(vec_col), planes).alias("_sig"),
-    )
-    chunks = sig.select(
-        "_id",
-        "_v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("_sig"), b * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("chunk"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.explode(bb).alias("bb"),
     ).select("_id", "_v", "bb.band", "bb.chunk")
 
     a, b = chunks.alias("a"), chunks.alias("b")

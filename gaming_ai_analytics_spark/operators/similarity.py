@@ -69,28 +69,35 @@ def topk_similar_lsh(
     by design; raise ``bands`` (more, narrower chunks) for recall,
     lower for speed."""
     dim = len(corpus.select(vec_col).first()[0])
+    from gaming_ai_analytics_spark.operators.parallelism import ensure_parallelism
+
+    corpus = ensure_parallelism(corpus)
     planes = _hyperplanes(dim, n_planes)
     width = n_planes // bands
     mask = (1 << width) - 1
 
     def chunked(df: DataFrame, ident: str) -> DataFrame:
-        sig = _rhp_signature(F.col(vec_col), planes)
+        from gaming_ai_analytics_spark.operators.dedup import _let
+
+        # let-bind: one signature evaluation per row, not one per band
+        bb = _let(
+            _rhp_signature(F.col(vec_col), planes),
+            lambda s: F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(s, b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            ),
+        )
         return df.select(
             F.col(ident).alias(f"_{ident}"),
             F.col(vec_col).alias(f"_v_{ident}"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.shiftrightunsigned(sig, b * width)
-                            .bitwiseAND(F.lit(mask))
-                            .alias("chunk"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bb"),
+            F.explode(bb).alias("bb"),
         ).select(f"_{ident}", f"_v_{ident}", "bb.band", "bb.chunk")
 
     c = chunked(corpus, id_col)
