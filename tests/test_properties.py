@@ -120,3 +120,26 @@ def test_scale_sketches_near_exact(spark, sf_dir):
         am, an = approx[k]
         assert abs(am - em) / em < 0.02, (k, am, em)
         assert abs(an - en) / en < 0.05, (k, an, en)
+
+
+def test_dot_many_pandas_matches_expression(spark, sf_dir):
+    """Arrow matmul kernel ≡ expression-form dots (1e-9 tolerance)."""
+    import numpy as np
+
+    from gaming_ai_analytics_spark.functions.vectors import dot, dot_many_pandas
+    from gaming_ai_analytics_spark.operators.dedup import _hyperplanes
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    planes = _hyperplanes(64, 8)
+    exprs = [
+        dot(F.col("embedding"), F.array(*[F.lit(float(x)) for x in p])).alias(f"d{i}")
+        for i, p in enumerate(planes)
+    ]
+    a = emb.select("vec_id", *exprs).collect()
+    b = {r.vec_id: r.d for r in emb.select(
+        "vec_id", dot_many_pandas(F.col("embedding"), planes).alias("d")
+    ).collect()}
+    assert len(a) == 100
+    for ra in a:
+        kb = b[ra.vec_id]
+        assert np.allclose([ra[f"d{i}"] for i in range(8)], kb, atol=1e-9)
