@@ -778,3 +778,37 @@ def q_agg_scale_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("agg_scale_sketches", q_agg_scale_sketches, None)
+
+
+def q_events_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (extension; SURVEY §2.5 notes the kind absent in the
+    reference): enrich every click with the user's most recent prior
+    (or simultaneous) purchase value. One key shuffle — union-tag +
+    running last() window, no range self-join."""
+    from gaming_ai_analytics_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round("value", 4).alias("last_purchase_value")
+    )
+    return asof_join(
+        clicks, purchases, ["user_id"], "ts", ["last_purchase_value"]
+    ).select("event_id", "user_id", "last_purchase_value")
+
+
+register(
+    "events_asof_enrich",
+    q_events_asof_enrich,
+    """
+    SELECT p.event_id, p.user_id, r.last_purchase_value
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') p
+    ASOF LEFT JOIN (SELECT user_id, ts,
+                           ROUND(value, 4) AS last_purchase_value
+                    FROM events WHERE event_type = 'purchase') r
+    ON p.user_id = r.user_id AND p.ts >= r.ts
+    """,
+)

@@ -105,3 +105,35 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t1}")
         spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
+def test_asof_join_directions_and_ties(spark):
+    from datetime import datetime
+
+    from gaming_ai_analytics_spark.operators.joins import asof_join
+
+    def ts(s):
+        return datetime(2026, 1, 1, 0, 0, s)
+
+    left = spark.createDataFrame(
+        [(1, ts(5)), (1, ts(10)), (1, ts(2)), (2, ts(7))], ["k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(1, ts(5), 50.0), (1, ts(8), 80.0), (2, ts(9), 90.0)],
+        ["k", "ts", "v"],
+    )
+    back = {
+        (r.k, r.ts.second): r.v
+        for r in asof_join(left, right, ["k"], "ts", ["v"]).collect()
+    }
+    # tie at ts=5 matches; ts=2 precedes everything -> null; k=2 at 7
+    # precedes its only right row -> null
+    assert back == {(1, 5): 50.0, (1, 10): 80.0, (1, 2): None, (2, 7): None}
+
+    fwd = {
+        (r.k, r.ts.second): r.v
+        for r in asof_join(
+            left, right, ["k"], "ts", ["v"], direction="forward"
+        ).collect()
+    }
+    assert fwd == {(1, 5): 50.0, (1, 10): None, (1, 2): 50.0, (2, 7): 90.0}
