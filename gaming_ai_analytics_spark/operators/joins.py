@@ -142,3 +142,48 @@ def asof_join(
         .filter(F.col("_src") == 1)
         .select("_lrow.*", *value_cols)
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 1800,
+) -> DataFrame:
+    """Range (interval-containment) join: left rows with
+    ``start ≤ ts < end`` per key — the other time-series join Spark
+    has no efficient built-in for (a raw non-equi join plans as a
+    nested-loop / per-key cross product).
+
+    Spark mapping: bucketize time. Each left row lands in exactly one
+    ``bucket_seconds`` bucket; each right range explodes over the
+    buckets it covers (fan-out ≤ range/bucket + 1); the join becomes a
+    plain equi-join on (keys, bucket) — shuffle-hash/broadcast,
+    AQE-optimizable — followed by the exact containment filter. Pick
+    ``bucket_seconds`` near the typical range length so fan-out stays
+    ~2×. Output: all left columns + all right columns (ranges)."""
+    keys = list(keys)
+    lb = left.withColumn(
+        "_bucket",
+        F.floor(F.col(ts_col).cast("double") / bucket_seconds).cast("long"),
+    )
+    rb = right.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col).cast("double") / bucket_seconds).cast("long"),
+                F.floor(F.col(end_col).cast("double") / bucket_seconds).cast("long"),
+            )
+        ),
+    )
+    cond = [lb[k] == rb[k] for k in keys] + [lb["_bucket"] == rb["_bucket"]]
+    joined = lb.join(rb, cond).filter(
+        (lb[ts_col] >= rb[start_col]) & (lb[ts_col] < rb[end_col])
+    )
+    return joined.select(
+        *[lb[c] for c in left.columns],
+        *[rb[c] for c in right.columns if c not in (*keys, "_bucket")],
+    )

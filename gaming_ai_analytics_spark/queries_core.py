@@ -812,3 +812,41 @@ register(
     ON p.user_id = r.user_id AND p.ts >= r.ts
     """,
 )
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (extension; SURVEY §2.5 absent kinds): clicks landing
+    inside the 30-minute window after each purchase, aggregated per
+    window. Bucketized equi-join — never a nested-loop non-equi plan."""
+    from gaming_ai_analytics_spark.operators.joins import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    windows = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+    )
+    return (
+        range_join(clicks, windows, ["user_id"], "ts", "w_start", "w_end")
+        .groupBy("user_id", F.col("w_start").alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+
+
+register(
+    "events_range_join",
+    q_events_range_join,
+    """
+    SELECT c.user_id, p.ts AS window_start, COUNT(*) AS n_clicks
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') c
+    JOIN (SELECT user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    ON c.user_id = p.user_id
+       AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL '30 minutes'
+    GROUP BY 1, 2
+    """,
+)

@@ -137,3 +137,26 @@ def test_asof_join_directions_and_ties(spark):
         ).collect()
     }
     assert fwd == {(1, 5): 50.0, (1, 10): None, (1, 2): 50.0, (2, 7): 90.0}
+
+
+def test_range_join_boundaries(spark):
+    from datetime import datetime
+
+    from gaming_ai_analytics_spark.operators.joins import range_join
+
+    def ts(m, s=0):
+        return datetime(2026, 1, 1, 0, m, s)
+
+    left = spark.createDataFrame(
+        [(1, ts(0)), (1, ts(29, 59)), (1, ts(30)), (2, ts(10))],
+        ["k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(1, ts(0), ts(30)), (2, ts(20), ts(40))], ["k", "s", "e"]
+    )
+    got = {
+        (r.k, r.ts.minute, r.ts.second)
+        for r in range_join(left, right, ["k"], "ts", "s", "e").collect()
+    }
+    # start inclusive, end exclusive; k=2 click at minute 10 outside
+    assert got == {(1, 0, 0), (1, 29, 59)}
