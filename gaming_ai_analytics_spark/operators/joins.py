@@ -90,7 +90,7 @@ def asof_join(
     smallest ≥ (``forward``). Unmatched left rows keep nulls (left
     outer semantics).
 
-    Spark mapping: union-tag both streams, then ``last(value,
+    Spark mapping: union-tag both streams, then ``last(struct,
     ignorenulls=True)`` over a per-key time-ordered running window —
     ONE shuffle on the key (identical to any windowed agg), never a
     range self-join, and no per-row Python. At 100 TB this is the
@@ -99,27 +99,33 @@ def asof_join(
     sorts within partitions only. Right rows sort before left rows at
     equal timestamps so ties match, mirroring standard ASOF JOIN
     semantics (DuckDB's ASOF is the oracle in the registered query).
+
+    All value columns ride together inside ONE struct per right row —
+    the struct is non-null iff the row came from the right stream, so
+    ``ignorenulls`` skips interleaved left rows but keeps genuine
+    NULLs *inside* the matched row's columns. (Carrying each value
+    column independently would stitch values from different right
+    rows and resurrect NULLs from older ones.)
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward, got {direction!r}")
     keys = list(keys)
     lrow_t = F.struct(*[left[c] for c in left.columns])
-    l_side = left.select(
-        *keys,
-        F.col(ts_col).alias("_ts"),
-        F.lit(1).alias("_src"),
-        lrow_t.alias("_lrow"),
-        *[
-            F.lit(None).cast(right.schema[v].dataType).alias(v)
-            for v in value_cols
-        ],
-    )
     r_side = right.select(
         *keys,
         F.col(ts_col).alias("_ts"),
         F.lit(0).alias("_src"),
-        F.lit(None).cast(l_side.schema["_lrow"].dataType).alias("_lrow"),
-        *value_cols,
+        F.struct(*[right[c] for c in value_cols]).alias("_rval"),
+    )
+    l_side = left.select(
+        *keys,
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_src"),
+        F.lit(None).cast(r_side.schema["_rval"].dataType).alias("_rval"),
+        lrow_t.alias("_lrow"),
+    )
+    r_side = r_side.withColumn(
+        "_lrow", F.lit(None).cast(l_side.schema["_lrow"].dataType)
     )
     order = (
         [F.col("_ts").asc(), F.col("_src").asc()]
@@ -133,14 +139,15 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [
-        F.last(v, ignorenulls=True).over(w).alias(v) for v in value_cols
-    ]
     return (
         l_side.unionByName(r_side)
-        .select("_src", "_lrow", *carried)
+        .select(
+            "_src",
+            "_lrow",
+            F.last("_rval", ignorenulls=True).over(w).alias("_rval"),
+        )
         .filter(F.col("_src") == 1)
-        .select("_lrow.*", *value_cols)
+        .select("_lrow.*", *[F.col(f"_rval.{v}").alias(v) for v in value_cols])
     )
 
 

@@ -112,21 +112,34 @@ def sample_frames(
     """Frame sampling for video-kind assets: deterministic stride over
     the payload — a real frame sampler would seek keyframes; the
     Spark-side contract (explode to one row per frame with an index)
-    is identical. Pure built-ins: no Python."""
-    frames = F.transform(
-        F.sequence(
-            F.lit(0),
-            F.least(
-                (F.length("payload") / every_n_bytes).cast("int"),
-                F.lit(max_frames - 1),
+    is identical. Pure built-ins: no Python.
+
+    Stride offsets, frame count, and slices all use ONE unit — the
+    decoded string's character positions — so frame boundaries agree
+    with the char-based SQL oracle for non-ASCII payloads too
+    (``F.length`` on the raw binary counts bytes, which diverges from
+    ``LENGTH(text)`` the moment a multi-byte char appears)."""
+    decoded = F.col("payload").cast("string")
+    frames = F.element_at(
+        F.transform(
+            F.array(decoded),  # let-bind: decode the payload once per row
+            lambda s: F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.least(
+                        (F.length(s) / every_n_bytes).cast("int"),
+                        F.lit(max_frames - 1),
+                    ),
+                ),
+                lambda i: F.struct(
+                    i.alias("frame_no"),
+                    F.substring(
+                        s, i * every_n_bytes + 1, every_n_bytes
+                    ).alias("frame_bytes"),
+                ),
             ),
         ),
-        lambda i: F.struct(
-            i.alias("frame_no"),
-            F.substring(
-                F.col("payload").cast("string"), i * every_n_bytes + 1, every_n_bytes
-            ).alias("frame_bytes"),
-        ),
+        1,
     )
     return (
         assets.filter(F.col("meta.kind") == "video")

@@ -26,6 +26,37 @@ from gaming_ai_analytics_spark.functions.vectors import dot
 from gaming_ai_analytics_spark.operators.dedup import _hyperplanes, _rhp_signature
 
 
+def _topk_per_probe(scored: DataFrame, k: int, n_buckets: int = 32) -> DataFrame:
+    """Two-level tournament top-k over ``(probe_id, vec_id, cosine)``.
+
+    A single ``Window.partitionBy(probe_id)`` funnels the ENTIRE scored
+    set through |probes| reducers — a per-probe single-reducer sort at
+    scale. Instead, level 1 ranks within (probe, hash-bucket-of-vec_id)
+    — |probes|·n_buckets evenly-loaded reducers — and keeps k per
+    bucket; level 2 merges the surviving |probes|·n_buckets·k rows (a
+    trivially small set) into the global per-probe top-k. The union of
+    per-bucket top-ks provably contains the global top-k, so results
+    are identical to the naive window. Both levels stay codegen'd;
+    ``n_buckets`` scales with the cluster, not the data.
+    """
+    pruned = scored.select("probe_id", "vec_id", "cosine").withColumn(
+        "_bkt", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_buckets))
+    )
+    w1 = Window.partitionBy("probe_id", "_bkt").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        pruned.withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "rank", "vec_id", "cosine")
+    )
+
+
 def topk_similar(
     corpus: DataFrame,
     probes: DataFrame,
@@ -44,14 +75,7 @@ def topk_similar(
     scored = c.join(F.broadcast(p), F.col("vec_id") != F.col("probe_id")).withColumn(
         "cosine", sim
     )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("probe_id", "rank", "vec_id", "cosine")
-    )
+    return _topk_per_probe(scored, k)
 
 
 def topk_similar_lsh(
@@ -117,14 +141,7 @@ def topk_similar_lsh(
         )
         .distinct()
     )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id")
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("probe_id", "rank", "vec_id", "cosine")
-    )
+    return _topk_per_probe(cand, k)
 
 
 def topk_similar_ivf(
@@ -210,11 +227,4 @@ def topk_similar_ivf(
         (assigned["_cell"] == routed["_cell"])
         & (F.col("vec_id") != F.col("probe_id")),
     ).select("probe_id", "vec_id", sim.alias("cosine"))
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id")
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("probe_id", "rank", "vec_id", "cosine")
-    )
+    return _topk_per_probe(cand, k)

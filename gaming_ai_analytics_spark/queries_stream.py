@@ -76,8 +76,12 @@ register(
     "events_session_window",
     q_events_session_window,
     # Gap-based sessionization: a new session starts where the gap to
-    # the previous event (per user) exceeds 10 minutes; lag + running
-    # sum of session-start flags reproduces session_window exactly.
+    # the previous event (per user) strictly exceeds 10 minutes; lag +
+    # running sum of session-start flags reproduces session_window
+    # exactly. Strict > (not >=): Spark session windows span
+    # [ts, ts+gap) and MERGE adjacent windows — two events exactly
+    # 10 minutes apart form ONE session (verified empirically, pinned
+    # in tests/test_streaming.py::test_session_window_exact_gap_boundary).
     """
     WITH ordered AS (
       SELECT user_id, ts,

@@ -122,6 +122,20 @@ def test_frame_sampling_only_video(spark):
     assert all(len(r.frame_bytes) <= 64 for r in rows)
 
 
+def test_frame_sampling_non_ascii_uses_char_offsets(spark):
+    """Frame count and slice boundaries use character positions
+    consistently — a multi-byte payload must not produce extra frames
+    from byte-length counting (the oracle measures LENGTH(text) in
+    chars)."""
+    docs = spark.createDataFrame(
+        [(2, "é" * 100, "fr", 100)], ["doc_id", "text", "lang", "n_chars"]
+    )
+    rows = sample_frames(make_assets(docs)).collect()
+    # 100 chars (200 UTF-8 bytes) at 64-char stride → frames 0 and 1
+    assert sorted(r.frame_no for r in rows) == [0, 1]
+    assert [len(r.frame_bytes) for r in sorted(rows, key=lambda r: r.frame_no)] == [64, 36]
+
+
 def test_ivf_recall_vs_exact(spark, sf_dir):
     from gaming_ai_analytics_spark.operators.similarity import (
         topk_similar,

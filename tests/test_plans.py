@@ -68,3 +68,17 @@ def test_anti_join_prunes_probe_side(spark, sf_dir):
 
     plan = _plan(q_join_anti_incremental(spark, sf_dir))
     assert "LeftAnti" in plan
+
+
+def test_topk_similar_has_no_per_probe_reducer_funnel(spark, sf_dir):
+    """The scored set must never be sorted in |probes| partitions: the
+    first (full-data) ranking window partitions by (probe_id, _bkt) —
+    |probes|·n_buckets reducers — and only the pruned k-per-bucket
+    survivors hit the per-probe merge window."""
+    from gaming_ai_analytics_spark.queries_llm import q_similarity_topk
+
+    plan = _plan(q_similarity_topk(spark, sf_dir))
+    # two ranking stages; the bucket column keys the full-data one
+    assert plan.count("row_number()") >= 2
+    win_lines = [ln for ln in plan.splitlines() if "row_number()" in ln]
+    assert any("_bkt" in ln for ln in win_lines), win_lines

@@ -139,6 +139,31 @@ def test_asof_join_directions_and_ties(spark):
     assert fwd == {(1, 5): 50.0, (1, 10): None, (1, 2): 50.0, (2, 7): 90.0}
 
 
+def test_asof_join_null_values_ride_with_matched_row(spark):
+    """A genuine NULL in the nearest right row must survive — and all
+    value columns must come from that SAME row, never stitched from an
+    older one (DuckDB ASOF semantics)."""
+    from datetime import datetime
+
+    from gaming_ai_analytics_spark.operators.joins import asof_join
+
+    def ts(s):
+        return datetime(2026, 1, 1, 0, 0, s)
+
+    left = spark.createDataFrame([(1, ts(7)), (1, ts(3))], ["k", "ts"])
+    right = spark.createDataFrame(
+        [(1, ts(1), 10.0, "a"), (1, ts(5), None, "b")],
+        ["k", "ts", "v", "w"],
+    )
+    got = {
+        (r.k, r.ts.second): (r.v, r.w)
+        for r in asof_join(left, right, ["k"], "ts", ["v", "w"]).collect()
+    }
+    # ts=7 matches the ts=5 row: v is genuinely NULL there and must NOT
+    # be backfilled from the ts=1 row; w comes from the same matched row
+    assert got == {(1, 7): (None, "b"), (1, 3): (10.0, "a")}
+
+
 def test_range_join_boundaries(spark):
     from datetime import datetime
 

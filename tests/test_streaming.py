@@ -32,6 +32,30 @@ def test_session_windows_partition_events(spark):
     assert total == ev.count()  # every event in exactly one session
 
 
+def test_session_window_exact_gap_boundary(spark):
+    """Two events EXACTLY gap apart merge into one session: Spark
+    session windows span [ts, ts+gap) and merge adjacent windows, so
+    the SQL oracle's new-session predicate must be strict > (gap
+    exactly equal ⇒ same session). Pins the boundary semantics the
+    registered oracle relies on."""
+    from datetime import datetime
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2026, 1, 1, 0, 0, 0), "c", 0.0),
+            (1, datetime(2026, 1, 1, 0, 10, 0), "c", 0.0),
+            (1, datetime(2026, 1, 1, 0, 20, 1), "c", 0.0),
+        ],
+        ["user_id", "ts", "event_type", "value"],
+    )
+    got = {
+        (r.user_id, r.session_start.minute): r.n_events
+        for r in session_windows(ev, gap="10 minutes").collect()
+    }
+    # 0 and 10 merge (adjacent); 20:01 is >10min past 10:00 → new session
+    assert got == {(1, 0): 2, (1, 20): 1}
+
+
 def test_stateful_user_totals_matches_batch(spark):
     """applyInPandasWithState running totals equal the batch groupBy
     over the bounded fixture (monotone-final-emit extraction)."""
