@@ -228,29 +228,48 @@ def minhash_lsh_pairs(
 def simhash_fingerprints(
     df: DataFrame, id_col: str, text_col: str, bits: int = 64
 ) -> DataFrame:
-    """64-bit SimHash per doc, pure built-ins: token xxhash64 →
-    per-bit ±1 sign sums → reassembled bit vector. The bit explode
-    multiplies token rows ×64 but stays in whole-stage codegen."""
-    tok = ensure_parallelism(df).select(
-        F.col(id_col).alias("_id"),
-        F.explode(tokens(F.col(text_col))).alias("_t"),
-    ).select("_id", F.xxhash64(F.col("_t")).alias("_h"))
-    # shiftright/shiftleft take a Column bit index only via SQL expr
-    sign = F.when(
-        F.expr("shiftrightunsigned(_h, CAST(_i AS INT)) & 1") == 1, 1
-    ).otherwise(-1)
-    per_bit = tok.select(
-        "_id", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("_i"), "_h"
-    ).select("_id", "_i", sign.alias("_sign"))
-    bit_sums = per_bit.groupBy("_id", "_i").agg(F.sum("_sign").alias("_s"))
-    fingerprint = F.sum(
-        F.when(
-            F.col("_s") > 0,
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_i AS INT))"),
-        ).otherwise(F.lit(0).cast("long"))
+    """64-bit SimHash per doc, computed entirely per-row (NO shuffle),
+    like the MinHash signatures: token xxhash64 array → one fold
+    accumulating all 64 ±1 bit sums in an array accumulator → bit
+    reassembly in the finish lambda. The earlier formulation exploded
+    tokens ×64 bit-rows and paid two shuffles (groupBy(_id,_i) +
+    groupBy(_id)); this is a map-only stage — at 100 TB the first
+    exchange in the plan is the LSH candidate join, nothing before it.
+
+    Bit i's mask is a signed-long literal (bit 63 wraps negative), so
+    ``h & mask`` needs no variable-distance shift (Spark's shift
+    builtins take only literal distances outside SQL text)."""
+
+    def mask(i: int) -> int:  # signed-64 wrap for the sign bit
+        m = 1 << i
+        return m - (1 << 64) if m >= (1 << 63) else m
+
+    masks = F.array(*[F.lit(mask(i)).cast("long") for i in range(bits)])
+    sig = _let(
+        F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)),
+        lambda hs: F.aggregate(
+            hs,
+            F.array_repeat(F.lit(0), bits),
+            lambda acc, h: F.zip_with(
+                acc,
+                masks,
+                lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+            ),
+            lambda acc: F.aggregate(
+                F.zip_with(
+                    acc,
+                    masks,
+                    lambda a, m: F.when(a > 0, m).otherwise(F.lit(0).cast("long")),
+                ),
+                F.lit(0).cast("long"),
+                lambda s, x: s + x,
+            ),
+        ),
     )
-    return bit_sums.groupBy("_id").agg(fingerprint.alias("simhash")).select(
-        F.col("_id").alias(id_col), "simhash"
+    return (
+        ensure_parallelism(df)
+        .filter(F.size(tokens(F.col(text_col))) >= 1)
+        .select(F.col(id_col).alias(id_col), sig.alias("simhash"))
     )
 
 

@@ -70,6 +70,19 @@ def test_anti_join_prunes_probe_side(spark, sf_dir):
     assert "LeftAnti" in plan
 
 
+def test_simhash_fingerprints_are_map_only(spark, sf_dir):
+    """SimHash must compute per-row like MinHash: no aggregation (and
+    no hash-partitioned exchange) anywhere in the fingerprint plan —
+    the only allowed exchange is the small-scan round-robin widening,
+    which disappears at real scale."""
+    from gaming_ai_analytics_spark.operators.dedup import simhash_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(simhash_fingerprints(docs, "doc_id", "text"))
+    assert "Aggregate" not in plan
+    assert "hashpartitioning" not in plan
+
+
 def test_topk_similar_has_no_per_probe_reducer_funnel(spark, sf_dir):
     """The scored set must never be sorted in |probes| partitions: the
     first (full-data) ranking window partitions by (probe_id, _bkt) —
