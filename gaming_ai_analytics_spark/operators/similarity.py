@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gaming_ai_analytics_spark.functions.vectors import dot
-from gaming_ai_analytics_spark.operators.dedup import _hyperplanes, _rhp_signature
+from gaming_ai_analytics_spark.operators.dedup import _hyperplanes
 
 
 def _topk_per_probe(scored: DataFrame, k: int, n_buckets: int = 32) -> DataFrame:
@@ -87,12 +87,19 @@ def topk_similar_lsh(
     probe_id_col: str = "probe_id",
     n_planes: int = 16,
     bands: int = 4,
+    dim: int | None = None,
+    arrow: bool | None = None,
 ) -> DataFrame:
     """ANN top-k: compare a probe only against corpus vectors sharing
     at least one signature chunk (random-hyperplane LSH). Recall < 1
     by design; raise ``bands`` (more, narrower chunks) for recall,
-    lower for speed."""
-    dim = len(corpus.select(vec_col).first()[0])
+    lower for speed.
+
+    Pass ``dim`` so plan construction stays action-free (else a
+    one-row probe job runs); ``arrow`` picks the SRP signature kernel
+    (None = auto from size statistics)."""
+    if dim is None:  # fallback only — callers should pass the dim
+        dim = len(corpus.select(vec_col).first()[0])
     from gaming_ai_analytics_spark.operators.parallelism import ensure_parallelism
 
     corpus = ensure_parallelism(corpus)
@@ -101,11 +108,11 @@ def topk_similar_lsh(
     mask = (1 << width) - 1
 
     def chunked(df: DataFrame, ident: str) -> DataFrame:
-        from gaming_ai_analytics_spark.operators.dedup import _let
+        from gaming_ai_analytics_spark.operators.dedup import _let, _rhp_sig_auto
 
         # let-bind: one signature evaluation per row, not one per band
         bb = _let(
-            _rhp_signature(F.col(vec_col), planes),
+            _rhp_sig_auto(df, vec_col, planes, arrow),
             lambda s: F.array(
                 *[
                     F.struct(

@@ -226,11 +226,18 @@ register(
 )
 
 
+#: Embedding fixture vector length (FIXTURES.md) — passed explicitly so
+#: LSH plan construction never runs a dim-probe job.
+EMBEDDING_DIM = 64
+
+
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH near-dup pairs (scale tier; rows-only —
     recall vs the exact tier asserted in tests)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_cosine_pairs_lsh(emb, "vec_id", "embedding", threshold=0.5)
+    return embedding_cosine_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.5, dim=EMBEDDING_DIM
+    )
 
 
 register("dedup_embedding_lsh", q_dedup_embedding_lsh, None)
@@ -277,7 +284,9 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN top-5 (scale tier; rows-only — recall vs the
     exact tier asserted in tests)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return topk_similar_lsh(emb, _probes(spark, sf_dir), k=5)
+    return topk_similar_lsh(
+        emb, _probes(spark, sf_dir), k=5, dim=EMBEDDING_DIM
+    )
 
 
 register("similarity_topk_lsh", q_similarity_topk_lsh, None)

@@ -122,6 +122,65 @@ def test_frame_sampling_only_video(spark):
     assert all(len(r.frame_bytes) <= 64 for r in rows)
 
 
+def test_rhp_arrow_kernel_matches_expression_form(spark, sf_dir):
+    """The Arrow matmul signature and the interpreted expression fold
+    must bucket identically on the fixture (sign flips are possible
+    only at |v·p| ≈ ulp, and exact-cosine verification absorbs them) —
+    the verified pair set must be equal either way."""
+    from gaming_ai_analytics_spark.operators.dedup import (
+        _hyperplanes,
+        _rhp_signature,
+        _rhp_signature_arrow,
+        embedding_cosine_pairs_lsh,
+    )
+    from pyspark.sql import functions as F
+
+    # sf0.01: the smallest fixture with planted near-dup pairs
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    planes = _hyperplanes(64, 16)
+    sigs = emb.select(
+        _rhp_signature(F.col("embedding"), planes).alias("s_expr"),
+        _rhp_signature_arrow(F.col("embedding"), planes).alias("s_arrow"),
+    )
+    assert sigs.filter(F.col("s_expr") != F.col("s_arrow")).count() == 0
+
+    expr_pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs_lsh(
+            emb, "vec_id", "embedding", threshold=0.5, dim=64, arrow=False
+        ).collect()
+    }
+    arrow_pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs_lsh(
+            emb, "vec_id", "embedding", threshold=0.5, dim=64, arrow=True
+        ).collect()
+    }
+    assert expr_pairs == arrow_pairs
+    assert arrow_pairs  # non-trivial
+
+
+def test_lsh_plan_construction_runs_no_job(spark, sf_dir, monkeypatch):
+    """With ``dim`` supplied, building the LSH plans must not trigger
+    any Spark action (the old code probed the vector length with
+    ``.first()`` — a job inside plan construction)."""
+    from pyspark.sql import DataFrame
+
+    from gaming_ai_analytics_spark.operators.dedup import embedding_cosine_pairs_lsh
+    from gaming_ai_analytics_spark.operators.similarity import topk_similar_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter("vec_id < 5").withColumnRenamed("vec_id", "probe_id")
+
+    def boom(*a, **k):  # any action during plan construction fails the test
+        raise AssertionError("action triggered during plan construction")
+
+    for action in ("first", "collect", "take", "head", "count"):
+        monkeypatch.setattr(DataFrame, action, boom)
+    embedding_cosine_pairs_lsh(emb, "vec_id", "embedding", dim=64)
+    topk_similar_lsh(emb, probes, k=5, dim=64)
+
+
 def test_frame_sampling_non_ascii_uses_char_offsets(spark):
     """Frame count and slice boundaries use character positions
     consistently — a multi-byte payload must not produce extra frames
