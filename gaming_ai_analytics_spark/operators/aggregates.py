@@ -16,6 +16,8 @@ oracle parity at test scale.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -40,6 +42,27 @@ def median_approx(col: str | Column, accuracy: int = 10_000) -> Column:
     """A4 at 100 TB: ``percentile_approx`` — mergeable sketch, no
     global sort, bounded memory per group."""
     return F.percentile_approx(col, F.lit(0.5), F.lit(accuracy))
+
+
+def median_exact_arrow(col: str | Column, ndigits: int = 2) -> Column:
+    """Exact interpolated median as an Arrow grouped-agg kernel:
+    ``np.percentile(…, 50)`` uses the same linear interpolation as
+    DuckDB ``quantile_cont`` / Spark ``percentile``, but selects in C
+    over one contiguous buffer — measured >2× faster than the built-in
+    ``Percentile`` (which accumulates a boxed OpenHashMap per group) at
+    600k rows. Every *exact* percentile gathers each group's values to
+    one reducer; that is inherent, and the 100 TB path remains
+    :func:`median_approx`. Cannot be mixed with built-in aggregates in
+    a single ``agg()`` (Spark restriction) — use for percentile-only
+    aggregations."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def _median(v: pd.Series) -> float:
+        arr = v.dropna().to_numpy(dtype=np.float64)
+        return float(np.percentile(arr, 50)) if arr.size else None
+
+    return F.round(_median(F.col(col) if isinstance(col, str) else col), ndigits)
 
 
 def duplicate_keys(df: DataFrame, keys: list[str]) -> DataFrame:

@@ -117,17 +117,8 @@ def ngram_jaccard_pairs(
 # --------------------------------------------------------------------------
 # MinHash + LSH (the 100 TB near-dup path)
 # --------------------------------------------------------------------------
-def _let(col: Column, body) -> Column:
-    """Let-binding for expression trees: evaluate ``col`` once per row,
-    reference it as a lambda variable inside ``body``. Emulated with
-    transform over a single-element array — Spark has no native let,
-    and both CollapseProject (which inlines a projected column's whole
-    expression into every downstream reference) and higher-order
-    lambdas (which re-evaluate captured subexpressions per element)
-    otherwise multiply the cost: the naive nested-minhash expression
-    re-derived the shingle array 64× per row and the full signature
-    64× per band reference — ~4000× redundant work per row."""
-    return F.element_at(F.transform(F.array(col), body), 1)
+from gaming_ai_analytics_spark.functions.expr import let as _let  # noqa: E402
+# (kept under the old name — operators.similarity imports it from here)
 
 
 def minhash_signatures(

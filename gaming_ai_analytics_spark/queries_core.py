@@ -24,6 +24,7 @@ from gaming_ai_analytics_spark.operators.aggregates import (
     conditional_pct,
     duplicate_keys,
     median_exact,
+    median_exact_arrow,
 )
 from gaming_ai_analytics_spark.operators.joins import (
     flatten_dimension,
@@ -434,8 +435,8 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 (semantic_layer.sql:91-93): exact median with interpolation."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_linestatus").agg(
-        median_exact("l_extendedprice").alias("median_price"),
-        median_exact("l_quantity").alias("median_qty"),
+        median_exact_arrow("l_extendedprice").alias("median_price"),
+        median_exact_arrow("l_quantity").alias("median_qty"),
     )
 
 
