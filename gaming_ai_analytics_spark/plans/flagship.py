@@ -47,23 +47,74 @@ def flagship_star_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
 
-    n = F.count(F.lit(1))
-    return (
+    # Two-level aggregation: level 1 groups by (region, quantity) —
+    # l_quantity is low-cardinality (~50 values), so this compresses
+    # 600k rows/SF0.1 to |regions|·|quantities| with a fully
+    # codegen'd, map-side-partial HashAggregate. Level 2 derives every
+    # measure from the compressed rows, including the EXACT
+    # interpolated median from (value, count) pairs — which removes
+    # the built-in Percentile entirely (it forces the whole
+    # aggregation into a slow ObjectHashAggregate buffering every
+    # value per group; measured ~0.3 s of the flagship at sf0.1, and
+    # unbounded per-group state at 100 TB).
+    inter = (
         joined.filter(F.col("l_quantity").isNotNull())  # semantic_layer.sql:14
-        .groupBy("r_name")
+        .groupBy("r_name", "l_quantity")
         .agg(
-            n.alias("line_count"),  # review_count analog (A1)
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),  # A2
-            F.round(  # positive_review_pct analog (A3)
-                F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)) / n, 4
-            ).alias("high_discount_pct"),
-            F.round(  # negative_review_pct analog (A3)
-                F.sum(F.when(F.col("l_discount") < 0.02, 1).otherwise(0)) / n, 4
-            ).alias("low_discount_pct"),
-            F.round(  # median_review_length analog (A4)
-                F.percentile("l_quantity", F.lit(0.5)), 2
-            ).alias("median_qty"),
+            F.count(F.lit(1)).alias("_cnt"),
+            F.sum("l_extendedprice").alias("_sum_price"),
+            F.sum(
+                F.when(F.col("l_discount") > 0.05, 1).otherwise(0)
+            ).alias("_hi"),
+            F.sum(
+                F.when(F.col("l_discount") < 0.02, 1).otherwise(0)
+            ).alias("_lo"),
         )
+    )
+    n = F.sum("_cnt")
+    agg = inter.groupBy("r_name").agg(
+        n.alias("line_count"),  # review_count analog (A1)
+        F.round(F.sum("_sum_price") / n, 2).alias("avg_price"),  # A2
+        F.round(F.sum("_hi") / n, 4).alias(  # positive_review_pct (A3)
+            "high_discount_pct"
+        ),
+        F.round(F.sum("_lo") / n, 4).alias(  # negative_review_pct (A3)
+            "low_discount_pct"
+        ),
+        F.array_sort(  # (value, count) histogram for the exact median
+            F.collect_list(F.struct(F.col("l_quantity").alias("v"), F.col("_cnt").alias("c")))
+        ).alias("_hist"),
+    )
+    # exact interpolated median from the per-group histogram (A4):
+    # rank pos = 1 + (n-1)·0.5; walk the sorted (v, c) pairs once,
+    # grabbing the values covering ranks floor(pos) and ceil(pos).
+    pos = F.lit(1.0) + (F.col("line_count") - 1) * 0.5
+    lo, hi = F.floor(pos), F.ceiling(pos)
+    zero = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        F.lit(None).cast("double").alias("vlo"),
+        F.lit(None).cast("double").alias("vhi"),
+    )
+
+    def step(acc, x):
+        cum = acc["cum"] + x["c"]
+        return F.struct(
+            cum.alias("cum"),
+            F.coalesce(acc["vlo"], F.when(cum >= lo, x["v"])).alias("vlo"),
+            F.coalesce(acc["vhi"], F.when(cum >= hi, x["v"])).alias("vhi"),
+        )
+
+    sel = F.aggregate(F.col("_hist"), zero, step)
+    median = F.round(
+        sel["vlo"] + (sel["vhi"] - sel["vlo"]) * (pos - lo), 2
+    )
+    return agg.select(
+        "r_name",
+        "line_count",
+        "avg_price",
+        "high_discount_pct",
+        "low_discount_pct",
+        median.alias("median_qty"),
     )
 
 

@@ -47,9 +47,16 @@ def test_flagship_broadcasts_dims(spark, sf_dir):
 
 def test_flagship_partial_aggregation(spark, sf_dir):
     # map-side partial agg before the shuffle: the exchange carries one
-    # row per (partition, group), not per input row
+    # row per (partition, group), not per input row. The heavy level-1
+    # aggregation (region × quantity) must be a codegen'd HashAggregate
+    # — ObjectHashAggregate (collect_list for the median histogram) is
+    # allowed only on the tiny compressed level-2 input.
     plan = _plan(flagship_star_metrics(spark, sf_dir))
-    assert "partial_count" in plan and "partial_avg" in plan
+    assert "partial_count" in plan and "partial_sum" in plan
+    # the full-data aggregation must not buffer values per group: no
+    # Percentile aggregate anywhere (the median comes from the level-2
+    # (value, count) histogram instead)
+    assert "percentile" not in plan.lower()
 
 
 def test_scan_stays_in_codegen(spark, sf_dir):
