@@ -81,15 +81,23 @@ def _violation(rule: Rule, df: DataFrame) -> Column:
     raise TypeError(f"unknown rule type: {type(rule).__name__}")
 
 
-def apply_rules(df: DataFrame, rules: list[Rule]) -> DataFrame:
-    """Annotate rows with ``_errors`` (array of messages, null if clean)
-    — the DQX ``apply_checks`` analog (data_quality.py:40-42)."""
-    msgs = [_violation(r, df) for r in rules if r.criticality == "error"]
+def _msg_array(msgs: list[Column]) -> Column:
     if not msgs:
-        return df.withColumn("_errors", F.lit(None).cast("array<string>"))
+        return F.lit(None).cast("array<string>")
     arr = F.filter(F.array(*msgs), lambda m: m.isNotNull())
-    return df.withColumn(
-        "_errors", F.when(F.size(arr) > 0, arr)
+    return F.when(F.size(arr) > 0, arr)
+
+
+def apply_rules(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Annotate rows with ``_errors`` and ``_warnings`` (arrays of
+    messages, null when clean) — the DQX ``apply_checks`` analog
+    (data_quality.py:40-42). ``error``-criticality rules feed
+    ``_errors`` (and block the gate); everything else feeds
+    ``_warnings`` (reported by :func:`violations`, never blocking)."""
+    errs = [_violation(r, df) for r in rules if r.criticality == "error"]
+    warns = [_violation(r, df) for r in rules if r.criticality != "error"]
+    return df.withColumn("_errors", _msg_array(errs)).withColumn(
+        "_warnings", _msg_array(warns)
     )
 
 
@@ -107,5 +115,8 @@ def quality_gate(df: DataFrame, rules: list[Rule]) -> None:
 
 def violations(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """All offending rows with their messages — the reporting path
-    (the reference ``display(errors)``, data_quality.py:45)."""
-    return apply_rules(df, rules).filter(F.col("_errors").isNotNull())
+    (the reference ``display(errors)``, data_quality.py:45). Includes
+    warn-level rows; only ``_errors`` rows block the gate."""
+    return apply_rules(df, rules).filter(
+        F.col("_errors").isNotNull() | F.col("_warnings").isNotNull()
+    )

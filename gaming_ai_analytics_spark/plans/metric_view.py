@@ -74,11 +74,24 @@ class MetricView:
             df.createOrReplaceTempView(self._alias[name])
 
     def _rewrite(self, expr: str) -> str:
-        """Qualify spec table names with the registered view prefix."""
-        out = expr
-        for name, view in self._alias.items():
-            out = out.replace(f"{name}.", f"{view}.")
-        return out
+        """Qualify spec table names with the registered view prefix.
+
+        Word-boundary regex, applied only OUTSIDE single-quoted SQL
+        string literals — a blind ``str.replace`` would corrupt a
+        literal like ``'orders.eu'`` or a qualified name whose
+        identifier merely ends with a table name (``big_orders.x`` has
+        no word boundary before ``orders``, so it is left alone)."""
+        import re
+
+        # split on single-quoted literals ('' is the SQL escape);
+        # odd-indexed parts are the literals — never rewritten
+        parts = re.split(r"('(?:[^']|'')*')", expr)
+        for i in range(0, len(parts), 2):
+            for name, view in self._alias.items():
+                parts[i] = re.sub(
+                    rf"\b{re.escape(name)}\.", f"{view}.", parts[i]
+                )
+        return "".join(parts)
 
     def compile_sql(
         self,

@@ -234,3 +234,56 @@ register(
     WHERE n > 1
     """,
 )
+
+
+def q_csv_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1–S3 (reviews_fact.py:117-125, auxillary_dims.py:50-58,106-114)
+    as a driver-checked query: land the documents table as CSV with the
+    reference's quoting discipline, then scan it back through
+    sources.io.read_csv (schema-pinned, multiline+escape — NO
+    inference pass) and return the rows. A lossless round-trip hashes
+    identically to the parquet-backed oracle, which proves the scan
+    options, not just the write."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from gaming_ai_analytics_spark.sources.io import read_csv
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select("doc_id", "lang", "n_chars", "text")
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"gaa_csv_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    (
+        docs.write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .option("escape", '"')
+        .csv(path)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    return read_csv(spark, path, schema)
+
+
+register(
+    "csv_roundtrip_scan",
+    q_csv_roundtrip_scan,
+    """
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, text
+    FROM documents
+    WHERE text IS NOT NULL AND LENGTH(text) > 0
+    """,
+)

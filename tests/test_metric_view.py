@@ -78,3 +78,19 @@ def test_broadcast_hint_in_plan(mv):
     assert "BROADCAST" in sql
     plan = mv.query(["region"], ["order_count"])._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_rewrite_preserves_string_literals_and_identifier_suffixes(mv):
+    """Table-name qualification must not touch string literals
+    containing 'table.' or identifiers that merely END with a table
+    name (no word boundary)."""
+    rewritten = mv._rewrite("CASE WHEN src = 'orders.eu' THEN big_orders.x ELSE orders.o_totalprice END")
+    assert "'orders.eu'" in rewritten                      # literal untouched
+    assert "big_orders.x" in rewritten                     # suffix untouched
+    assert "__mv" in rewritten and ("_orders.o_totalprice" in rewritten)
+
+
+def test_rewrite_handles_escaped_quotes(mv):
+    r = mv._rewrite("concat('it''s orders.', orders.o_orderpriority)")
+    assert "'it''s orders.'" in r
+    assert r.count("__mv") == 1

@@ -55,3 +55,26 @@ def test_warn_rules_do_not_block(spark, df):
     quality_gate(
         df, [IsUnique(name="u", criticality="warn", columns=("id",))]
     )  # warn-level: no raise
+
+
+def test_warn_rules_reported_in_warnings_column(spark, df):
+    """Warn-criticality rules must not vanish: they annotate
+    ``_warnings`` and show up in violations(), while ``_errors`` stays
+    null so the gate never blocks on them."""
+    v = violations(
+        df, [IsUnique(name="u", criticality="warn", columns=("id",))]
+    ).collect()
+    assert v  # duplicate ids reported
+    assert all(r["_errors"] is None for r in v)
+    assert all(r["_warnings"] and "u:" in r["_warnings"][0] for r in v)
+
+
+def test_mixed_error_and_warn_rules(spark, df):
+    rows = violations(
+        df,
+        [
+            IsInRange(name="r", column="score", min_value=-5, max_value=5),
+            IsUnique(name="u", criticality="warn", columns=("id",)),
+        ],
+    ).collect()
+    assert any(r["_errors"] for r in rows) and any(r["_warnings"] for r in rows)
