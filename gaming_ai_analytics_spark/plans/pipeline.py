@@ -271,15 +271,32 @@ def _to_spark_measure(expr: str) -> str:
 # the DAG (workflow.json)
 # --------------------------------------------------------------------------
 def run_pipeline(
-    spark: SparkSession, sf_dir: str, cfg: PipelineConfig | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    cfg: PipelineConfig | None = None,
+    concurrent: bool = True,
 ) -> PipelineResult:
     """workflow.json:15-79 ordering: dims ∥ fact → quality → metrics.
-    (Dims and fact have no dependency; Spark schedules their jobs
-    independently — sequential submission here, same semantics.)"""
+
+    Dims and fact have no dependency (workflow.json:15-48: neither
+    task declares ``depends_on``), so they are submitted from two
+    driver threads — SparkSessions are thread-safe for job submission
+    and the scheduler interleaves their stages across executors, the
+    same concurrency the Databricks job runner provides. They write
+    disjoint tables, so there is no ordering hazard. ``concurrent=
+    False`` falls back to sequential submission (identical results)."""
     cfg = cfg or PipelineConfig()
     store = TableStore(spark, cfg.warehouse_dir, cfg.table_format)
-    dims = build_dims(spark, store, sf_dir)
-    appended = build_fact(spark, store, sf_dir, cfg)
+    if concurrent:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            dims_f = pool.submit(build_dims, spark, store, sf_dir)
+            fact_f = pool.submit(build_fact, spark, store, sf_dir, cfg)
+            dims, appended = dims_f.result(), fact_f.result()
+    else:
+        dims = build_dims(spark, store, sf_dir)
+        appended = build_fact(spark, store, sf_dir, cfg)
     run_quality(store)  # raises → blocks metric layer (ALL_SUCCESS)
     metrics = build_metric_layer(spark, store)
     return PipelineResult(
