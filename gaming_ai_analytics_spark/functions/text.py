@@ -78,6 +78,34 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     return let(tokens(col), body)
 
 
+def token_chunks(col: Column, size: int = 32, stride: int = 24) -> Column:
+    """Overlapping token-window chunks — the LLM-context chunking
+    primitive: ``array<struct<chunk_no int, chunk string>>`` where
+    chunk i spans tokens [i·stride, i·stride+size). A document of n
+    tokens yields ``1 + ceil(max(n-size,0)/stride)`` chunks, so every
+    token lands in at least one chunk and consecutive chunks overlap
+    by ``size - stride`` tokens. Map-only (let-bound token array, no
+    explode here — callers posexplode when they need rows)."""
+    from gaming_ai_analytics_spark.functions.expr import let
+
+    def body(toks):
+        n = F.size(toks)
+        n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+            (F.lit(1) + F.ceil((n - size) / F.lit(float(stride)))).cast("int")
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_no"),
+                F.array_join(
+                    F.slice(toks, i * stride + 1, size), " "
+                ).alias("chunk"),
+            ),
+        )
+
+    return let(tokens(col), body)
+
+
 def stopword_ratio(col: Column) -> Column:
     toks = tokens(F.lower(col))
     stop = F.filter(toks, lambda t: t.isin(*STOPWORDS))

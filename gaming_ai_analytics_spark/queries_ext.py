@@ -287,3 +287,126 @@ register(
     WHERE text IS NOT NULL AND LENGTH(text) > 0
     """,
 )
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction + aggregation: parse the events table's
+    ``props`` JSON column (``get_json_object`` — JVM-side Jackson path
+    evaluation, no Python) and aggregate the extracted value per event
+    type. The semi-structured-column operator every telemetry pipeline
+    needs; at scale the parse is map-only and the agg is one shuffle."""
+    from gaming_ai_analytics_spark.sources.star import load_events
+
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+register(
+    "events_json_props",
+    q_events_json_props,
+    """
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(AVG(CAST(props->>'k' AS INT)), 4) AS avg_k,
+           MAX(CAST(props->>'k' AS INT)) AS max_k
+    FROM events GROUP BY 1
+    """,
+)
+
+
+def q_pivot_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: document counts per source × language, languages as
+    columns (explicit value list — never let pivot run a distinct scan
+    to discover columns at 100 TB). Missing cells are null (Spark
+    pivot semantics; the oracle's SUM(CASE) mirrors that)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .pivot("lang", ["de", "en", "es", "fr", "zh"])
+        .agg(F.count(F.lit(1)))
+    )
+
+
+register(
+    "pivot_lang_counts",
+    q_pivot_lang_counts,
+    """
+    SELECT source,
+           SUM(CASE WHEN lang = 'de' THEN 1 END) AS de,
+           SUM(CASE WHEN lang = 'en' THEN 1 END) AS en,
+           SUM(CASE WHEN lang = 'es' THEN 1 END) AS es,
+           SUM(CASE WHEN lang = 'fr' THEN 1 END) AS fr,
+           SUM(CASE WHEN lang = 'zh' THEN 1 END) AS zh
+    FROM documents GROUP BY 1
+    """,
+)
+
+
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide lineitem measures to long (measure, value)
+    rows — the tidy-data reshape. ``DataFrame.unpivot`` expands
+    per-row with no shuffle; scoped to a key range to keep the checked
+    output compact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+register(
+    "unpivot_measures",
+    q_unpivot_measures,
+    """
+    SELECT l_orderkey, l_linenumber, measure, value FROM (
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+             l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    ) WHERE l_orderkey < 100
+    """,
+)
+
+
+def q_window_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing + percent_rank per order priority — the
+    remaining ranking-window functions (row_number/rank/lag covered in
+    queries_core). Unique (totalprice, orderkey) sort keys make both
+    functions deterministic."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+register(
+    "window_ntile_pctrank",
+    q_window_ntile_pctrank,
+    """
+    SELECT o_orderkey, o_orderpriority,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
