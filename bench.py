@@ -32,6 +32,7 @@ HEADLINE = [
     "text_analysis_profile",
     "dedup_minhash_lsh",
     "similarity_topk",
+    "similarity_topk_lsh",
     "events_session_window",
     "metric_view_region",
 ]
