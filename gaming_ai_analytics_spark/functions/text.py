@@ -106,6 +106,101 @@ def token_chunks(col: Column, size: int = 32, stride: int = 24) -> Column:
     return let(tokens(col), body)
 
 
+def word_ngrams(col: Column, k: int) -> Column:
+    """ALL k-word n-grams in order (duplicates kept — the repetition
+    statistics need multiplicity; `word_shingles` is the distinct
+    variant). Map-only, let-bound like word_shingles."""
+    from gaming_ai_analytics_spark.functions.expr import let
+
+    def body(toks):
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), n - k)
+        sh = F.transform(
+            idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
+        )
+        return F.when(n < k, F.array().cast("array<string>")).otherwise(sh)
+
+    return let(tokens(col), body)
+
+
+#: PII patterns restricted to syntax Java regex and RE2 treat
+#: identically (char classes + bounded quantifiers, no backrefs or
+#: lookaround). Order matters: emails contain dots/digits, so they
+#: redact first; IPv4 before phone (the phone class has no '.').
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("\\+?[0-9][0-9 -]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Scrub emails / IPv4s / phone-shaped digit runs to typed
+    placeholders — the corpus PII pass. Pure sequential
+    ``regexp_replace`` (codegen'd, zero Python)."""
+    out = col
+    for pat, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def pii_match_count(col: Column) -> Column:
+    """How many PII spans `redact_pii` would replace. Counted
+    sequentially on the progressively-redacted text so overlapping
+    pattern classes (an IP inside an email host) are not double-counted
+    — mirrors the replace order exactly."""
+    total = F.lit(0)
+    cur = col
+    for pat, tag in PII_PATTERNS:
+        total = total + F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, tag)
+    return total
+
+
+def repetition_metrics(col: Column) -> Column:
+    """Gopher-style repetition statistics as one struct:
+
+    - ``dup_trigram_frac``: 1 − |distinct 3-grams| / |3-grams|
+    - ``top_bigram_frac``: count of the most frequent 2-gram / |2-grams|
+
+    Both are 0.0 for docs too short to form the n-gram. Map-only: the
+    mode count comes from a single fold over the SORTED bigram array
+    (longest equal-run), never a shuffle — per-row cost is
+    O(n log n) in the doc's own token count, so the operator scales
+    with corpus size purely by partitioning."""
+    from gaming_ai_analytics_spark.functions.expr import let
+
+    def dup3(g3):
+        return F.when(F.size(g3) == 0, 0.0).otherwise(
+            F.round(1.0 - F.size(F.array_distinct(g3)) / F.size(g3), 4)
+        )
+
+    def top2(g2):
+        zero = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("int").alias("run"),
+            F.lit(0).cast("int").alias("best"),
+        )
+
+        def step(acc, x):
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        best = F.aggregate(F.array_sort(g2), zero, step)["best"]
+        return F.when(F.size(g2) == 0, 0.0).otherwise(
+            F.round(best / F.size(g2), 4)
+        )
+
+    return F.struct(
+        let(word_ngrams(col, 3), dup3).alias("dup_trigram_frac"),
+        let(word_ngrams(col, 2), top2).alias("top_bigram_frac"),
+    )
+
+
 def stopword_ratio(col: Column) -> Column:
     toks = tokens(F.lower(col))
     stop = F.filter(toks, lambda t: t.isin(*STOPWORDS))

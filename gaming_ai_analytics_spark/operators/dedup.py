@@ -115,6 +115,49 @@ def ngram_jaccard_pairs(
 
 
 # --------------------------------------------------------------------------
+# cross-corpus contamination (train vs eval overlap)
+# --------------------------------------------------------------------------
+def cross_corpus_overlap(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark-decontamination primitive: train documents that share
+    at least one distinct k-word shingle with any eval document, with
+    the overlap evidence (`n_overlap_shingles` distinct shared shingles,
+    `n_eval_docs` distinct eval docs hit).
+
+    Inverted-index join on the shingle key — never all-pairs. The eval
+    side (benchmark suites: thousands of docs, not billions) is tiny
+    relative to train, so its postings broadcast and the train side
+    joins map-only with no shuffle of the train postings; set
+    ``broadcast_eval=False`` if the eval corpus is genuinely large and
+    let AQE pick the strategy on the shuffled join.
+    """
+    tr = ensure_parallelism(train).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("_sh"),
+    )
+    ev = eval_set.select(
+        F.col(id_col).alias("_eval_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("_sh"),
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    return (
+        tr.join(ev, "_sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("_sh").alias("n_overlap_shingles"),
+            F.countDistinct("_eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # MinHash + LSH (the 100 TB near-dup path)
 # --------------------------------------------------------------------------
 from gaming_ai_analytics_spark.functions.expr import let as _let  # noqa: E402

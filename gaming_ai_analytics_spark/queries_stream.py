@@ -15,9 +15,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gaming_ai_analytics_spark.registry import register
-from gaming_ai_analytics_spark.sources.star import load_events
+from gaming_ai_analytics_spark.sources.star import load_events, load_table
 from gaming_ai_analytics_spark.streaming.events import (
     run_stream_to_memory,
+    segment_totals,
     session_windows,
     sliding_windows,
     stateful_user_totals,
@@ -154,4 +155,29 @@ register(
     "events_streaming_session",
     q_events_streaming_session,
     _oracle_sql()["events_session_window"],
+)
+
+
+def q_events_streaming_static_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-static join: readStream events ⋈ broadcast static
+    customer dim → per-(event_type, segment) totals → memory sink.
+    The dim is read as a plain batch table — exactly the
+    slowly-changing-dimension enrichment pattern (the join re-reads /
+    re-broadcasts the static side per micro-batch, no stream state)."""
+    ev = stream_events(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer")
+    return run_stream_to_memory(segment_totals(ev, dim), spark)
+
+
+register(
+    "events_streaming_static_join",
+    q_events_streaming_static_join,
+    """
+    SELECT event_type, c_mktsegment AS segment,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM events LEFT JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
 )

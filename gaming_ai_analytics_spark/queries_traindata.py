@@ -16,10 +16,17 @@ Scale notes baked into each operator:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gaming_ai_analytics_spark.functions.text import token_chunks, tokens
+from gaming_ai_analytics_spark.functions.text import (
+    pii_match_count,
+    redact_pii,
+    repetition_metrics,
+    token_chunks,
+    tokens,
+)
+from gaming_ai_analytics_spark.operators.dedup import cross_corpus_overlap
 from gaming_ai_analytics_spark.operators.parallelism import ensure_parallelism
 from gaming_ai_analytics_spark.registry import register
 from gaming_ai_analytics_spark.sources.star import load_table
@@ -178,5 +185,182 @@ register(
     FROM documents
     WHERE (doc_id * 2654435761) % 100
           < CASE WHEN lang = 'en' THEN 10 ELSE 30 END
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PII scrub: emails / IPv4s / phone-shaped digit runs →
+    typed placeholders, plus the span count that was redacted. Pure
+    sequential regexp_replace — map-only, codegen'd, no Python. The
+    fixture corpus contains no PII (every n_redactions is 0 and the
+    text passes through), so the driver row checks engine-parity of
+    the regex pass; actual redaction behavior is pinned on planted
+    strings in tests/test_traindata.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        redact_pii(F.col("text")).alias("clean_text"),
+        pii_match_count(F.col("text")).cast("int").alias("n_redactions"),
+    )
+
+
+# Mirrors functions.text.PII_PATTERNS (email → IP → phone, counting on
+# the progressively-redacted text so overlapping classes count once).
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+_PII_PHONE = "\\+?[0-9][0-9 -]{7,}[0-9]"
+
+register(
+    "pii_redact",
+    q_pii_redact,
+    f"""
+    WITH s1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{_PII_EMAIL}')) AS c1,
+             regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+      FROM documents
+    ),
+    s2 AS (
+      SELECT doc_id, c1,
+             len(regexp_extract_all(t1, '{_PII_IP}')) AS c2,
+             regexp_replace(t1, '{_PII_IP}', '<IP>', 'g') AS t2
+      FROM s1
+    )
+    SELECT doc_id,
+           regexp_replace(t2, '{_PII_PHONE}', '<PHONE>', 'g') AS clean_text,
+           CAST(c1 + c2 + len(regexp_extract_all(t2, '{_PII_PHONE}'))
+                AS INT) AS n_redactions
+    FROM s2
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# repetition-quality filter (Gopher-style)
+# --------------------------------------------------------------------------
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition statistics (duplicate-trigram fraction,
+    top-bigram fraction) — the Gopher-rule corpus filter. Map-only:
+    the bigram mode count is a fold over the sorted bigram array
+    (longest equal run), so no shuffle touches the corpus."""
+    docs = _docs(spark, sf_dir)
+    m = repetition_metrics(F.col("text"))
+    return docs.select(
+        "doc_id",
+        m["dup_trigram_frac"].alias("dup_trigram_frac"),
+        m["top_bigram_frac"].alias("top_bigram_frac"),
+    )
+
+
+register(
+    "quality_repetition",
+    q_quality_repetition,
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents WHERE {_NONEMPTY}
+    ),
+    g3 AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+            FROM toks WHERE len(t) >= 3)
+    ),
+    a3 AS (SELECT doc_id, COUNT(*) AS tot, COUNT(DISTINCT g) AS dis
+           FROM g3 GROUP BY 1),
+    g2 AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 2)
+    ),
+    c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+    a2 AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM c2 GROUP BY 1)
+    SELECT toks.doc_id,
+           COALESCE(ROUND(1 - a3.dis * 1.0 / a3.tot, 4), 0.0)
+             AS dup_trigram_frac,
+           COALESCE(ROUND(a2.mx * 1.0 / a2.tot, 4), 0.0) AS top_bigram_frac
+    FROM toks
+    LEFT JOIN a3 USING (doc_id)
+    LEFT JOIN a2 USING (doc_id)
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination (train vs eval shingle overlap)
+# --------------------------------------------------------------------------
+def q_decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs that leak eval content: any distinct 8-word
+    shingle shared with the held-out set (source 'src0' plays the
+    benchmark suite). Inverted-index join on the shingle key with the
+    eval postings broadcast — the train corpus never shuffles."""
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("source") != "src0")
+    eval_set = docs.filter(F.col("source") == "src0")
+    return cross_corpus_overlap(train, eval_set, "doc_id", "text", k=8)
+
+
+_SHINGLE8 = " || ' ' || ".join(f"t[i+{j}]" for j in range(8))
+
+register(
+    "decontaminate_eval_overlap",
+    q_decontaminate_eval_overlap,
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS} AS t
+      FROM documents WHERE {_NONEMPTY}
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, source, {_SHINGLE8} AS s
+      FROM (SELECT doc_id, source, t,
+                   unnest(generate_series(1, len(t) - 7)) AS i
+            FROM toks WHERE len(t) >= 8)
+    ),
+    ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE source = 'src0'),
+    tr AS (SELECT doc_id, s FROM sh WHERE source <> 'src0')
+    SELECT tr.doc_id,
+           COUNT(DISTINCT tr.s) AS n_overlap_shingles,
+           COUNT(DISTINCT ev.eval_id) AS n_eval_docs
+    FROM tr JOIN ev ON tr.s = ev.s
+    GROUP BY 1
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# deterministic export sharding
+# --------------------------------------------------------------------------
+def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export layout: every doc gets a deterministic shard
+    (multiplicative hash — reruns and both engines agree, unlike
+    DataFrame.repartition) and a pseudo-random sequence number within
+    its shard, which is the "globally shuffled" read order trainers
+    want. One shuffle on the shard key; at scale this is exactly
+    repartition(shard) + sortWithinPartitions(h) before the file
+    write. At 100 TB swap the toy multiplicative hash for xxhash64 —
+    the plan shape is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % 1000003
+    shard = (h % 8).cast("int")
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("h"), shard.alias("shard"))
+        .withColumn("seq", F.row_number().over(w))
+        .select("doc_id", "shard", "seq")
+    )
+
+
+register(
+    "export_shards",
+    q_export_shards,
+    """
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                AS INT) AS seq
+    FROM (SELECT doc_id, (doc_id * 2654435761) % 1000003 AS h,
+                 CAST((doc_id * 2654435761) % 1000003 % 8 AS INT) AS shard
+          FROM documents)
     """,
 )

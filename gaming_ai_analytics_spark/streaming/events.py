@@ -96,6 +96,27 @@ def session_windows(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
     )
 
 
+def segment_totals(events: DataFrame, customer_dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment: join events (stream OR batch) to the
+    static customer dim on user_id, then aggregate per (event_type,
+    segment). The static side is broadcast — in streaming this is the
+    canonical stream-static join (re-broadcast per micro-batch, no
+    stream-side state), the pattern for slowly-changing dims at any
+    event rate."""
+    dim = customer_dim.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return (
+        events.join(F.broadcast(dim), "user_id", "left")
+        .groupBy("event_type", "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # custom stateful operator (applyInPandasWithState)
 # --------------------------------------------------------------------------

@@ -56,6 +56,98 @@ def test_sample_stratified_deterministic_and_pushed_down(spark):
     assert "Exchange" not in plan
 
 
+def test_redact_pii_planted_strings(spark):
+    """The fixture corpus has no PII, so the redaction behavior itself
+    is pinned here on planted spans of every pattern class."""
+    from gaming_ai_analytics_spark.functions.text import (
+        pii_match_count,
+        redact_pii,
+    )
+
+    cases = [
+        (1, "contact bob.smith+spam@mail.example.org for details", 1,
+         "contact <EMAIL> for details"),
+        (2, "server at 192.168.001.12 timed out", 1,
+         "server at <IP> timed out"),
+        (3, "call +1 555 010 1234 today", 1, "call <PHONE> today"),
+        (4, "no pii here at all", 0, "no pii here at all"),
+        # email host contains dots but must count once (email wins first)
+        (5, "a@b.co and 10.0.0.1 and 555-123-4567", 3,
+         "<EMAIL> and <IP> and <PHONE>"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _, _ in cases], ["id", "text"]
+    )
+    out = {
+        r.id: (r.n, r.clean)
+        for r in df.select(
+            "id",
+            pii_match_count(F.col("text")).alias("n"),
+            redact_pii(F.col("text")).alias("clean"),
+        ).collect()
+    }
+    for i, _, n, clean in cases:
+        assert out[i] == (n, clean), (i, out[i])
+
+
+def test_repetition_metrics_extremes(spark):
+    from gaming_ai_analytics_spark.functions.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam " * 50),  # one bigram repeated: both fracs ~1
+            (2, " ".join(f"w{i}" for i in range(50))),  # all unique: 0
+            (3, "a b"),  # too short for trigrams
+            (4, ""),  # empty
+        ],
+        ["id", "text"],
+    )
+    m = repetition_metrics(F.col("text"))
+    out = {
+        r.id: (r.d, r.t)
+        for r in df.select(
+            "id",
+            m["dup_trigram_frac"].alias("d"),
+            m["top_bigram_frac"].alias("t"),
+        ).collect()
+    }
+    assert out[1][0] > 0.9 and out[1][1] == 1.0
+    assert out[2] == (0.0, round(1 / 49, 4))  # every bigram unique
+    assert out[3] == (0.0, 1.0)  # single bigram IS the mode
+    assert out[4] == (0.0, 0.0)
+
+
+def test_cross_corpus_overlap_planted(spark):
+    from gaming_ai_analytics_spark.operators.dedup import cross_corpus_overlap
+
+    leak = " ".join(f"t{i}" for i in range(12))  # 12-token shared span
+    train = spark.createDataFrame(
+        [(1, leak + " tail tail tail"), (2, "totally unrelated words only")],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, "prefix words " + leak)], ["doc_id", "text"]
+    )
+    rows = cross_corpus_overlap(train, ev, "doc_id", "text", k=8).collect()
+    assert len(rows) == 1 and rows[0].doc_id == 1
+    # 12-token span → 5 distinct 8-grams shared, 1 eval doc
+    assert rows[0].n_overlap_shingles == 5 and rows[0].n_eval_docs == 1
+
+
+def test_export_shards_deterministic_partition_of_corpus(spark):
+    from gaming_ai_analytics_spark.queries_traindata import q_export_shards
+
+    rows = q_export_shards(spark, SF).collect()
+    again = q_export_shards(spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.seq)
+    assert set(by_shard) <= set(range(8))
+    for seqs in by_shard.values():  # dense 1..n per shard
+        assert sorted(seqs) == list(range(1, len(seqs) + 1))
+
+
 def test_tf_idf_no_driver_action_for_corpus_size(spark, monkeypatch):
     """N comes from a broadcast 1-row aggregate, never df.count()."""
     from pyspark.sql import DataFrame
