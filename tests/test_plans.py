@@ -102,3 +102,48 @@ def test_topk_similar_has_no_per_probe_reducer_funnel(spark, sf_dir):
     assert plan.count("row_number()") >= 2
     win_lines = [ln for ln in plan.splitlines() if "row_number()" in ln]
     assert any("_bkt" in ln for ln in win_lines), win_lines
+
+
+def test_pii_redact_is_map_only_codegen(spark, sf_dir):
+    """PII scrub: pure regexp_replace chain — no exchange, no Python."""
+    from gaming_ai_analytics_spark.queries_traindata import q_pii_redact
+
+    plan = _plan(q_pii_redact(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_repetition_never_shuffles_the_corpus(spark, sf_dir):
+    """Repetition metrics fold per row (sorted-array run length) — the
+    only allowed exchange is the small-scan round-robin widening,
+    never a hash partitioning or aggregate."""
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_quality_repetition,
+    )
+
+    plan = _plan(q_quality_repetition(spark, sf_dir))
+    assert "Aggregate" not in plan
+    assert "hashpartitioning" not in plan
+
+
+def test_decontamination_broadcasts_eval_postings(spark, sf_dir):
+    """The train postings must join the (tiny) eval side broadcast —
+    the train corpus itself never hash-shuffles for the join; the only
+    hash exchange is the per-doc overlap aggregation AFTER the join
+    has pruned to contaminated rows."""
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_decontaminate_eval_overlap,
+    )
+
+    plan = _plan(q_decontaminate_eval_overlap(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_export_shards_single_shuffle_on_shard_key(spark, sf_dir):
+    """Export layout = one hash exchange on the shard key + in-partition
+    sort — the repartition+sortWithinPartitions write shape."""
+    from gaming_ai_analytics_spark.queries_traindata import q_export_shards
+
+    plan = _plan(q_export_shards(spark, sf_dir))
+    assert plan.count("hashpartitioning") == 1
