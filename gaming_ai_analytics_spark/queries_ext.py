@@ -410,3 +410,92 @@ register(
                  ORDER BY o_totalprice, o_orderkey)
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# SCD type-2 dimension maintenance
+# --------------------------------------------------------------------------
+def q_scd2_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 apply over the customer dim: the update batch (derived
+    deterministically from the fixture) changes the segment for keys
+    ≡ 0 (mod 20), re-sends identical values for the other keys ≡ 0
+    (mod 10) — which must NOT version — and inserts brand-new keys
+    (custkey + 100000 for keys ≡ 0 mod 500). Exercises close+reopen,
+    no-op change detection, and fresh-insert in one result."""
+    from gaming_ai_analytics_spark.operators.scd import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("2020-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    upd_existing = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.when(F.col("c_custkey") % 20 == 0, F.lit("NEWSEG"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("2024-06-01").cast("date").alias("eff"),
+    )
+    upd_fresh = cust.filter(F.col("c_custkey") % 500 == 0).select(
+        (F.col("c_custkey") + 100000).alias("k"),
+        F.lit("FRESH").alias("segment"),
+        F.lit(0.0).alias("acctbal"),
+        F.lit("2024-06-01").cast("date").alias("eff"),
+    )
+    return scd2_apply(
+        dim,
+        upd_existing.unionByName(upd_fresh),
+        "k",
+        ["segment", "acctbal"],
+        "eff",
+    )
+
+
+register(
+    "scd2_customer_segment",
+    q_scd2_customer_segment,
+    """
+    WITH dim AS (
+      SELECT c_custkey AS k, c_mktsegment AS segment, c_acctbal AS acctbal,
+             DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+      FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey AS k,
+             CASE WHEN c_custkey % 20 = 0 THEN 'NEWSEG'
+                  ELSE c_mktsegment END AS segment,
+             c_acctbal AS acctbal, DATE '2024-06-01' AS eff
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 100000, 'FRESH', 0.0, DATE '2024-06-01'
+      FROM customer WHERE c_custkey % 500 = 0
+    ),
+    changed AS (
+      SELECT d.k, d.segment AS old_segment, d.acctbal AS old_acctbal,
+             d.valid_from, u.segment, u.acctbal, u.eff
+      FROM dim d JOIN upd u USING (k)
+      WHERE d.segment IS DISTINCT FROM u.segment
+         OR d.acctbal IS DISTINCT FROM u.acctbal
+    ),
+    unioned AS (
+      SELECT k, old_segment AS segment, old_acctbal AS acctbal,
+             valid_from, eff AS valid_to
+      FROM changed
+      UNION ALL
+      SELECT k, segment, acctbal, eff, NULL FROM changed
+      UNION ALL
+      SELECT u.k, u.segment, u.acctbal, u.eff, NULL
+      FROM upd u LEFT JOIN dim d USING (k) WHERE d.k IS NULL
+      UNION ALL
+      SELECT d.k, d.segment, d.acctbal, d.valid_from, d.valid_to
+      FROM dim d LEFT JOIN changed c USING (k) WHERE c.k IS NULL
+    )
+    SELECT k, segment, acctbal, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM unioned
+    """,
+)

@@ -62,3 +62,43 @@ def test_quality_gate_blocks_on_planted_dup(spark, sf_dir, cfg):
     store.save(Layers.FACT, "reviews", fact.limit(1), mode="append")  # plant dup
     with pytest.raises(QualityError):
         pl.run_quality(store)
+
+
+def test_scd2_apply_versions_nulls_and_keeps_history(spark):
+    """NULL→value / value→NULL transitions must version (null-safe
+    change detection), and pre-existing closed rows pass through."""
+    import datetime as dt
+
+    from gaming_ai_analytics_spark.operators.scd import scd2_apply
+
+    d = dt.date
+    current = spark.createDataFrame(
+        [
+            # key 1: one closed + one open version; update flips attr→NULL
+            (1, "a", d(2020, 1, 1), d(2021, 1, 1)),
+            (1, "b", d(2021, 1, 1), None),
+            # key 2: open with NULL attr; update sets a value
+            (2, None, d(2020, 1, 1), None),
+            # key 3: open, update re-sends identical value → no version
+            (3, "z", d(2020, 1, 1), None),
+        ],
+        "k int, attr string, valid_from date, valid_to date",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, None, d(2024, 6, 1)),
+            (2, "now-set", d(2024, 6, 1)),
+            (3, "z", d(2024, 6, 1)),
+        ],
+        "k int, attr string, eff date",
+    )
+    out = scd2_apply(current, updates, "k", ["attr"], "eff").collect()
+    rows = {(r.k, r.attr, r.valid_from, r.valid_to, r.is_current) for r in out}
+    assert rows == {
+        (1, "a", d(2020, 1, 1), d(2021, 1, 1), False),  # history kept
+        (1, "b", d(2021, 1, 1), d(2024, 6, 1), False),  # closed
+        (1, None, d(2024, 6, 1), None, True),  # value→NULL versioned
+        (2, None, d(2020, 1, 1), d(2024, 6, 1), False),  # NULL→value
+        (2, "now-set", d(2024, 6, 1), None, True),
+        (3, "z", d(2020, 1, 1), None, True),  # identical resend: no-op
+    }
