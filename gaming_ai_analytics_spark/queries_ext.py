@@ -499,3 +499,48 @@ register(
     FROM unioned
     """,
 )
+
+
+def q_jsonl_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format interop twin of csv_roundtrip_scan: land documents as
+    JSON-lines (the usual LLM-corpus interchange format), scan back
+    through sources.io.read_jsonl (schema-pinned, permissive — no
+    inference pass). A lossless round-trip hashes identically to the
+    parquet-backed oracle, proving the scan path."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from gaming_ai_analytics_spark.sources.io import read_jsonl
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select("doc_id", "lang", "n_chars", "text")
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"gaa_jsonl_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    docs.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    return read_jsonl(spark, path, schema)
+
+
+register(
+    "jsonl_roundtrip_scan",
+    q_jsonl_roundtrip_scan,
+    """
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, text
+    FROM documents
+    WHERE text IS NOT NULL AND LENGTH(text) > 0
+    """,
+)

@@ -136,6 +136,20 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType, **extra: str
+) -> DataFrame:
+    """Schema-pinned JSON-lines scan — the interchange format LLM
+    corpus drops usually arrive in. Like read_csv: NO inference pass
+    (a schema-less json read triggers a full extra scan of the data),
+    permissive mode so a corrupt line nulls instead of failing the
+    whole 100 TB job."""
+    reader = spark.read.schema(schema).option("mode", "PERMISSIVE")
+    for k, v in extra.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
 def discover_sources(raw_dir: str, suffix: str = ".csv") -> dict[str, str]:
     """S5 (auxillary_dims.py:34,48,59): landing-zone listing that drives
     the per-file dim dispatch — ``dbutils.fs.ls`` + filename split in

@@ -173,6 +173,44 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_append_idempotent(
+    stream_df: DataFrame,
+    store,
+    layer: str,
+    name: str,
+    key_col: str,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Streaming → table sink with exactly-once-by-key semantics:
+    ``foreachBatch`` anti-joins each micro-batch against the already-
+    landed table before appending (the streaming twin of the batch
+    pipeline's K2 incremental append, plans/pipeline.py). Idempotence
+    is carried by the KEY anti-join, not the checkpoint — a re-run
+    from scratch (lost checkpoint, replayed source) appends nothing
+    for keys already landed, which checkpoint-only exactly-once cannot
+    promise. Runs the bounded source to completion (availableNow)."""
+    from gaming_ai_analytics_spark.operators.joins import (
+        incremental_anti_join,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        new = batch_df
+        if store.exists(layer, name):
+            new = incremental_anti_join(
+                new, store.load(layer, name), key_col
+            )
+        store.save(layer, name, new, mode="append")
+
+    writer = stream_df.writeStream.foreachBatch(_sink).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.processAllAvailable()
+    q.stop()
+
+
 # --------------------------------------------------------------------------
 # streaming execution
 # --------------------------------------------------------------------------

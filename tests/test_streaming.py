@@ -81,3 +81,32 @@ def test_stateful_user_totals_matches_batch(spark):
     }
     assert got == want
     assert got
+
+
+def test_stream_append_idempotent_rerun_appends_nothing(spark, tmp_path):
+    """foreachBatch sink: first bounded run lands every event once;
+    a full re-run (fresh checkpoint — the worst case) appends 0 rows
+    because idempotence rides on the key anti-join, not the
+    checkpoint."""
+    from gaming_ai_analytics_spark.sources.io import TableStore
+    from gaming_ai_analytics_spark.streaming.events import (
+        stream_append_idempotent,
+        stream_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    store = TableStore(spark, str(tmp_path / "wh"))
+    n_events = spark.read.parquet(f"{sf}/events.parquet").count()
+
+    for run in range(2):
+        stream_append_idempotent(
+            stream_events(spark, sf).select("event_id", "user_id", "value"),
+            store,
+            "silver",
+            "events_landed",
+            "event_id",
+            checkpoint_dir=str(tmp_path / f"ckpt{run}"),  # fresh each run
+        )
+        landed = store.load("silver", "events_landed")
+        assert landed.count() == n_events, f"run {run}"
+        assert landed.select("event_id").distinct().count() == n_events
