@@ -1,0 +1,166 @@
+"""Product-analytics operators: funnel conversion, retention cohorts,
+per-group outlier detection.
+
+The reference's domain is gaming analytics (review facts + event
+exploration, ``/root/reference/src/exploration/analysis.sql:20-59``);
+these are the standard event-stream analyses a user of such a platform
+runs next, expressed shuffle-minimally:
+
+- :func:`funnel` — ordered multi-step conversion. ONE shuffle on the
+  user key; per-user step matching is a single codegen'd fold
+  (``aggregate``) over the time-sorted event array — no joins, no
+  window functions, no per-row Python. The per-user event array is
+  bounded (events-per-user, the same assumption every sessionizer
+  makes), so the fold's state is O(steps).
+- :func:`retention_cohorts` — first-seen cohort × day-offset active
+  users. ONE shuffle on the user key (min-date and distinct active
+  days come from the same aggregate), then a tiny (cohort, offset)
+  re-agg.
+- :func:`zscore_outliers` — |z| > t rows vs their group's mean/std.
+  The group stats aggregate is map-side partial + a broadcast join
+  back; deliberately NOT a ``Window.partitionBy(group)`` — with few
+  groups that window funnels the whole table through |groups|
+  reducers, the classic skew trap this engine avoids everywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: Sequence[str],
+    id_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel: a user reaches step *i* at the earliest event of
+    type ``steps[i]`` STRICTLY after their step *i-1* match (classic
+    greedy earliest-completion semantics — the matched times are the
+    minimal chain, so reach counts are maximal). Steps must be
+    distinct event types.
+
+    Returns one row per step: ``(step, event_type, n_users)``.
+    """
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct event types")
+    n = len(steps)
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    init = F.array(*[F.lit(None).cast("timestamp") for _ in steps])
+
+    def advance(acc: Column, ev: Column) -> Column:
+        # One event fills at most the single unmatched lane whose step
+        # name matches and whose predecessor matched strictly earlier.
+        # `transform` reads the pre-event acc for every lane, so a
+        # lane filled by THIS event never unlocks the next lane until
+        # a later event (ts-sorted input makes that the correct order).
+        def lane(m: Column, i: Column) -> Column:
+            prev_ok = F.when(i == 0, F.lit(True)).otherwise(
+                F.element_at(acc, i).isNotNull()
+                & (ev["t"] > F.element_at(acc, i))
+            )
+            return F.when(m.isNotNull(), m).otherwise(
+                F.when(
+                    (ev["e"] == F.element_at(steps_arr, i + 1)) & prev_ok,
+                    ev["t"],
+                )
+            )
+
+        return F.transform(acc, lane)
+
+    per_user = (
+        events.select(
+            F.col(id_col).alias("_id"),
+            F.struct(
+                F.col(ts_col).alias("t"), F.col(type_col).alias("e")
+            ).alias("_ev"),
+        )
+        .where(F.col(type_col).isin(list(steps)))  # scan-pushed prune
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_list("_ev")).alias("_evs"))
+        .select(F.aggregate(F.col("_evs"), init, advance).alias("_m"))
+    )
+    return (
+        per_user.select(F.posexplode("_m").alias("_i", "_t"))
+        .groupBy("_i")
+        .agg(F.count("_t").alias("n_users"))  # count skips nulls
+        .select(
+            (F.col("_i") + 1).cast("int").alias("step"),
+            F.element_at(steps_arr, F.col("_i") + 1).alias("event_type"),
+            "n_users",
+        )
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    offsets: Sequence[int] = (0, 1, 3, 7),
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: users grouped by first-seen date; for each
+    requested day offset, how many of the cohort were active exactly
+    that many days later. ``(cohort_day, day_offset, n_users)``.
+
+    Cohort date and distinct active days come from ONE aggregate on
+    the user key; a user contributes at most once per (cohort, offset)
+    via the distinct-day set (bounded by the calendar, not the event
+    volume — partial aggregation collapses duplicates map-side).
+    """
+    d = F.to_date(F.col(ts_col)).alias("_d")
+    per_user = (
+        events.select(F.col(id_col).alias("_id"), d)
+        .groupBy("_id")
+        .agg(
+            F.min("_d").alias("cohort_day"),
+            F.collect_set("_d").alias("_days"),
+        )
+    )
+    return (
+        per_user.select("cohort_day", F.explode("_days").alias("_day"))
+        .select(
+            "cohort_day",
+            F.datediff("_day", F.col("cohort_day")).alias("day_offset"),
+        )
+        .where(F.col("day_offset").isin(list(offsets)))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    threshold: float = 3.0,
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Rows whose value deviates more than ``threshold`` sample
+    standard deviations from their group mean. Output carries
+    ``keep_cols + group_cols + (value_col, zscore)``; ``zscore`` is
+    rounded to 6 dp for cross-engine float stability.
+
+    Group stats are a partial-aggregated groupBy broadcast-joined
+    back: the big side never shuffles and never funnels into
+    |groups| window reducers.
+    """
+    gcols = list(group_cols)
+    stats = df.groupBy(*gcols).agg(
+        F.avg(value_col).alias("_mu"),
+        F.stddev_samp(value_col).alias("_sd"),
+    )
+    z = (F.col(value_col) - F.col("_mu")) / F.col("_sd")
+    return (
+        df.join(F.broadcast(stats), gcols)
+        .where(F.abs(z) > threshold)
+        .select(
+            *keep_cols,
+            *gcols,
+            value_col,
+            F.round(z, 6).alias("zscore"),
+        )
+    )

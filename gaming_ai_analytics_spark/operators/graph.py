@@ -1,0 +1,98 @@
+"""Iterative graph operator: connected components over a pair list.
+
+Completes the dedup ladder (``operators/dedup.py``): the pair
+operators (exact Jaccard, MinHash-LSH, SimHash, embedding-LSH) emit
+*edges*; turning near-dup edges into keep/drop decisions needs the
+transitive closure — every document in a duplicate *cluster* mapped to
+one canonical id. That closure is a connected-components computation,
+genuinely iterative (not expressible as a fixed-depth SQL plan), so it
+runs as a driver-side loop of DataFrame steps — the standard hash-min
+label propagation used by GraphFrames/Pregel-style systems:
+
+    label(v) ← min(label(v), min over neighbors' labels), to fixpoint.
+
+Scale notes (100 TB): each sweep is one shuffle join (edges ⋈ labels
+on the src key) + one min-aggregate — both map-side combinable; rounds
+needed = graph diameter, and near-dup clusters are short-diameter
+blobs in practice (pairs within a cluster mostly all collide, so 2-4
+sweeps). State per round is materialized via ``localCheckpoint`` to
+truncate lineage — without it the plan doubles per iteration and the
+driver, not the data, becomes the bottleneck. For adversarial
+long-chain graphs swap the sweep for the large-star/small-star
+alternating rounds of Kiveris et al., "Connected Components in
+MapReduce and Beyond" (SOCC'14) — same O(log n) round bound, same
+join+min building blocks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node reachable through ``edges`` with the minimum
+    node id of its component. Returns ``(node, component)``, one row
+    per distinct node appearing in the edge list.
+
+    Runs hash-min sweeps until no label changes (checked with a
+    cheap ``limit(1).count`` existence probe — the one intentional
+    driver action per round) or ``max_iter`` is hit, whichever first.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    sym = e.union(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
+    # adjacency grouped once: one row per node with its neighbor list,
+    # reused every sweep without re-shuffling the edge list.
+    adj = (
+        sym.groupBy("_s")
+        .agg(F.collect_set("_d").alias("_nbrs"))
+        .localCheckpoint(eager=False)
+    )
+    labels = adj.select(F.col("_s").alias("node"), F.col("_s").alias("component"))
+
+    for _ in range(max_iter):
+        # neighbor labels: join on the node key, explode the (bounded)
+        # neighbor list, take the min incoming label per node.
+        incoming = (
+            adj.join(labels, adj["_s"] == labels["node"])
+            .select(F.explode("_nbrs").alias("node"), "component")
+            .groupBy("node")
+            .agg(F.min("component").alias("_in"))
+        )
+        updated = (
+            labels.join(incoming, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "component", F.coalesce("_in", "component")
+                ).alias("component"),
+                (F.coalesce("_in", "component") < F.col("component")).alias(
+                    "_chg"
+                ),
+            )
+            .localCheckpoint(eager=True)  # truncate per-round lineage
+        )
+        changed = updated.where("_chg").limit(1).count()
+        labels = updated.select("node", "component")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup pair list → ``(doc_id, cluster_id)`` with cluster_id =
+    min doc id of the connected component; the canonical survivor of
+    each cluster is the row where ``doc_id == cluster_id``."""
+    return connected_components(pairs, src, dst, max_iter).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )

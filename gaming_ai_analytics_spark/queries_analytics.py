@@ -1,0 +1,149 @@
+"""Product-analytics + graph queries: funnel, retention cohorts,
+outlier detection, dedup cluster assignment.
+
+The event-exploration side of the reference
+(``/root/reference/src/exploration/analysis.sql:20-59``) stops at
+grouped aggregates; these register the standard next-step analyses on
+the same ``events`` stream, each with a full DuckDB oracle — including
+the genuinely iterative connected-components operator, which DuckDB
+checks with a recursive CTE (transitive closure) while Spark runs
+hash-min label propagation (``operators/graph.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gaming_ai_analytics_spark.operators.analytics import (
+    funnel,
+    retention_cohorts,
+    zscore_outliers,
+)
+from gaming_ai_analytics_spark.operators.dedup import ngram_jaccard_pairs
+from gaming_ai_analytics_spark.operators.graph import dedup_clusters
+from gaming_ai_analytics_spark.queries_llm import _JACCARD_PAIRS_SQL
+from gaming_ai_analytics_spark.registry import register
+from gaming_ai_analytics_spark.sources.star import load_events, load_table
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase ordered funnel over the event stream."""
+    return funnel(load_events(spark, sf_dir), _FUNNEL_STEPS)
+
+
+register(
+    "funnel_conversion",
+    q_funnel_conversion,
+    # Greedy earliest-completion chain: step i's match time is the MIN
+    # event ts of that type strictly after the step i-1 match — exactly
+    # the fold semantics of operators/analytics.funnel.
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+    )
+    SELECT CAST(1 AS INTEGER) AS step, 'view' AS event_type,
+           (SELECT COUNT(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+    """,
+)
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen-date cohorts × day-{0,1,3,7} active-user counts."""
+    return retention_cohorts(load_events(spark, sf_dir), offsets=(0, 1, 3, 7))
+
+
+register(
+    "retention_cohorts",
+    q_retention_cohorts,
+    """
+    WITH per_user AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY 1
+    ),
+    act AS (
+      SELECT DISTINCT e.user_id, p.cohort_day,
+             CAST(date_diff('day', p.cohort_day, CAST(e.ts AS DATE))
+                  AS INTEGER) AS day_offset
+      FROM events e JOIN per_user p ON e.user_id = p.user_id
+    )
+    SELECT cohort_day, day_offset, COUNT(*) AS n_users
+    FROM act WHERE day_offset IN (0, 1, 3, 7) GROUP BY 1, 2
+    """,
+)
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value is >3σ from their event-type mean."""
+    return zscore_outliers(
+        load_events(spark, sf_dir),
+        value_col="value",
+        group_cols=["event_type"],
+        threshold=3.0,
+        keep_cols=["event_id"],
+    )
+
+
+register(
+    "anomaly_zscore",
+    q_anomaly_zscore,
+    """
+    WITH stats AS (
+      SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - mu) / sd, 6) AS zscore
+    FROM events e JOIN stats USING (event_type)
+    WHERE ABS((e.value - mu) / sd) > 3.0
+    """,
+)
+
+
+def q_dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → transitive clusters: every clustered doc
+    labeled with its component's min doc_id (the canonical survivor).
+    Spark: iterative hash-min propagation; oracle: recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    return dedup_clusters(pairs, "id_a", "id_b")
+
+
+register(
+    "dedup_cluster_assign",
+    q_dedup_cluster_assign,
+    # Transitive closure over the symmetric near-dup edge set; cluster
+    # id = LEAST(own id, min reachable id). Reuses the exact-Jaccard
+    # pair SQL (the oracle of dedup_ngram_jaccard) as the edge source.
+    f"""
+    WITH RECURSIVE p AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM p
+      UNION
+      SELECT id_b, id_a FROM p
+    ),
+    reach AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    )
+    SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+    FROM reach GROUP BY s
+    """,
+)

@@ -49,6 +49,7 @@ def _load_all() -> None:
     from gaming_ai_analytics_spark import queries_llm  # noqa: F401
     from gaming_ai_analytics_spark import queries_stream  # noqa: F401
     from gaming_ai_analytics_spark import queries_traindata  # noqa: F401
+    from gaming_ai_analytics_spark import queries_analytics  # noqa: F401
 
 
 _load_all()

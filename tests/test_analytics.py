@@ -1,0 +1,123 @@
+"""Product-analytics + graph operator tests: funnel semantics,
+retention cohorts, z-score outliers, connected components."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from gaming_ai_analytics_spark.operators.analytics import (
+    funnel,
+    retention_cohorts,
+    zscore_outliers,
+)
+from gaming_ai_analytics_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 12, minute)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+
+
+def test_funnel_ordered_matching(spark):
+    ev = _events(
+        spark,
+        [
+            # u1 completes in order
+            (1, "view", _ts(0)),
+            (1, "click", _ts(1)),
+            (1, "purchase", _ts(2)),
+            # u2: purchase BEFORE click → only steps 1-2 reached
+            (2, "view", _ts(0)),
+            (2, "purchase", _ts(1)),
+            (2, "click", _ts(2)),
+            # u3: click only, no view → reaches nothing
+            (3, "click", _ts(0)),
+        ],
+    )
+    out = {
+        r.step: (r.event_type, r.n_users)
+        for r in funnel(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert out == {1: ("view", 2), 2: ("click", 2), 3: ("purchase", 1)}
+
+
+def test_funnel_requires_strictly_later_event(spark):
+    # click at the SAME timestamp as view must not advance the funnel
+    ev = _events(spark, [(1, "view", _ts(0)), (1, "click", _ts(0))])
+    out = {r.step: r.n_users for r in funnel(ev, ["view", "click"]).collect()}
+    assert out == {1: 1, 2: 0}
+
+
+def test_funnel_reuses_earliest_chain(spark):
+    # view@0, click@1, view@5: the match chain uses view@0 (earliest),
+    # so click@1 counts even though a later view exists.
+    ev = _events(
+        spark,
+        [(1, "view", _ts(0)), (1, "click", _ts(1)), (1, "view", _ts(5))],
+    )
+    out = {r.step: r.n_users for r in funnel(ev, ["view", "click"]).collect()}
+    assert out == {1: 1, 2: 1}
+
+
+def test_retention_cohorts_counts_each_user_once_per_day(spark):
+    d0, d1 = dt.datetime(2024, 1, 1, 8), dt.datetime(2024, 1, 2, 9)
+    ev = _events(
+        spark,
+        [
+            (1, "view", d0),
+            (1, "view", d0.replace(hour=22)),  # same day, same user
+            (1, "click", d1),
+            (2, "view", d1),  # second cohort, day 0 only
+        ],
+    )
+    rows = {
+        (str(r.cohort_day), r.day_offset): r.n_users
+        for r in retention_cohorts(ev, offsets=(0, 1)).collect()
+    }
+    assert rows == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 1): 1,
+        ("2024-01-02", 0): 1,
+    }
+
+
+def test_zscore_outliers_flags_only_extremes(spark):
+    rows = [(i, "a", 10.0) for i in range(20)] + [(99, "a", 1000.0)]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    out = zscore_outliers(
+        df, "value", ["event_type"], threshold=3.0, keep_cols=["event_id"]
+    ).collect()
+    assert [r.event_id for r in out] == [99]
+    assert out[0].zscore > 3.0
+
+
+def test_connected_components_labels_min_id(spark):
+    # components {1,2,3} (chain), {10,11}, and 3-4 bridges the chain
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    out = {r.node: r.component for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # 0-1-2-...-9: worst-case diameter for hash-min propagation
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["id_a", "id_b"]
+    )
+    out = {r.node: r.component for r in connected_components(edges).collect()}
+    assert out == {i: 0 for i in range(10)}
+
+
+def test_dedup_clusters_canonical_is_min_doc(spark):
+    pairs = spark.createDataFrame([(7, 3), (3, 5)], ["id_a", "id_b"])
+    out = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert out == {3: 3, 5: 3, 7: 3}
