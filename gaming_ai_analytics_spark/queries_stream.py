@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from gaming_ai_analytics_spark.registry import register
 from gaming_ai_analytics_spark.sources.star import load_events, load_table
 from gaming_ai_analytics_spark.streaming.events import (
+    dedupe_keys,
     run_stream_to_memory,
     segment_totals,
     session_windows,
@@ -25,6 +26,7 @@ from gaming_ai_analytics_spark.streaming.events import (
     stream_events,
     streaming_tumbling_hourly,
     tumbling_hourly,
+    view_to_purchase_pairs,
 )
 
 _TUMBLING_ORACLE = """
@@ -169,6 +171,55 @@ def q_events_streaming_static_join(
     ev = stream_events(spark, sf_dir)
     dim = load_table(spark, sf_dir, "customer")
     return run_stream_to_memory(segment_totals(ev, dim), spark)
+
+
+def q_events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True stream-stream join: one readStream source self-joined
+    (views ⋈ purchases per user within 30 minutes), watermarked on
+    both sides so interval state expires; append-mode memory sink.
+    Inner matches emit as they occur, so the bounded run produces
+    exactly the batch join result."""
+    ev = stream_events(spark, sf_dir)
+    v = ev.where(F.col("event_type") == "view").withWatermark("ts", "1 hour")
+    p = ev.where(F.col("event_type") == "purchase").withWatermark(
+        "ts", "1 hour"
+    )
+    return run_stream_to_memory(
+        view_to_purchase_pairs(v, p, horizon="30 minutes"),
+        spark,
+        output_mode="append",
+    )
+
+
+register(
+    "events_stream_stream_join",
+    q_events_stream_stream_join,
+    """
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '30 minutes'
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+)
+
+
+def q_events_streaming_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: first-seen-wins state per
+    (user_id, event_type); emitting only the key tuple makes the
+    result order-independent and equal to batch DISTINCT."""
+    return run_stream_to_memory(
+        dedupe_keys(stream_events(spark, sf_dir), ["user_id", "event_type"]),
+        spark,
+        output_mode="append",
+    )
+
+
+register(
+    "events_streaming_dedupe",
+    q_events_streaming_dedupe,
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
 
 
 register(

@@ -117,6 +117,45 @@ def segment_totals(events: DataFrame, customer_dim: DataFrame) -> DataFrame:
     )
 
 
+def view_to_purchase_pairs(
+    views: DataFrame, purchases: DataFrame, horizon: str = "30 minutes"
+) -> DataFrame:
+    """Time-interval equi-join: every (view, purchase) pair for the
+    same user where the purchase lands within ``horizon`` after the
+    view — attribution's core primitive. Works on batch frames AND as
+    a stream-stream join: with event-time watermarks on both inputs
+    the interval condition lets the engine expire join state once the
+    watermark passes ``view_ts + horizon`` (unbounded state otherwise);
+    inner-join matches emit as they occur, so append mode streams
+    results incrementally."""
+    v = views.select(
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("_pu"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return v.join(
+        p,
+        (v["user_id"] == p["_pu"])
+        & (p["purchase_ts"] >= v["view_ts"])
+        & (p["purchase_ts"] <= v["view_ts"] + F.expr(f"INTERVAL {horizon}")),
+    ).select("user_id", "view_id", "purchase_id")
+
+
+def dedupe_keys(events: DataFrame, keys: list[str]) -> DataFrame:
+    """Streaming deduplication: first-seen wins per key tuple; output
+    is the key set itself, so the result is order-independent. State
+    is one entry per distinct key (bounded by key cardinality, not
+    event rate); pair with ``withWatermark`` +
+    ``dropDuplicatesWithinWatermark`` when keys can recur forever and
+    only near-time duplicates matter."""
+    return events.dropDuplicates(keys).select(*keys)
+
+
 # --------------------------------------------------------------------------
 # custom stateful operator (applyInPandasWithState)
 # --------------------------------------------------------------------------

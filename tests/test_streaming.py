@@ -110,3 +110,44 @@ def test_stream_append_idempotent_rerun_appends_nothing(spark, tmp_path):
         landed = store.load("silver", "events_landed")
         assert landed.count() == n_events, f"run {run}"
         assert landed.select("event_id").distinct().count() == n_events
+
+
+def test_view_to_purchase_pairs_interval_bounds(spark):
+    import datetime as dt
+
+    def ts(minute):
+        return dt.datetime(2024, 1, 1, 12, minute)
+
+    rows = [
+        (1, 10, "view", ts(0)),
+        (1, 20, "purchase", ts(0)),   # same instant: included (>=)
+        (1, 21, "purchase", ts(30)),  # boundary: included (<=)
+        (1, 22, "purchase", ts(31)),  # past horizon: excluded
+        (2, 23, "purchase", ts(5)),   # other user: excluded
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_id", "event_type", "ts"])
+    from gaming_ai_analytics_spark.streaming.events import view_to_purchase_pairs
+
+    got = {
+        (r.view_id, r.purchase_id)
+        for r in view_to_purchase_pairs(
+            ev.where("event_type = 'view'"),
+            ev.where("event_type = 'purchase'"),
+            horizon="30 minutes",
+        ).collect()
+    }
+    assert got == {(10, 20), (10, 21)}
+
+
+def test_streaming_dedupe_matches_batch_distinct(spark):
+    from gaming_ai_analytics_spark.registry import queries
+
+    sf = "/root/testdata/sf0.001"
+    got = queries()["events_streaming_dedupe"](spark, sf)
+    expect = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    assert got.count() == expect.count()
+    assert got.exceptAll(expect).count() == 0
