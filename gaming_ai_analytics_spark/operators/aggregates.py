@@ -65,6 +65,55 @@ def median_exact_arrow(col: str | Column, ndigits: int = 2) -> Column:
     return F.round(_median(F.col(col) if isinstance(col, str) else col), ndigits)
 
 
+def merge_partial_aggs(
+    stored: DataFrame,
+    fresh: DataFrame,
+    keys: list[str],
+    count_col: str,
+    sum_col: str,
+) -> DataFrame:
+    """Incremental aggregate maintenance: combine an already-stored
+    (count, sum) aggregate table with the same aggregate over a new
+    batch — the mergeable-state pattern that keeps 100 TB rollups
+    incremental (re-aggregate only the delta, merge O(|groups|) rows)
+    instead of recomputing from all history. Full-outer on the group
+    key (join-key columns coalesce under USING semantics); absent
+    groups count as zero. AVG derives as merged sum/count; for
+    percentile/distinct maintenance use the mergeable sketches in
+    :func:`median_approx` / ``approx_count_distinct``."""
+    zero = F.lit(0)
+    merged = stored.alias("a").join(fresh.alias("b"), keys, "full")
+    return merged.select(
+        *keys,
+        (
+            F.coalesce(F.col(f"a.{count_col}"), zero)
+            + F.coalesce(F.col(f"b.{count_col}"), zero)
+        ).alias(count_col),
+        (
+            F.coalesce(F.col(f"a.{sum_col}"), F.lit(0.0))
+            + F.coalesce(F.col(f"b.{sum_col}"), F.lit(0.0))
+        ).alias(sum_col),
+    )
+
+
+def latest_per_key(
+    df: DataFrame, keys: list[str], order_col: str, payload_col: str
+) -> DataFrame:
+    """Latest-snapshot read: for each key, the ``payload_col`` of the
+    row with the greatest ``(order_col, payload_col)`` — the struct
+    max makes ties deterministic. One partial-aggregated shuffle;
+    deliberately NOT a row_number window (which would sort every
+    group) — max is O(1) state per group and merges map-side."""
+    m = F.max(F.struct(order_col, payload_col)).alias("_m")
+    return (
+        df.groupBy(*keys)
+        .agg(m)
+        .select(
+            *keys, F.col(f"_m.{payload_col}").alias(f"last_{payload_col}")
+        )
+    )
+
+
 def duplicate_keys(df: DataFrame, keys: list[str]) -> DataFrame:
     """A8 (data_quality.py:25-29 ``is_unique``): keys appearing more
     than once. groupBy + HAVING — one shuffle on the key, partial

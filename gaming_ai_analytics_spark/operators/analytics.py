@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -129,6 +129,36 @@ def retention_cohorts(
         .where(F.col("day_offset").isin(list(offsets)))
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def rolling_time_sum(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    ts_col: str = "ts",
+    window_seconds: int = 7 * 86400,
+    out_cols: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Per-key rolling sum over a TIME range (not a row count): for
+    each row, the sum of ``value_col`` across the key's rows in the
+    trailing ``window_seconds`` — the time-decayed activity feature
+    (7-day spend, 30-day usage) row-count frames can't express.
+
+    The frame is a RANGE window over the epoch SECOND (timestamp cast
+    to long truncates sub-second), so engines at different sub-second
+    precisions agree exactly; same-second rows are frame peers. The
+    window partitions by the entity key — per-entity state, the one
+    shuffle any per-entity timeline computation needs.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).cast("long"))
+        .rangeBetween(-window_seconds, 0)
+    )
+    return df.select(
+        *out_cols,
+        F.round(F.sum(value_col).over(w), 2).alias("rolling_sum"),
     )
 
 

@@ -14,9 +14,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
+from gaming_ai_analytics_spark.operators.aggregates import (
+    latest_per_key,
+    merge_partial_aggs,
+)
 from gaming_ai_analytics_spark.operators.analytics import (
     funnel,
     retention_cohorts,
+    rolling_time_sum,
     zscore_outliers,
 )
 from gaming_ai_analytics_spark.operators.dedup import ngram_jaccard_pairs
@@ -112,6 +119,97 @@ register(
            ROUND((e.value - mu) / sd, 6) AS zscore
     FROM events e JOIN stats USING (event_type)
     WHERE ABS((e.value - mu) / sd) > 3.0
+    """,
+)
+
+
+def q_window_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day per-user spend for every event (time-RANGE
+    window frame, not a row-count frame)."""
+    return rolling_time_sum(
+        load_events(spark, sf_dir),
+        value_col="value",
+        key_col="user_id",
+        window_seconds=7 * 86400,
+        out_cols=("event_id",),
+    )
+
+
+register(
+    "window_rolling_7d",
+    q_window_rolling_7d,
+    # Both engines frame over the truncated epoch second (FLOOR(epoch)
+    # == Spark's timestamp→long cast), so sub-second precision
+    # differences (ns parquet vs µs Spark) cannot shift the frame.
+    """
+    SELECT event_id, ROUND(SUM(value) OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2
+           ) AS rolling_sum
+    FROM events
+    """,
+)
+
+
+def q_agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: aggregate two disjoint
+    halves of lineitem independently (stored table + new batch), then
+    merge the partial (count, sum) states — result equals the
+    one-shot aggregate, which is what the oracle computes."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def half(i: int) -> DataFrame:
+        return (
+            li.where(F.pmod(F.xxhash64("l_orderkey"), F.lit(2)) == i)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("l_quantity").alias("_sum_qty"),
+            )
+        )
+
+    return merge_partial_aggs(
+        half(0), half(1), ["l_returnflag"], "n_rows", "_sum_qty"
+    ).select(
+        "l_returnflag", "n_rows", F.round("_sum_qty", 2).alias("sum_qty")
+    )
+
+
+register(
+    "agg_incremental_merge",
+    q_agg_incremental_merge,
+    """
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY 1
+    """,
+)
+
+
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-snapshot read: each user's most recent event id (struct
+    max — no per-group sort, deterministic tie-break on event_id)."""
+    return latest_per_key(
+        load_events(spark, sf_dir), ["user_id"], "ts", "event_id"
+    )
+
+
+register(
+    "latest_event_per_user",
+    q_latest_event_per_user,
+    # date_trunc to µs aligns DuckDB's ns precision with Spark's µs;
+    # max event_id among max-ts peers == Spark's (ts, event_id)
+    # struct max.
+    """
+    WITH t AS (
+      SELECT user_id, date_trunc('microseconds', ts) AS mts, event_id
+      FROM events
+    ),
+    m AS (SELECT user_id, MAX(mts) AS mt FROM t GROUP BY 1)
+    SELECT t.user_id, MAX(t.event_id) AS last_event_id
+    FROM t JOIN m ON t.user_id = m.user_id AND t.mts = m.mt
+    GROUP BY 1
     """,
 )
 

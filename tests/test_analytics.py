@@ -121,3 +121,51 @@ def test_dedup_clusters_canonical_is_min_doc(spark):
     pairs = spark.createDataFrame([(7, 3), (3, 5)], ["id_a", "id_b"])
     out = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
     assert out == {3: 3, 5: 3, 7: 3}
+
+
+def test_rolling_time_sum_window_bounds(spark):
+    from gaming_ai_analytics_spark.operators.analytics import rolling_time_sum
+
+    base = dt.datetime(2024, 1, 10, 12)
+    rows = [
+        (1, 1, base - dt.timedelta(days=8), 100.0),  # outside 7d of row 3
+        (1, 2, base - dt.timedelta(days=3), 10.0),
+        (1, 3, base, 1.0),
+        (2, 4, base, 5.0),  # other user isolated
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "value"])
+    out = {
+        r.event_id: r.rolling_sum
+        for r in rolling_time_sum(
+            df, "value", "user_id", out_cols=("event_id",)
+        ).collect()
+    }
+    # row 1 (day -8) is 5 days before row 2 → inside ITS window, but
+    # 8 days before row 3 → outside row 3's window
+    assert out == {1: 100.0, 2: 110.0, 3: 11.0, 4: 5.0}
+
+
+def test_merge_partial_aggs_equals_one_shot(spark):
+    from gaming_ai_analytics_spark.operators.aggregates import (
+        merge_partial_aggs,
+    )
+
+    a = spark.createDataFrame([("x", 2, 10.0), ("y", 1, 5.0)], ["k", "n", "s"])
+    b = spark.createDataFrame([("x", 3, 7.0), ("z", 4, 2.0)], ["k", "n", "s"])
+    got = {
+        r.k: (r.n, r.s)
+        for r in merge_partial_aggs(a, b, ["k"], "n", "s").collect()
+    }
+    assert got == {"x": (5, 17.0), "y": (1, 5.0), "z": (4, 2.0)}
+
+
+def test_latest_per_key_tie_breaks_on_payload(spark):
+    from gaming_ai_analytics_spark.operators.aggregates import latest_per_key
+
+    t = dt.datetime(2024, 1, 1, 12)
+    df = spark.createDataFrame(
+        [(1, t, 7), (1, t, 9), (1, t - dt.timedelta(hours=1), 99)],
+        ["user_id", "ts", "event_id"],
+    )
+    out = latest_per_key(df, ["user_id"], "ts", "event_id").collect()
+    assert [(r.user_id, r.last_event_id) for r in out] == [(1, 9)]
