@@ -102,8 +102,11 @@ def latest_per_key(
     """Latest-snapshot read: for each key, the ``payload_col`` of the
     row with the greatest ``(order_col, payload_col)`` — the struct
     max makes ties deterministic. One partial-aggregated shuffle;
-    deliberately NOT a row_number window (which would sort every
-    group) — max is O(1) state per group and merges map-side."""
+    deliberately NOT a row_number window: the exchange carries one
+    row per (partition, key), not every input row. Struct buffers
+    aren't hash-aggregable, so Spark plans a partial SortAggregate
+    (per-partition sort on the key) — still O(1) state per group and
+    map-side merged."""
     m = F.max(F.struct(order_col, payload_col)).alias("_m")
     return (
         df.groupBy(*keys)

@@ -147,3 +147,52 @@ def test_export_shards_single_shuffle_on_shard_key(spark, sf_dir):
 
     plan = _plan(q_export_shards(spark, sf_dir))
     assert plan.count("hashpartitioning") == 1
+
+
+def test_funnel_single_user_shuffle_no_join(spark, sf_dir):
+    """The funnel fold must be one user-key shuffle: no joins, no
+    window sorts, and the step-match filter pushed to the scan."""
+    from gaming_ai_analytics_spark.queries_analytics import (
+        q_funnel_conversion,
+    )
+
+    plan = _plan(q_funnel_conversion(spark, sf_dir))
+    assert "Join" not in plan  # matching is a fold, not a self-join
+    assert "Window" not in plan
+    formatted = _formatted(q_funnel_conversion(spark, sf_dir))
+    assert "PushedFilters" in formatted and "In(event_type" in formatted
+
+
+def test_zscore_broadcasts_stats_no_group_window(spark, sf_dir):
+    """Group stats join back via broadcast; the big side must not
+    funnel through a Window.partitionBy(event_type)."""
+    from gaming_ai_analytics_spark.queries_analytics import q_anomaly_zscore
+
+    plan = _plan(q_anomaly_zscore(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_rolling_window_uses_range_frame(spark, sf_dir):
+    from gaming_ai_analytics_spark.queries_analytics import (
+        q_window_rolling_7d,
+    )
+
+    plan = _plan(q_window_rolling_7d(spark, sf_dir))
+    assert "RangeFrame" in plan and "-604800" in plan
+
+
+def test_latest_per_key_is_partial_max_not_window(spark, sf_dir):
+    """Latest-snapshot must be a partial-aggregated max, never a
+    row_number window (which sorts every group)."""
+    from gaming_ai_analytics_spark.queries_analytics import (
+        q_latest_event_per_user,
+    )
+
+    plan = _plan(q_latest_event_per_user(spark, sf_dir))
+    # struct max compiles to a SortAggregate (struct buffers aren't
+    # hash-aggregable) — still partial/map-side, so the exchange
+    # carries one row per (partition, key), unlike a window plan
+    # which would shuffle every input row.
+    assert "partial_max" in plan
+    assert "Window" not in plan
