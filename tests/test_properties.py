@@ -143,3 +143,53 @@ def test_dot_many_pandas_matches_expression(spark, sf_dir):
     for ra in a:
         kb = b[ra.vec_id]
         assert np.allclose([ra[f"d{i}"] for i in range(8)], kb, atol=1e-9)
+
+
+def test_funnel_matches_pure_python_reference(spark):
+    """The funnel fold must agree with a straightforward sequential
+    reference on a deterministic pseudo-random event corpus (many
+    users, shuffled arrival order, duplicate timestamps)."""
+    import datetime as dt
+
+    from gaming_ai_analytics_spark.operators.analytics import funnel
+
+    steps = ["view", "click", "purchase"]
+    types = ["view", "click", "purchase", "error"]
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(40):
+        for k in range(12):
+            # deterministic LCG-ish mix; duplicate minutes on purpose
+            h = (u * 2654435761 + k * 40503) % 2**16
+            rows.append(
+                (
+                    u,
+                    types[h % 4],
+                    base + dt.timedelta(minutes=(h // 4) % 97),
+                )
+            )
+    # reference: greedy earliest chain per user over ts-sorted events
+    # (ties broken by event_type to mirror the fold's array_sort)
+    reached = {s: 0 for s in steps}
+    by_user: dict[int, list] = {}
+    for u, et, ts in rows:
+        by_user.setdefault(u, []).append((ts, et))
+    for evs in by_user.values():
+        evs.sort()
+        matched = [None] * len(steps)
+        for ts, et in evs:
+            for i, s in enumerate(steps):
+                if (
+                    matched[i] is None
+                    and et == s
+                    and (i == 0 or (matched[i - 1] is not None and ts > matched[i - 1]))
+                ):
+                    matched[i] = ts
+                    break
+        for i, m in enumerate(matched):
+            if m is not None:
+                reached[steps[i]] += 1
+
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    got = {r.event_type: r.n_users for r in funnel(df, steps).collect()}
+    assert got == reached
