@@ -162,6 +162,72 @@ def rolling_time_sum(
     )
 
 
+def gap_fill_daily_counts(
+    df: DataFrame,
+    cat_col: str,
+    ts_col: str,
+    cond: Column,
+    count_alias: str = "n_events",
+) -> DataFrame:
+    """Time-series gap filling: daily counts of rows matching ``cond``
+    per category, densified over a complete date spine (category ×
+    every day in the data's range) with absent days as 0 — the shape
+    chart/forecast consumers need (a groupBy alone silently drops
+    empty days).
+
+    The spine is built engine-side: a 1-row min/max bounds aggregate
+    cross-joined (broadcast) onto the distinct categories, then
+    ``sequence()`` exploded — no driver action, no collected bounds.
+    Spine size is |categories|·|days| (calendar-bounded, tiny); the
+    left join broadcasts nothing big.
+    """
+    d = F.to_date(F.col(ts_col))
+    bounds = df.agg(F.min(d).alias("_lo"), F.max(d).alias("_hi"))
+    spine = (
+        df.select(cat_col)
+        .distinct()
+        .join(F.broadcast(bounds))
+        .select(
+            cat_col, F.explode(F.sequence("_lo", "_hi")).alias("day")
+        )
+    )
+    daily = (
+        df.where(cond)
+        .groupBy(F.col(cat_col), d.alias("day"))
+        .agg(F.count(F.lit(1)).alias(count_alias))
+    )
+    return spine.join(daily, [cat_col, "day"], "left").select(
+        cat_col,
+        "day",
+        F.coalesce(count_alias, F.lit(0)).alias(count_alias),
+    )
+
+
+def forward_fill(
+    df: DataFrame,
+    value: Column,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    out_cols: Sequence[str],
+    alias: str = "filled",
+) -> DataFrame:
+    """Per-key forward fill (last observation carried forward): each
+    row gets the most recent non-null ``value`` at or before it in
+    ``order_cols`` order. ``last(..., ignorenulls) OVER (ROWS
+    UNBOUNDED PRECEDING)`` — one per-entity window, O(1) running
+    state, no self-join. Make ``order_cols`` a total order (e.g.
+    ``(ts, id)``) or fill results are tie-order dependent.
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.select(
+        *out_cols, F.last(value, ignorenulls=True).over(w).alias(alias)
+    )
+
+
 def zscore_outliers(
     df: DataFrame,
     value_col: str,

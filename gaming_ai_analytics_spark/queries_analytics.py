@@ -21,7 +21,9 @@ from gaming_ai_analytics_spark.operators.aggregates import (
     merge_partial_aggs,
 )
 from gaming_ai_analytics_spark.operators.analytics import (
+    forward_fill,
     funnel,
+    gap_fill_daily_counts,
     retention_cohorts,
     rolling_time_sum,
     zscore_outliers,
@@ -210,6 +212,74 @@ register(
     SELECT t.user_id, MAX(t.event_id) AS last_event_id
     FROM t JOIN m ON t.user_id = m.user_id AND t.mts = m.mt
     GROUP BY 1
+    """,
+)
+
+
+def q_timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily high-value (>200) event counts per type, densified over
+    the full date range with zero-filled gaps."""
+    return gap_fill_daily_counts(
+        load_events(spark, sf_dir),
+        cat_col="event_type",
+        ts_col="ts",
+        cond=F.col("value") > 200,
+    )
+
+
+register(
+    "timeseries_gap_fill",
+    q_timeseries_gap_fill,
+    """
+    WITH b AS (
+      SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT t.event_type, d.day
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE
+              AS day FROM b) d
+    ),
+    daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events WHERE value > 200 GROUP BY 1, 2
+    )
+    SELECT s.event_type, s.day, COALESCE(n, 0) AS n_events
+    FROM spine s LEFT JOIN daily d
+      ON s.event_type = d.event_type AND s.day = d.day
+    """,
+)
+
+
+def q_window_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward: each event carries its user's
+    most recent high-value (>200) reading. (ts, event_id) ordering
+    makes tie handling deterministic and engine-independent."""
+    ev = load_events(spark, sf_dir)
+    return forward_fill(
+        ev,
+        value=F.when(F.col("value") > 200, F.col("value")),
+        keys=("user_id",),
+        order_cols=("ts", "event_id"),
+        out_cols=("event_id",),
+        alias="last_spike_value",
+    )
+
+
+register(
+    "window_forward_fill",
+    q_window_forward_fill,
+    # date_trunc to µs aligns DuckDB's ns ordering with Spark's µs;
+    # event_id then breaks any remaining tie identically.
+    """
+    SELECT event_id,
+           LAST_VALUE(CASE WHEN value > 200 THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id
+                   ORDER BY date_trunc('microseconds', ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_spike_value
+    FROM events
     """,
 )
 

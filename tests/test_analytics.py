@@ -169,3 +169,56 @@ def test_latest_per_key_tie_breaks_on_payload(spark):
     )
     out = latest_per_key(df, ["user_id"], "ts", "event_id").collect()
     assert [(r.user_id, r.last_event_id) for r in out] == [(1, 9)]
+
+
+def test_gap_fill_emits_zero_days(spark):
+    from gaming_ai_analytics_spark.operators.analytics import (
+        gap_fill_daily_counts,
+    )
+
+    d = dt.datetime
+    rows = [
+        ("a", d(2024, 1, 1, 9), 10.0),
+        ("a", d(2024, 1, 3, 9), 10.0),  # Jan 2 is a gap for 'a'
+        ("b", d(2024, 1, 2, 9), 1.0),   # below cond → all-zero category
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    out = {
+        (r.event_type, str(r.day)): r.n_events
+        for r in gap_fill_daily_counts(
+            df, "event_type", "ts", F.col("value") > 5
+        ).collect()
+    }
+    assert out == {
+        ("a", "2024-01-01"): 1,
+        ("a", "2024-01-02"): 0,
+        ("a", "2024-01-03"): 1,
+        ("b", "2024-01-01"): 0,
+        ("b", "2024-01-02"): 0,
+        ("b", "2024-01-03"): 0,
+    }
+
+
+def test_forward_fill_carries_last_non_null(spark):
+    from gaming_ai_analytics_spark.operators.analytics import forward_fill
+
+    t = dt.datetime(2024, 1, 1, 12)
+    rows = [
+        (1, 1, t, 300.0),                      # spike
+        (1, 2, t + dt.timedelta(minutes=1), 5.0),
+        (1, 3, t + dt.timedelta(minutes=2), 400.0),
+        (1, 4, t + dt.timedelta(minutes=3), 5.0),
+        (2, 5, t, 5.0),                        # user 2: never spikes
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "value"])
+    out = {
+        r.event_id: r.filled
+        for r in forward_fill(
+            df,
+            value=F.when(F.col("value") > 200, F.col("value")),
+            keys=("user_id",),
+            order_cols=("ts", "event_id"),
+            out_cols=("event_id",),
+        ).collect()
+    }
+    assert out == {1: 300.0, 2: 300.0, 3: 400.0, 4: 400.0, 5: None}
