@@ -84,15 +84,21 @@ def funnel(
         .agg(F.array_sort(F.collect_list("_ev")).alias("_evs"))
         .select(F.aggregate(F.col("_evs"), init, advance).alias("_m"))
     )
-    return (
+    counts = (
         per_user.select(F.posexplode("_m").alias("_i", "_t"))
         .groupBy("_i")
-        .agg(F.count("_t").alias("n_users"))  # count skips nulls
-        .select(
-            (F.col("_i") + 1).cast("int").alias("step"),
-            F.element_at(steps_arr, F.col("_i") + 1).alias("event_type"),
-            "n_users",
-        )
+        .agg(F.count("_t").alias("_n"))  # count skips nulls
+    )
+    # left-join onto a literal step spine so every step row exists even
+    # when no user reaches it (or the input is empty) — SQL's scalar
+    # COUNT subqueries always produce a row per step; so must we.
+    spine = events.sparkSession.range(1).select(
+        F.posexplode(steps_arr).alias("_i", "event_type")
+    )
+    return spine.join(counts, "_i", "left").select(
+        (F.col("_i") + 1).cast("int").alias("step"),
+        "event_type",
+        F.coalesce("_n", F.lit(0)).alias("n_users"),
     )
 
 

@@ -222,3 +222,12 @@ def test_forward_fill_carries_last_non_null(spark):
         ).collect()
     }
     assert out == {1: 300.0, 2: 300.0, 3: 400.0, 4: 400.0, 5: None}
+
+
+def test_funnel_emits_all_steps_on_empty_input(spark):
+    ev = spark.createDataFrame([], "user_id long, event_type string, ts timestamp")
+    out = {
+        r.step: (r.event_type, r.n_users)
+        for r in funnel(ev, ["view", "click"]).collect()
+    }
+    assert out == {1: ("view", 0), 2: ("click", 0)}
