@@ -851,3 +851,62 @@ register(
     GROUP BY 1, 2
     """,
 )
+
+
+def q_window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-position window functions (first_value / nth_value /
+    cume_dist) over a unique (c_acctbal, c_custkey) order so results
+    are deterministic across engines. Completes the ranking-window
+    inventory next to row_number/ntile/percent_rank."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.first_value("c_custkey").over(w).alias("poorest_key"),
+        F.nth_value("c_custkey", 3).over(w).alias("third_key"),
+        F.round(F.cume_dist().over(w), 6).alias("balance_cume"),
+    )
+
+
+register(
+    "window_value_functions",
+    q_window_value_functions,
+    """
+    SELECT c_custkey, c_mktsegment,
+           FIRST_VALUE(c_custkey) OVER w AS poorest_key,
+           NTH_VALUE(c_custkey, 3) OVER w AS third_key,
+           ROUND(CUME_DIST() OVER w, 6) AS balance_cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal, c_custkey)
+    """,
+)
+
+
+def q_stat_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: Pearson correlation and sample
+    covariance (both single-pass, partial-aggregated moment sketches —
+    mergeable at any scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+    )
+
+
+register(
+    "stat_correlation",
+    q_stat_correlation,
+    """
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4)
+             AS qty_price_covar
+    FROM lineitem GROUP BY 1
+    """,
+)
