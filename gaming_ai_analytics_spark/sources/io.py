@@ -73,8 +73,10 @@ class TableStore:
         """utilities.py:34-39 (``table_exists``) without the
         SHOW TABLES + collect() round-trip."""
         p = self.path(layer, name)
+        # a partitioned table's top level holds key=value directories,
+        # not part- files — accept either layout
         return os.path.isdir(p) and any(
-            f.endswith(f".{self.fmt}") or f.startswith("part-")
+            f.endswith(f".{self.fmt}") or f.startswith("part-") or "=" in f
             for f in os.listdir(p)
         )
 

@@ -10,6 +10,7 @@ is multiline-quoted with embedded quotes and newlines
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from gaming_ai_analytics_spark.operators.parallelism import ensure_parallelism
@@ -125,3 +126,31 @@ def test_register_views_sql_path(spark, sf_dir):
     register_views(spark, sf_dir)
     n = spark.sql("SELECT count(*) AS n FROM region").first()["n"]
     assert n == 5
+
+
+def test_partitioned_save_prunes_partitions(spark, tmp_path):
+    """Hive-style partitioned layout: a filter on the partition column
+    must become a PartitionFilter (directories skipped at planning
+    time — the coarsest and cheapest pruning lever at 100 TB), and the
+    store must recognize the partitioned directory as an existing
+    table."""
+    from gaming_ai_analytics_spark.sources.io import TableStore
+    from gaming_ai_analytics_spark.sources.star import load_events
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    ev = load_events(spark, "/root/testdata/sf0.001").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    store.save("silver", "events_bydate", ev, partition_by=["event_date"])
+    assert store.exists("silver", "events_bydate")
+
+    back = store.load("silver", "events_bydate")
+    one_day = back.filter(F.col("event_date") == "2024-01-05")
+    jvm = spark._jvm
+    plan = jvm.PythonSQLUtils.explainString(
+        one_day._jdf.queryExecution(), "formatted"
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "event_date" in pf[0]  # pruned at the scan, not post-filter
+    expect = ev.filter(F.to_date("ts") == "2024-01-05").count()
+    assert one_day.count() == expect > 0
