@@ -57,12 +57,24 @@ class TableStore:
         df: DataFrame,
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
+        dynamic_partitions: bool = False,
     ) -> None:
         """utilities.py:20-23 (``save_data``). ``mode='append'`` is the
-        incremental fact sink (K2, reviews_fact.py:185-186)."""
+        incremental fact sink (K2, reviews_fact.py:185-186).
+
+        ``dynamic_partitions=True`` (with overwrite + ``partition_by``)
+        replaces ONLY the partitions present in ``df`` and leaves the
+        rest of the table untouched — the daily-batch refresh idiom:
+        a re-run of one day's cron (workflow.json:8-12 is a daily
+        schedule) rewrites that day's directory idempotently instead
+        of clobbering the whole table. Spark's static default would
+        truncate everything first.
+        """
         writer = df.write.format(self.fmt).mode(mode)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
+        if dynamic_partitions:
+            writer = writer.option("partitionOverwriteMode", "dynamic")
         writer.save(self.path(layer, name))
 
     def load(self, layer: str, name: str) -> DataFrame:

@@ -154,3 +154,34 @@ def test_partitioned_save_prunes_partitions(spark, tmp_path):
     assert pf and "event_date" in pf[0]  # pruned at the scan, not post-filter
     expect = ev.filter(F.to_date("ts") == "2024-01-05").count()
     assert one_day.count() == expect > 0
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched_days(spark, tmp_path):
+    """Daily-batch refresh: overwriting with one day's batch must
+    replace that day's partition only (dynamic mode), not truncate
+    the table (Spark's static default)."""
+    from gaming_ai_analytics_spark.sources.io import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    full = spark.createDataFrame(
+        [("2024-01-01", 1, 10.0), ("2024-01-01", 2, 20.0),
+         ("2024-01-02", 3, 30.0)],
+        ["day", "id", "v"],
+    )
+    store.save("silver", "daily", full, partition_by=["day"])
+
+    # re-run day 2 with corrected data
+    fixed = spark.createDataFrame([("2024-01-02", 3, 99.0)], ["day", "id", "v"])
+    store.save(
+        "silver", "daily", fixed,
+        mode="overwrite", partition_by=["day"], dynamic_partitions=True,
+    )
+    back = {  # partition values come back type-inferred (str → date)
+        (str(r.day), r.id): r.v
+        for r in store.load("silver", "daily").collect()
+    }
+    assert back == {
+        ("2024-01-01", 1): 10.0,   # untouched partition survives
+        ("2024-01-01", 2): 20.0,
+        ("2024-01-02", 3): 99.0,   # touched partition replaced
+    }
