@@ -95,8 +95,12 @@ def main() -> None:
 
     # DuckDB first, before the Spark JVM exists: measured in-process
     # after Spark, the resident JVM inflates DuckDB ~30% — that bias
-    # would flatter the Spark/DuckDB ratio, so avoid it.
-    duck_seq, duck_conc = duckdb_totals(sf_dir, registry.oracle_sql())
+    # would flatter the Spark/DuckDB ratio, so avoid it. Reference
+    # numbers are context; never let their failure cost the Spark run.
+    try:
+        duck_seq, duck_conc = duckdb_totals(sf_dir, registry.oracle_sql())
+    except Exception:
+        duck_seq = duck_conc = None
 
     spark = get_spark("bench")
     qs = registry.queries()

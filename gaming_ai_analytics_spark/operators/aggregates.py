@@ -117,6 +117,31 @@ def latest_per_key(
     )
 
 
+def hll_distinct_rollup(
+    df: DataFrame,
+    key_cols: list[str],
+    bucket_col: Column | str,
+    id_col: str,
+) -> DataFrame:
+    """Re-aggregatable distinct counting: build one HLL sketch per
+    (key, bucket) — the persistable form: land the level-1 frame as a
+    daily sketch table and any later rollup (week, month, all-time)
+    is a cheap sketch union over O(|keys|·|buckets|) rows, never a
+    re-scan of raw history. That mergeability is exactly what exact
+    DISTINCT lacks and why sketch tables are the 100 TB idiom for
+    distinct-user reporting. Estimate error ~1%% (DataSketches HLL
+    default lgK). Returns the merged per-key estimates.
+    """
+    daily = df.groupBy(*key_cols, bucket_col).agg(
+        F.hll_sketch_agg(id_col).alias("_sk")
+    )
+    return daily.groupBy(*key_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias(
+            "distinct_estimate"
+        )
+    )
+
+
 def duplicate_keys(df: DataFrame, keys: list[str]) -> DataFrame:
     """A8 (data_quality.py:25-29 ``is_unique``): keys appearing more
     than once. groupBy + HAVING — one shuffle on the key, partial

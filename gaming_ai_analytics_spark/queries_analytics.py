@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gaming_ai_analytics_spark.operators.aggregates import (
+    hll_distinct_rollup,
     latest_per_key,
     merge_partial_aggs,
 )
@@ -282,6 +283,20 @@ register(
     FROM events
     """,
 )
+
+
+def q_agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type merged from per-day HLL sketches
+    (the persistable sketch-table path). No SQL oracle — sketch
+    estimates aren't bit-reproducible across engines; accuracy vs the
+    exact tier is asserted in tests/test_analytics.py."""
+    ev = load_events(spark, sf_dir)
+    return hll_distinct_rollup(
+        ev, ["event_type"], F.to_date("ts").alias("_day"), "user_id"
+    )
+
+
+register("agg_sketch_rollup", q_agg_sketch_rollup, None)
 
 
 def q_dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -231,3 +231,27 @@ def test_funnel_emits_all_steps_on_empty_input(spark):
         for r in funnel(ev, ["view", "click"]).collect()
     }
     assert out == {1: ("view", 0), 2: ("click", 0)}
+
+
+def test_hll_sketch_rollup_within_2pct_of_exact(spark):
+    from gaming_ai_analytics_spark.operators.aggregates import (
+        hll_distinct_rollup,
+    )
+    from gaming_ai_analytics_spark.sources.star import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    est = {
+        r.event_type: r.distinct_estimate
+        for r in hll_distinct_rollup(
+            ev, ["event_type"], F.to_date("ts").alias("_day"), "user_id"
+        ).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(1, 0.02 * n), (k, est[k], n)
