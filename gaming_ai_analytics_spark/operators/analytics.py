@@ -8,10 +8,11 @@ runs next, expressed shuffle-minimally:
 
 - :func:`funnel` — ordered multi-step conversion. ONE shuffle on the
   user key; per-user step matching is a single codegen'd fold
-  (``aggregate``) over the time-sorted event array — no joins, no
-  window functions, no per-row Python. The per-user event array is
-  bounded (events-per-user, the same assumption every sessionizer
-  makes), so the fold's state is O(steps).
+  (``aggregate``) over the time-sorted event array — no self-joins,
+  no window functions, no per-row Python (the only join is the
+  broadcast step-spine onto the final per-step counts). The per-user
+  event array is bounded (events-per-user, the same assumption every
+  sessionizer makes), so the fold's state is O(steps).
 - :func:`retention_cohorts` — first-seen cohort × day-offset active
   users. ONE shuffle on the user key (min-date and distinct active
   days come from the same aggregate), then a tiny (cohort, offset)

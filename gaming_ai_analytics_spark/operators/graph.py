@@ -42,7 +42,11 @@ def connected_components(
 
     Runs hash-min sweeps until no label changes (checked with a
     cheap ``limit(1).count`` existence probe — the one intentional
-    driver action per round) or ``max_iter`` is hit, whichever first.
+    driver action per round). Raises if ``max_iter`` sweeps don't
+    reach the fixpoint: labels advance one hop per sweep, so a
+    diameter > max_iter component (a 25+-link near-dup chain) would
+    otherwise silently split into several "components" — raise the
+    cap or switch to the log-round large-star/small-star scheme.
     """
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     sym = e.union(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
@@ -80,8 +84,11 @@ def connected_components(
         changed = updated.where("_chg").limit(1).count()
         labels = updated.select("node", "component")
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} sweeps; "
+        "the graph has a component with diameter > max_iter"
+    )
 
 
 def dedup_clusters(

@@ -85,10 +85,13 @@ class TableStore:
         """utilities.py:34-39 (``table_exists``) without the
         SHOW TABLES + collect() round-trip."""
         p = self.path(layer, name)
-        # a partitioned table's top level holds key=value directories,
-        # not part- files — accept either layout
+        # a partitioned table's top level holds key=value DIRECTORIES,
+        # not part- files — accept either layout, but never let a stray
+        # key=value-named FILE (crashed-write leftovers) count as data
         return os.path.isdir(p) and any(
-            f.endswith(f".{self.fmt}") or f.startswith("part-") or "=" in f
+            f.endswith(f".{self.fmt}")
+            or f.startswith("part-")
+            or ("=" in f and os.path.isdir(os.path.join(p, f)))
             for f in os.listdir(p)
         )
 

@@ -255,3 +255,13 @@ def test_hll_sketch_rollup_within_2pct_of_exact(spark):
     assert set(est) == set(exact)
     for k, n in exact.items():
         assert abs(est[k] - n) <= max(1, 0.02 * n), (k, est[k], n)
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)  # diameter 6 > 2

@@ -150,15 +150,20 @@ def test_export_shards_single_shuffle_on_shard_key(spark, sf_dir):
 
 
 def test_funnel_single_user_shuffle_no_join(spark, sf_dir):
-    """The funnel fold must be one user-key shuffle: no joins, no
-    window sorts, and the step-match filter pushed to the scan."""
+    """The funnel fold must be one user-key shuffle over the events:
+    no shuffle joins, no window sorts, step filter pushed to the scan.
+    (The only join allowed is the broadcast of the tiny literal step
+    spine onto the already-aggregated per-step counts.)"""
     from gaming_ai_analytics_spark.queries_analytics import (
         q_funnel_conversion,
     )
 
     plan = _plan(q_funnel_conversion(spark, sf_dir))
-    assert "Join" not in plan  # matching is a fold, not a self-join
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "Window" not in plan
+    # exactly one data shuffle: the user-key hash partitioning for the
+    # fold (the step-spine broadcast adds no exchange on the big side)
+    assert plan.count("hashpartitioning(_id") == 1
     formatted = _formatted(q_funnel_conversion(spark, sf_dir))
     assert "PushedFilters" in formatted and "In(event_type" in formatted
 
