@@ -322,7 +322,9 @@ def q_pivot_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: document counts per source × language, languages as
     columns (explicit value list — never let pivot run a distinct scan
     to discover columns at 100 TB). Missing cells are null (Spark
-    pivot semantics; the oracle's SUM(CASE) mirrors that)."""
+    pivot semantics; the oracle's SUM(CASE) mirrors that — cast to
+    BIGINT because DuckDB SUM yields HUGEINT, which the driver's
+    type-sensitive value hash treats as a different value class)."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.groupBy("source")
@@ -336,11 +338,11 @@ register(
     q_pivot_lang_counts,
     """
     SELECT source,
-           SUM(CASE WHEN lang = 'de' THEN 1 END) AS de,
-           SUM(CASE WHEN lang = 'en' THEN 1 END) AS en,
-           SUM(CASE WHEN lang = 'es' THEN 1 END) AS es,
-           SUM(CASE WHEN lang = 'fr' THEN 1 END) AS fr,
-           SUM(CASE WHEN lang = 'zh' THEN 1 END) AS zh
+           CAST(SUM(CASE WHEN lang = 'de' THEN 1 END) AS BIGINT) AS de,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS en,
+           CAST(SUM(CASE WHEN lang = 'es' THEN 1 END) AS BIGINT) AS es,
+           CAST(SUM(CASE WHEN lang = 'fr' THEN 1 END) AS BIGINT) AS fr,
+           CAST(SUM(CASE WHEN lang = 'zh' THEN 1 END) AS BIGINT) AS zh
     FROM documents GROUP BY 1
     """,
 )

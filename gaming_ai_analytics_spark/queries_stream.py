@@ -151,12 +151,12 @@ def q_events_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # reuse the batch sessionization oracle registered above
-from gaming_ai_analytics_spark.registry import oracle_sql as _oracle_sql
+from gaming_ai_analytics_spark.registry import oracle_for as _oracle_for
 
 register(
     "events_streaming_session",
     q_events_streaming_session,
-    _oracle_sql()["events_session_window"],
+    _oracle_for("events_session_window"),
 )
 
 

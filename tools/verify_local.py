@@ -2,8 +2,18 @@
 
 Runs every ``queries()`` entry on Spark at a given sf dir and its
 ``oracle_sql()`` twin on DuckDB over the same parquet files, then
-compares row count, sorted column names, and order-insensitive values
-(floats to 1e-9 relative). Reports per-query PASS/FAIL.
+compares row count, sorted column names, order-insensitive values
+(floats to 1e-9 relative), AND per-column Arrow type classes.
+
+The type-class check exists because the driver's value hash is
+type-sensitive: round 2's ``pivot_lang_counts`` passed here (cells
+stringified, ``1 == 1``) yet hash-failed in the driver because DuckDB
+``SUM(CASE ...)`` returns HUGEINT while Spark pivot-count is BIGINT.
+Both result sets are exported to Arrow and each column's type is
+mapped to a class (int / float / decimal / bool / string / date /
+timestamp / ...); a class mismatch is a FAIL even when the stringified
+values agree, so that divergence class can no longer pass locally and
+fail in the driver.
 
 Usage:  python tools/verify_local.py [sf_dir] [query_name ...]
 """
@@ -35,6 +45,41 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def type_class(t) -> str:
+    """Collapse an Arrow type to the class the driver's hash keys on."""
+    import pyarrow as pa
+    import pyarrow.types as pt
+
+    if pt.is_boolean(t):
+        return "bool"
+    if pt.is_integer(t):
+        return "int"
+    if pt.is_floating(t):
+        return "float"
+    if pt.is_decimal(t):
+        return "decimal"
+    if pt.is_string(t) or pt.is_large_string(t):
+        return "str"
+    if pt.is_binary(t) or pt.is_large_binary(t):
+        return "bytes"
+    if pt.is_date(t):
+        return "date"
+    if pt.is_timestamp(t):
+        return "timestamp"
+    if pt.is_list(t) or pt.is_large_list(t) or pt.is_fixed_size_list(t):
+        return f"list<{type_class(t.value_type)}>"
+    if isinstance(t, pa.StructType):
+        inner = ",".join(
+            f"{f.name}:{type_class(f.type)}" for f in t
+        )
+        return f"struct<{inner}>"
+    return str(t)
+
+
+def type_classes(name_to_type: dict) -> dict:
+    return {k: type_class(v) for k, v in name_to_type.items()}
+
+
 def norm_cell(v):
     if v is None:
         return "NULL"
@@ -56,9 +101,19 @@ def norm_rows(cols, rows):
 def compare(name, sdf, con, sql, out):
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
+    # LIMIT-0 exports: Arrow schema without re-materializing the data
+    stypes = type_classes(
+        {f.name: f.type for f in sdf.limit(0).toArrow().schema}
+    )
     res = con.sql(sql)
     dcols = res.columns
     drows = res.fetchall()
+    dtypes = type_classes(
+        {
+            f.name: f.type
+            for f in con.sql(f"SELECT * FROM ({sql}) _t LIMIT 0").arrow().schema
+        }
+    )
     ok = True
     msgs = []
     if len(srows) != len(drows):
@@ -69,6 +124,14 @@ def compare(name, sdf, con, sql, out):
     if sc != dc:
         ok = False
         msgs.append(f"schema spark={sc} duckdb={dc}")
+    elif stypes != dtypes:
+        ok = False
+        diff = {
+            k: (stypes.get(k), dtypes.get(k))
+            for k in set(stypes) | set(dtypes)
+            if stypes.get(k) != dtypes.get(k)
+        }
+        msgs.append(f"type classes differ (spark, duckdb): {diff}")
     elif sr != dr:
         ok = False
         diff = [
