@@ -250,6 +250,12 @@ def zscore_outliers(
     Group stats are a partial-aggregated groupBy broadcast-joined
     back: the big side never shuffles and never funnels into
     |groups| window reducers.
+
+    A constant-valued group has ``stddev_samp = 0``; z would be 0/0 =
+    NaN, and Spark's NaN ordering makes ``abs(NaN) > t`` TRUE — every
+    row of the constant group would be flagged (and DuckDB disagrees,
+    NULL there). The ``_sd > 0`` guard excludes those groups on both
+    engines: a constant group has no outliers by definition.
     """
     gcols = list(group_cols)
     stats = df.groupBy(*gcols).agg(
@@ -259,7 +265,7 @@ def zscore_outliers(
     z = (F.col(value_col) - F.col("_mu")) / F.col("_sd")
     return (
         df.join(F.broadcast(stats), gcols)
-        .where(F.abs(z) > threshold)
+        .where((F.col("_sd") > 0) & (F.abs(z) > threshold))
         .select(
             *keep_cols,
             *gcols,

@@ -121,7 +121,7 @@ register(
     SELECT e.event_id, e.event_type, e.value,
            ROUND((e.value - mu) / sd, 6) AS zscore
     FROM events e JOIN stats USING (event_type)
-    WHERE ABS((e.value - mu) / sd) > 3.0
+    WHERE sd > 0 AND ABS((e.value - mu) / sd) > 3.0
     """,
 )
 

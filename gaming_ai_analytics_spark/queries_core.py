@@ -766,19 +766,52 @@ register(
 def q_agg_scale_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB twins of the exact aggregates: percentile_approx and
     approx_count_distinct — mergeable sketches with bounded per-group
-    memory and no global sort (rows-only: sketch outputs are
-    implementation-defined; accuracy vs the exact tier is asserted in
-    tests/test_properties.py)."""
+    memory and no global sort.
+
+    Sketch cell values are implementation-defined, so the checked
+    output emits the EXACT values plus deterministic error-bound
+    booleans (``|approx - exact| / exact < bound``); the DuckDB twin
+    computes the exact tier and literal TRUEs. A broken sketch (or a
+    bound violation) flips a boolean and hash-fails — this is a full
+    hash-matched row, not a rows-only check."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_linestatus").agg(
+    agg = li.groupBy("l_linestatus").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("_median_exact"),
+        F.countDistinct("l_orderkey").alias("n_orders_exact"),
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10_000)).alias(
-            "median_price_approx"
+            "_median_approx"
         ),
-        F.approx_count_distinct("l_orderkey").alias("n_orders_approx"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("_acd"),
+    )
+    rel_err = lambda a, e: F.abs(a - e) / e  # noqa: E731
+    return agg.select(
+        "l_linestatus",
+        F.round("_median_exact", 2).alias("median_price_exact"),
+        "n_orders_exact",
+        # percentile_approx at accuracy 10k: ≤1e-4 rank error; 5% on the
+        # value is generous. HLL++ at rsd 0.01: 5% = five sigma.
+        (rel_err(F.col("_median_approx"), F.col("_median_exact")) < 0.05).alias(
+            "median_approx_ok"
+        ),
+        (
+            rel_err(F.col("_acd").cast("double"), F.col("n_orders_exact").cast("double"))
+            < 0.05
+        ).alias("acd_approx_ok"),
     )
 
 
-register("agg_scale_sketches", q_agg_scale_sketches, None)
+register(
+    "agg_scale_sketches",
+    q_agg_scale_sketches,
+    """
+    SELECT l_linestatus,
+           ROUND(MEDIAN(l_extendedprice), 2) AS median_price_exact,
+           COUNT(DISTINCT l_orderkey) AS n_orders_exact,
+           TRUE AS median_approx_ok,
+           TRUE AS acd_approx_ok
+    FROM lineitem GROUP BY 1
+    """,
+)
 
 
 def q_events_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -233,7 +233,11 @@ def stream_append_idempotent(
     )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        new = batch_df
+        # duplicate keys WITHIN one micro-batch all pass the anti-join
+        # together (the table doesn't have them yet) — dedupe the batch
+        # first or a replayed/duplicated source violates by-key
+        # exactly-once
+        new = batch_df.dropDuplicates([key_col])
         if store.exists(layer, name):
             new = incremental_anti_join(
                 new, store.load(layer, name), key_col

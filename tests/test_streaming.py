@@ -112,6 +112,33 @@ def test_stream_append_idempotent_rerun_appends_nothing(spark, tmp_path):
         assert landed.select("event_id").distinct().count() == n_events
 
 
+def test_stream_append_idempotent_dedupes_within_batch(spark, tmp_path):
+    """Duplicate keys arriving in the SAME micro-batch must land once:
+    the table-side anti-join can't see them (nothing landed yet), so
+    the sink dedupes each batch before appending."""
+    from gaming_ai_analytics_spark.sources.io import TableStore
+    from gaming_ai_analytics_spark.streaming.events import (
+        stream_append_idempotent,
+    )
+
+    src = spark.createDataFrame(
+        [(1, "a"), (1, "a_dup"), (2, "b"), (2, "b_dup"), (3, "c")],
+        ["k", "payload"],
+    )
+    src_dir = str(tmp_path / "src")
+    src.coalesce(1).write.parquet(src_dir)
+
+    stream = spark.readStream.schema(src.schema).parquet(src_dir)
+    store = TableStore(spark, str(tmp_path / "wh"))
+    stream_append_idempotent(
+        stream, store, "silver", "dupes", "k",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    landed = store.load("silver", "dupes")
+    assert landed.count() == 3
+    assert landed.select("k").distinct().count() == 3
+
+
 def test_view_to_purchase_pairs_interval_bounds(spark):
     import datetime as dt
 
