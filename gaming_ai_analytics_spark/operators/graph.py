@@ -11,17 +11,23 @@ label propagation used by GraphFrames/Pregel-style systems:
 
     label(v) ← min(label(v), min over neighbors' labels), to fixpoint.
 
-Scale notes (100 TB): each sweep is one shuffle join (edges ⋈ labels
-on the src key) + one min-aggregate — both map-side combinable; rounds
-needed = graph diameter, and near-dup clusters are short-diameter
-blobs in practice (pairs within a cluster mostly all collide, so 2-4
-sweeps). State per round is materialized via ``localCheckpoint`` to
+Scale notes (100 TB): each sweep is one shuffle join (flat edge list ⋈
+labels on the src key) + one min-aggregate — both map-side combinable;
+rounds needed = graph diameter, and near-dup clusters are
+short-diameter blobs in practice (pairs within a cluster mostly all
+collide, so 2-4 sweeps). The edge list stays FLAT on purpose: a
+per-node ``collect_set`` adjacency would hold a hub node's entire
+neighborhood in one unbounded array/row (near-dup graphs have hubs —
+one boilerplate page matching 10⁶ docs), a straggler-by-construction.
+Flat rows stream through the join and partially aggregate map-side, so
+a hub costs rows, never one giant row, and AQE's skew-join splitting
+applies. State per round is materialized via ``localCheckpoint`` to
 truncate lineage — without it the plan doubles per iteration and the
 driver, not the data, becomes the bottleneck. For adversarial
 long-chain graphs swap the sweep for the large-star/small-star
 alternating rounds of Kiveris et al., "Connected Components in
-MapReduce and Beyond" (SOCC'14) — same O(log n) round bound, same
-join+min building blocks.
+MapReduce and Beyond" (SOCC'14) — same join+min building blocks,
+O(log n) rounds.
 """
 
 from __future__ import annotations
@@ -49,22 +55,23 @@ def connected_components(
     cap or switch to the log-round large-star/small-star scheme.
     """
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-    sym = e.union(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
-    # adjacency grouped once: one row per node with its neighbor list,
-    # reused every sweep without re-shuffling the edge list.
-    adj = (
-        sym.groupBy("_s")
-        .agg(F.collect_set("_d").alias("_nbrs"))
-        .localCheckpoint(eager=False)
+    # flat symmetric edge list, materialized once and re-joined every
+    # sweep — no per-node neighbor arrays (see module scale notes)
+    sym = e.union(
+        e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        sym.select(F.col("_s").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
     )
-    labels = adj.select(F.col("_s").alias("node"), F.col("_s").alias("component"))
 
     for _ in range(max_iter):
-        # neighbor labels: join on the node key, explode the (bounded)
-        # neighbor list, take the min incoming label per node.
+        # propagate: each edge carries its src's current label to dst;
+        # min per dst partially aggregates map-side before the shuffle.
         incoming = (
-            adj.join(labels, adj["_s"] == labels["node"])
-            .select(F.explode("_nbrs").alias("node"), "component")
+            sym.join(labels, sym["_s"] == labels["node"])
+            .select(F.col("_d").alias("node"), "component")
             .groupBy("node")
             .agg(F.min("component").alias("_in"))
         )

@@ -117,6 +117,20 @@ def test_connected_components_long_chain_converges(spark):
     assert out == {i: 0 for i in range(10)}
 
 
+def test_connected_components_hub_node(spark):
+    """A degree-10⁴ hub (one boilerplate page near-dup to everything)
+    must converge without a per-node neighbor array — the flat-edge
+    sweep processes hub rows streamingly. Also pins correctness:
+    star graph = one component labeled by its min id."""
+    hub = 5000
+    edges = spark.range(10_001).withColumnRenamed("id", "id_a").withColumn(
+        "id_b", F.lit(hub)
+    ).where(F.col("id_a") != hub)
+    out = connected_components(edges, max_iter=5)
+    assert out.where("component != 0").count() == 0
+    assert out.count() == 10_001
+
+
 def test_dedup_clusters_canonical_is_min_doc(spark):
     pairs = spark.createDataFrame([(7, 3), (3, 5)], ["id_a", "id_b"])
     out = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
