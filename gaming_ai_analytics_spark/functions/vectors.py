@@ -18,6 +18,25 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def matrix_lit(matrix) -> Column:
+    """A 2-D literal ``array<array<double>>`` built from ONE SQL-parsed
+    expression. The obvious ``F.array(*[F.lit(x) ...])`` nesting costs
+    one py4j round-trip per element — ~0.4 s of driver time for a
+    16×256 hyperplane battery, paid at every plan construction. A
+    single ``F.expr`` string parses JVM-side in one call; ``repr``
+    keeps full float64 precision."""
+    rows = ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in row) + ")"
+        for row in np.asarray(matrix, dtype=np.float64)
+    )
+    return F.expr(f"array({rows})")
+
+
+def long_array_lit(values) -> Column:
+    """Literal ``array<long>`` via one SQL parse (see matrix_lit)."""
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in values) + ")")
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double precision, sequential left fold."""
     return F.aggregate(

@@ -285,7 +285,9 @@ def simhash_fingerprints(
         m = 1 << i
         return m - (1 << 64) if m >= (1 << 63) else m
 
-    masks = F.array(*[F.lit(mask(i)).cast("long") for i in range(bits)])
+    from gaming_ai_analytics_spark.functions.vectors import long_array_lit
+
+    masks = long_array_lit(mask(i) for i in range(bits))
     sig = _let(
         F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)),
         lambda hs: F.aggregate(
@@ -395,15 +397,25 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
 
 def _rhp_signature(vec_col: Column, planes: np.ndarray) -> Column:
     """Random-hyperplane (SRP) signature: bit i = sign(v·pᵢ), packed
-    into a long — built from literal plane arrays, all JVM-side."""
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(dot(vec_col, p) > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = sig + F.shiftleft(bit, i)
-    return sig
+    into a long — built from literal plane arrays, all JVM-side.
+    The plane matrix and bit masks are single-parse literals
+    (functions.vectors.matrix_lit): per-element ``F.lit`` loops cost a
+    py4j round-trip each — hundreds of ms of plan time per query."""
+    from gaming_ai_analytics_spark.functions.vectors import (
+        long_array_lit,
+        matrix_lit,
+    )
+
+    dots = F.transform(matrix_lit(planes), lambda p: dot(vec_col, p))
+    return F.aggregate(
+        F.zip_with(
+            dots,
+            long_array_lit(1 << i for i in range(len(planes))),
+            lambda d, m: F.when(d > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
 
 
 def _rhp_signature_arrow(vec_col: Column, planes: np.ndarray) -> Column:
@@ -414,11 +426,12 @@ def _rhp_signature_arrow(vec_col: Column, planes: np.ndarray) -> Column:
     from the sequential fold in the last ulp, which can flip a sign
     only when |v·p| ≈ 0 — harmless for bucketing (candidates are
     verified with exact cosine downstream)."""
-    from gaming_ai_analytics_spark.functions.vectors import dot_many_pandas
-
-    masks = F.array(
-        *[F.lit(1 << i).cast("long") for i in range(len(planes))]
+    from gaming_ai_analytics_spark.functions.vectors import (
+        dot_many_pandas,
+        long_array_lit,
     )
+
+    masks = long_array_lit(1 << i for i in range(len(planes)))
     return F.aggregate(
         F.zip_with(
             dot_many_pandas(vec_col, planes),

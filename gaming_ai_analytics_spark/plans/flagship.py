@@ -13,11 +13,25 @@ star joins (semantic_layer.sql:15-30) plus view-level null filter
 Exercises S-scan, F-filter, P-project, J3-star-join, A1-A4 in one plan
 (SURVEY.md §7.1 M1).
 
-Scale shape: one shuffle for lineitem⋈orders on the order key, then
+Scale shape: one shuffle for lineitem⋈orders on the order key (AQE
+converts it to broadcast when orders fits, as at bench scale), then
 broadcast joins for customer/nation/region (no further fact shuffle),
 then a partial-agg → final-agg on the 5-value region key. Float
 aggregates are rounded so results are bit-stable across partition
 orderings (double addition is not associative).
+
+Median strategy — measured round 2→3: Spark's built-in ``percentile``
+aggregate keeps its state as a value→count hash map that partial-merges
+across partitions, i.e. for a LOW-cardinality measure (``l_quantity``
+has 50 distinct values) its per-group state is a bounded ~50-entry
+histogram maintained in JVM code — the same (value, count) compression
+the round-2 hand-rolled two-level plan built, minus that plan's extra
+shuffle stage and driver-side ``F.aggregate`` expression walk. The
+built-in is both the faster bench plan (0.76 s vs 1.02 s steady-state
+at sf0.1) and a correct 100 TB plan *for this column*. The two-level
+histogram variant remains below (``median_impl="histogram"``) for
+medians over high-cardinality columns, where ``percentile``'s counts
+map would grow with distinct values per group.
 """
 
 from __future__ import annotations
@@ -29,7 +43,7 @@ from gaming_ai_analytics_spark.operators.joins import star_join
 from gaming_ai_analytics_spark.sources.star import load_table
 
 
-def flagship_star_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _joined_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -37,55 +51,67 @@ def flagship_star_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region")
 
     # orders at full scale is a fact too — join it un-broadcast (AQE
-    # picks sort-merge / shuffled hash); the true dims broadcast.
-    joined = star_join(
+    # picks sort-merge / shuffled hash / runtime broadcast); the true
+    # dims broadcast.
+    return star_join(
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "left"),
         [
             (customer, orders.o_custkey == customer.c_custkey),
             (nation, customer.c_nationkey == nation.n_nationkey),
             (region, nation.n_regionkey == region.r_regionkey),
         ],
+    ).filter(F.col("l_quantity").isNotNull())  # semantic_layer.sql:14
+
+
+def flagship_star_metrics(
+    spark: SparkSession, sf_dir: str, median_impl: str = "percentile"
+) -> DataFrame:
+    if median_impl == "histogram":
+        return _flagship_histogram_median(spark, sf_dir)
+
+    joined = _joined_fact(spark, sf_dir)
+    n = F.count(F.lit(1))
+    return joined.groupBy("r_name").agg(
+        n.alias("line_count"),  # review_count analog (A1)
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),  # A2
+        F.round(  # positive_review_pct analog (A3)
+            F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)) / n, 4
+        ).alias("high_discount_pct"),
+        F.round(  # negative_review_pct analog (A3)
+            F.sum(F.when(F.col("l_discount") < 0.02, 1).otherwise(0)) / n, 4
+        ).alias("low_discount_pct"),
+        # exact interpolated median (A4); bounded state for this
+        # low-cardinality column — see module docstring
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 2).alias("median_qty"),
     )
 
-    # Two-level aggregation: level 1 groups by (region, quantity) —
-    # l_quantity is low-cardinality (~50 values), so this compresses
-    # 600k rows/SF0.1 to |regions|·|quantities| with a fully
-    # codegen'd, map-side-partial HashAggregate. Level 2 derives every
-    # measure from the compressed rows, including the EXACT
-    # interpolated median from (value, count) pairs — which removes
-    # the built-in Percentile entirely (it forces the whole
-    # aggregation into a slow ObjectHashAggregate buffering every
-    # value per group; measured ~0.3 s of the flagship at sf0.1, and
-    # unbounded per-group state at 100 TB).
-    inter = (
-        joined.filter(F.col("l_quantity").isNotNull())  # semantic_layer.sql:14
-        .groupBy("r_name", "l_quantity")
-        .agg(
-            F.count(F.lit(1)).alias("_cnt"),
-            F.sum("l_extendedprice").alias("_sum_price"),
-            F.sum(
-                F.when(F.col("l_discount") > 0.05, 1).otherwise(0)
-            ).alias("_hi"),
-            F.sum(
-                F.when(F.col("l_discount") < 0.02, 1).otherwise(0)
-            ).alias("_lo"),
-        )
+
+def _flagship_histogram_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level variant for HIGH-cardinality medians: level 1 groups
+    by (region, value) with a fully codegen'd HashAggregate, level 2
+    derives every measure from the compressed (value, count) rows and
+    walks the sorted histogram once for the exact interpolated median —
+    per-group state bounded by distinct values *surviving level 1's
+    compression*, never raw rows."""
+    joined = _joined_fact(spark, sf_dir)
+    inter = joined.groupBy("r_name", "l_quantity").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum("l_extendedprice").alias("_sum_price"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias("_hi"),
+        F.sum(F.when(F.col("l_discount") < 0.02, 1).otherwise(0)).alias("_lo"),
     )
     n = F.sum("_cnt")
     agg = inter.groupBy("r_name").agg(
-        n.alias("line_count"),  # review_count analog (A1)
-        F.round(F.sum("_sum_price") / n, 2).alias("avg_price"),  # A2
-        F.round(F.sum("_hi") / n, 4).alias(  # positive_review_pct (A3)
-            "high_discount_pct"
-        ),
-        F.round(F.sum("_lo") / n, 4).alias(  # negative_review_pct (A3)
-            "low_discount_pct"
-        ),
-        F.array_sort(  # (value, count) histogram for the exact median
-            F.collect_list(F.struct(F.col("l_quantity").alias("v"), F.col("_cnt").alias("c")))
+        n.alias("line_count"),
+        F.round(F.sum("_sum_price") / n, 2).alias("avg_price"),
+        F.round(F.sum("_hi") / n, 4).alias("high_discount_pct"),
+        F.round(F.sum("_lo") / n, 4).alias("low_discount_pct"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("l_quantity").alias("v"), F.col("_cnt").alias("c"))
+            )
         ).alias("_hist"),
     )
-    # exact interpolated median from the per-group histogram (A4):
     # rank pos = 1 + (n-1)·0.5; walk the sorted (v, c) pairs once,
     # grabbing the values covering ranks floor(pos) and ceil(pos).
     pos = F.lit(1.0) + (F.col("line_count") - 1) * 0.5
@@ -105,9 +131,7 @@ def flagship_star_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     sel = F.aggregate(F.col("_hist"), zero, step)
-    median = F.round(
-        sel["vlo"] + (sel["vhi"] - sel["vlo"]) * (pos - lo), 2
-    )
+    median = F.round(sel["vlo"] + (sel["vhi"] - sel["vlo"]) * (pos - lo), 2)
     return agg.select(
         "r_name",
         "line_count",

@@ -258,6 +258,18 @@ def build_metric_layer(spark: SparkSession, store: TableStore) -> DataFrame:
         ["review_count", "avg_weighted_score", "positive_review_pct"],
     )
     store.save(Layers.METRIC, "review_summary", out, mode="overwrite")
+    # catalog documentation is part of the semantic layer
+    # (semantic_layer.sql:96-139) — comments ride the same build
+    store.document(
+        Layers.METRIC,
+        "review_summary",
+        table_comment="Review metrics rolled up by language and sponsorship",
+        column_comments={
+            "review_count": "Number of reviews in the group",
+            "avg_weighted_score": "Average sponsorship-weighted sentiment",
+            "positive_review_pct": "Share of reviews with positive score",
+        },
+    )
     return store.load(Layers.METRIC, "review_summary")
 
 

@@ -116,9 +116,14 @@ def _orders_metric_view(spark: SparkSession, sf_dir: str) -> MetricView:
         measures={
             "order_count": "COUNT(*)",
             "avg_price": "ROUND(AVG(orders.o_totalprice), 2)",
+            # 1.0D: Spark SQL parses a bare 1.0 as DECIMAL(2,1), which
+            # propagates decimal into the measure's result type while
+            # the DuckDB twin computes float — the driver hashed them
+            # equal, but the local type-class gate (tools/verify_local)
+            # rightly flags the divergence.
             "urgent_pct": (
                 "ROUND(SUM(CASE WHEN orders.o_orderpriority = '1-URGENT' "
-                "THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)"
+                "THEN 1 ELSE 0 END) * 1.0D / COUNT(*), 4)"
             ),
         },
     )

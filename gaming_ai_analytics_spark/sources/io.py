@@ -40,6 +40,19 @@ class TableStore:
     On a cluster this would address a metastore catalog via
     ``saveAsTable``; the mechanics (layer naming, overwrite/append
     modes, format pluggability) are identical.
+
+    **Format & atomicity.** The reference persists every layer as
+    Delta (utilities.py:23, ``format("delta")``), which gives
+    append-mode fact maintenance an atomic commit log, OPTIMIZE, and
+    time travel. ``fmt="delta"`` reproduces that wherever the
+    delta-spark package + session extensions are present (exercised in
+    tests when importable). The parquet default is the
+    lowest-common-denominator OSS deploy and is honest about its gap:
+    a crashed plain-parquet ``append`` can leave partial part-files
+    (readers see a torn table until cleaned), whereas Delta appends
+    are all-or-nothing. Production guidance: parquet for immutable
+    overwrite-only layers, Delta (or Iceberg — same ``format()``
+    seam) for anything appended or concurrently read.
     """
 
     def __init__(self, spark: SparkSession, warehouse_dir: str, fmt: str = "parquet"):
@@ -87,15 +100,73 @@ class TableStore:
         p = self.path(layer, name)
         # a partitioned table's top level holds key=value DIRECTORIES,
         # not part- files — accept either layout, but never let a stray
-        # key=value-named FILE (crashed-write leftovers) count as data
-        return os.path.isdir(p) and any(
+        # key=value-named FILE (crashed-write leftovers) count as data.
+        # A Delta table is identified by its commit log, not data files
+        # (an all-removed table legitimately has zero parquet files).
+        if not os.path.isdir(p):
+            return False
+        if self.fmt == "delta":
+            return os.path.isdir(os.path.join(p, "_delta_log"))
+        return any(
             f.endswith(f".{self.fmt}")
             or f.startswith("part-")
             or ("=" in f and os.path.isdir(os.path.join(p, f)))
             for f in os.listdir(p)
         )
 
+    def register_catalog(self, layer: str, name: str) -> str:
+        """Expose a stored table to the SQL catalog as an EXTERNAL
+        table over its existing location (no data movement) so
+        catalog-level DDL — comments, SHOW TABLES, pure-SQL clients —
+        works against it. Returns the catalog table name."""
+        table = f"{layer}_{name}"
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {table} USING {self.fmt} "
+            f"LOCATION '{self.path(layer, name)}'"
+        )
+        return table
+
+    def document(
+        self,
+        layer: str,
+        name: str,
+        table_comment: str | None = None,
+        column_comments: dict[str, str] | None = None,
+    ) -> str:
+        """Catalog documentation DDL — the reference treats table and
+        column comments as part of the semantic layer
+        (semantic_layer.sql:96-139: ``ALTER TABLE ... SET TBLPROPERTIES
+        ('comment' = ...)`` + ``COMMENT ON COLUMN ... IS ...``). Same
+        statements here against the OSS catalog; the table is
+        registered on demand. Metadata-only — no job touches data."""
+
+        def q(s: str) -> str:  # SQL string literal escape
+            return s.replace("'", "''")
+
+        table = self.register_catalog(layer, name)
+        if table_comment is not None:
+            self.spark.sql(f"COMMENT ON TABLE {table} IS '{q(table_comment)}'")
+        for col, comment in (column_comments or {}).items():
+            self.spark.sql(
+                f"ALTER TABLE {table} ALTER COLUMN {col} COMMENT '{q(comment)}'"
+            )
+        return table
+
+    def comments(self, layer: str, name: str) -> dict:
+        """Read documentation back from the catalog:
+        ``{"table": str | None, "columns": {col: comment | None}}``."""
+        table = f"{layer}_{name}"
+        return {
+            "table": self.spark.catalog.getTable(table).description or None,
+            "columns": {
+                c.name: (c.description or None)
+                for c in self.spark.catalog.listColumns(table)
+            },
+        }
+
     def drop(self, layer: str, name: str) -> None:
+        # catalog entry first (no-op if never registered), then files
+        self.spark.sql(f"DROP TABLE IF EXISTS {layer}_{name}")
         p = self.path(layer, name)
         if os.path.isdir(p):
             shutil.rmtree(p)

@@ -16,14 +16,35 @@ from gaming_ai_analytics_spark.constants import Star
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+#: (app id, sf_dir, table) → resolved DataFrame. A DataFrame is an
+#: immutable logical plan, so handing the same object out repeatedly is
+#: safe — this is the catalog-resolution cache every warehouse has
+#: (``spark.table`` resolves from a catalog once, not per query).
+#: Without it every query call pays ~100-150 ms of py4j round-trips
+#: re-listing and re-inferring the same parquet footers, which at
+#: bench scale is a measurable slice of each sub-second query. Keyed
+#: by applicationId so a stopped-and-recreated session never serves
+#: plans bound to a dead JVM context.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        return load_events(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        if name == "events":
+            df = _read_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events fixture stores ``ts`` as parquet TIMESTAMP(NANOS),
     which Spark's vectorized reader rejects. Read it as a long
     (``nanosAsLong``, runtime-settable) and normalize to a

@@ -47,15 +47,22 @@ def test_flagship_broadcasts_dims(spark, sf_dir):
 
 def test_flagship_partial_aggregation(spark, sf_dir):
     # map-side partial agg before the shuffle: the exchange carries one
-    # row per (partition, group), not per input row. The heavy level-1
-    # aggregation (region × quantity) must be a codegen'd HashAggregate
-    # — ObjectHashAggregate (collect_list for the median histogram) is
-    # allowed only on the tiny compressed level-2 input.
+    # row per (partition, group), not per input row. The default plan
+    # uses the built-in percentile aggregate, whose buffer is a
+    # value→count map that partial-merges — bounded for the
+    # 50-distinct-value l_quantity (plans/flagship.py docstring).
     plan = _plan(flagship_star_metrics(spark, sf_dir))
     assert "partial_count" in plan and "partial_sum" in plan
-    # the full-data aggregation must not buffer values per group: no
-    # Percentile aggregate anywhere (the median comes from the level-2
-    # (value, count) histogram instead)
+    assert "partial_percentile" in plan  # the median partial-aggregates too
+
+
+def test_flagship_histogram_variant_avoids_percentile(spark, sf_dir):
+    # the high-cardinality variant must not buffer values per group via
+    # Percentile: the heavy level-1 aggregation (region × quantity) is
+    # a codegen'd HashAggregate; ObjectHashAggregate (collect_list for
+    # the median histogram) only touches the compressed level-2 input.
+    plan = _plan(flagship_star_metrics(spark, sf_dir, median_impl="histogram"))
+    assert "partial_count" in plan and "partial_sum" in plan
     assert "percentile" not in plan.lower()
 
 
