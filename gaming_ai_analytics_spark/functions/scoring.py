@@ -133,6 +133,38 @@ def score_text(
     return df.withColumn(out_col, udf(F.col(text_col)))
 
 
+def register_sql_functions(
+    spark,
+    scorer: "Scorer | None" = None,
+    translator: "Translator | None" = None,
+) -> None:
+    """Expose the scorer/translator to ``spark.sql`` as ``ai_score`` /
+    ``ai_translate`` — the reference calls ``ai_query`` INSIDE SQL
+    (exploration/analysis.sql:29-37), so SQL-first users must be able
+    to compose the same way without touching the DataFrame API.
+    Same Arrow-batched pandas UDFs as the transformer path; remote
+    (nondeterministic) backends are registered as such so Catalyst
+    won't speculatively re-execute them."""
+    scorer = scorer or LexiconScorer()
+    translator = translator or RuleTranslator()
+
+    @F.pandas_udf(T.IntegerType())
+    def _score(texts: pd.Series) -> pd.Series:
+        return scorer.score_batch(texts).astype("int32")
+
+    @F.pandas_udf(T.StringType())
+    def _tr(texts: pd.Series) -> pd.Series:
+        return translator.translate_batch(texts)
+
+    spark.udf.register(
+        "ai_score", _score if scorer.deterministic else _score.asNondeterministic()
+    )
+    spark.udf.register(
+        "ai_translate",
+        _tr if translator.deterministic else _tr.asNondeterministic(),
+    )
+
+
 def weighted_score(
     score_col: Column, sponsored_col: Column, factor: float = 0.5
 ) -> Column:

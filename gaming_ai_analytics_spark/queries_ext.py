@@ -96,6 +96,51 @@ register(
 )
 
 
+def q_sql_ai_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-callable scorer/translator — the reference's ai_query lives
+    INSIDE SQL (exploration/analysis.sql:29-37: ``SELECT id, name,
+    ai_query('...', CONCAT('Translate...', name)) FROM ...``). Here the
+    deterministic backends are registered via ``spark.udf.register``
+    and composed from ``spark.sql`` text, proving the SQL-first path;
+    the oracle replicates the lexicon arithmetic in DuckDB SQL."""
+    from gaming_ai_analytics_spark.functions.scoring import (
+        register_sql_functions,
+    )
+
+    register_sql_functions(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_v"
+    )
+    return spark.sql(
+        """
+        SELECT doc_id,
+               ai_score(text) AS sentiment_score,
+               ai_translate(lang) AS lang_en
+        FROM documents_v
+        """
+    )
+
+
+register(
+    "sql_ai_functions",
+    q_sql_ai_functions,
+    # lexicon replica: count(w) == (len(t)-len(replace(t,w,'')))/len(w),
+    # weighted sum clipped to [-5, 5]; empty/null text scores 0
+    """
+    SELECT doc_id,
+           CASE WHEN COALESCE(text, '') = '' THEN 0
+                ELSE CAST(LEAST(GREATEST(
+                     (LENGTH(text) - LENGTH(REPLACE(text, 'fast', ''))) // 4 * 2
+                   + (LENGTH(text) - LENGTH(REPLACE(text, 'slow', ''))) // 4 * -2
+                   + (LENGTH(text) - LENGTH(REPLACE(text, 'big',  ''))) // 3 * 1
+                   + (LENGTH(text) - LENGTH(REPLACE(text, 'small',''))) // 5 * -1
+                   , -5), 5) AS INT) END AS sentiment_score,
+           CASE WHEN lang IS NULL THEN 'NA' ELSE 'EN:' || lang END AS lang_en
+    FROM documents
+    """,
+)
+
+
 # --------------------------------------------------------------------------
 # Metric view (M4) through the compiler
 # --------------------------------------------------------------------------

@@ -126,14 +126,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "window_forward_fill",
     "agg_sketch_rollup",
     # bench headliners not already above — keep driver evidence fresh
-    # for every number in BENCH_r{N}.json
+    # for every number in BENCH_r{N}.json (window_topk_per_group, green
+    # in r1+r2, rotates out to make room for the new SQL-UDF query)
     "join_chain_left",
     "fillna_after_left_join",
     "agg_percentile",
-    "window_topk_per_group",
     "agg_rollup",
     "fact_build_transform",
     "metric_view_region",
+    # new this round: SQL-registered ai_score/ai_translate
+    "sql_ai_functions",
     # oracles changed this round — must re-prove in the driver
     "pivot_lang_counts",
     "agg_scale_sketches",

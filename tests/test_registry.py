@@ -64,6 +64,8 @@ _MUST_BE_IN_WINDOW = {
     # oracle changed this round — needs a fresh driver row
     "pivot_lang_counts",
     "agg_scale_sketches",
+    # new this round
+    "sql_ai_functions",
 }
 
 

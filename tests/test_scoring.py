@@ -56,3 +56,25 @@ def test_translator(spark):
     df = spark.createDataFrame([("hola",), (None,)], "name string")
     out = translate_text(df, "name", "name_en", RuleTranslator()).collect()
     assert [r.name_en for r in out] == ["EN:hola", "NA"]
+
+
+def test_sql_registered_ai_functions(spark):
+    """ai_score/ai_translate compose from SQL text (the reference's
+    ai_query-in-SQL shape, exploration/analysis.sql:29-37)."""
+    from gaming_ai_analytics_spark.functions.scoring import (
+        register_sql_functions,
+    )
+
+    register_sql_functions(spark)
+    spark.createDataFrame(
+        [(1, "fast fast big", "de"), (2, "slow", None), (3, "", "fr")],
+        ["id", "txt", "lang"],
+    ).createOrReplaceTempView("ai_fn_t")
+    rows = {
+        r.id: (r.s, r.tr)
+        for r in spark.sql(
+            "SELECT id, ai_score(txt) AS s, ai_translate(lang) AS tr "
+            "FROM ai_fn_t"
+        ).collect()
+    }
+    assert rows == {1: (5, "EN:de"), 2: (-2, "NA"), 3: (0, "EN:fr")}
