@@ -52,12 +52,17 @@ def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream window/date function expects.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    # integer division: ns-epoch longs exceed double's 53-bit mantissa,
-    # so a float divide would round the microsecond off by one.
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        # integer division: ns-epoch longs exceed double's 53-bit
+        # mantissa, so a float divide would round the microsecond off.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # else: the file already carries µs timestamps (e.g. the derived
+    # sf1 bench copy, rewritten by a writer without TIMESTAMP(NANOS))
+    return df
 
 
 def load_star(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
