@@ -164,6 +164,68 @@ class TableStore:
             },
         }
 
+    def compact(
+        self,
+        layer: str,
+        name: str,
+        target_file_bytes: int = 128 << 20,
+        sort_by: list[str] | None = None,
+    ) -> int:
+        """Small-file compaction — the OSS analog of Delta ``OPTIMIZE``
+        (the reference's daily Delta appends rely on it implicitly).
+        Incremental appends leave one small file per micro-batch/run;
+        at 100 TB that means millions of files whose open/footer cost
+        dominates scans. Rewrites the table into
+        ``ceil(bytes / target_file_bytes)`` files; optional ``sort_by``
+        clusters rows (``sortWithinPartitions``) so parquet min/max
+        stats prune row groups for range predicates on those columns —
+        the poor man's Z-ORDER for single-key access patterns. Returns
+        the new file count.
+
+        Atomicity note: the rewrite stages into a sibling directory and
+        swaps via rename, so a crash mid-compact leaves the original
+        table intact (the stale staging dir is re-used/cleaned on the
+        next run).
+        """
+        import math
+
+        p = self.path(layer, name)
+        size = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(p)
+            for f in files
+        )
+        n_files = max(1, math.ceil(size / target_file_bytes))
+        df = self.load(layer, name).repartition(n_files)
+        if sort_by:
+            df = df.sortWithinPartitions(*sort_by)
+        staging = p + "._compact"
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        df.write.format(self.fmt).mode("overwrite").save(staging)
+        old = p + "._precompact"
+        os.rename(p, old)
+        os.rename(staging, p)
+        shutil.rmtree(old)
+        return n_files
+
+    def analyze(self, layer: str, name: str, columns: list[str] | None = None) -> str:
+        """``ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS ...]``
+        against the catalog registration — feeds the cost-based
+        optimizer (join reordering, broadcast decisions) the row counts
+        and NDVs it otherwise estimates from file sizes alone. Returns
+        the catalog table name."""
+        table = self.register_catalog(layer, name)
+        self.spark.sql(f"REFRESH TABLE {table}")
+        if columns:
+            cols = ", ".join(columns)
+            self.spark.sql(
+                f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}"
+            )
+        else:
+            self.spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+        return table
+
     def drop(self, layer: str, name: str) -> None:
         # catalog entry first (no-op if never registered), then files
         self.spark.sql(f"DROP TABLE IF EXISTS {layer}_{name}")

@@ -255,3 +255,44 @@ def test_tablestore_document_roundtrip(spark, tmp_path, sf_dir):
     assert got["columns"] == {"r_regionkey": "PK", "r_name": "Region name"}
     store.drop("gold", "regions_doc")  # removes catalog entry + files
     assert not store.exists("gold", "regions_doc")
+
+
+def test_tablestore_compact_merges_small_files(spark, tmp_path):
+    """Ten single-row appends leave ≥10 part files; compact() rewrites
+    to the target count, preserves every row, and clusters on the sort
+    key within the rewritten files."""
+    from gaming_ai_analytics_spark.sources.io import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    for i in range(10):
+        store.save(
+            "silver", "appended",
+            spark.createDataFrame([(i, f"v{i}")], ["k", "v"]),
+            mode="append",
+        )
+    p = store.path("silver", "appended")
+    import os
+    n_before = sum(f.startswith("part-") for f in os.listdir(p))
+    assert n_before >= 10
+    n_files = store.compact("silver", "appended", sort_by=["k"])
+    assert n_files == 1
+    n_after = sum(f.startswith("part-") for f in os.listdir(p))
+    assert n_after == 1
+    got = sorted(tuple(r) for r in store.load("silver", "appended").collect())
+    assert got == [(i, f"v{i}") for i in range(10)]
+
+
+def test_tablestore_analyze_feeds_catalog_stats(spark, tmp_path, sf_dir):
+    """ANALYZE lands row-count stats in the catalog (CBO input)."""
+    from gaming_ai_analytics_spark.sources.io import TableStore
+    from gaming_ai_analytics_spark.sources.star import load_table
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.save("gold", "orders_stats", load_table(spark, sf_dir, "orders"))
+    table = store.analyze("gold", "orders_stats", columns=["o_orderkey"])
+    desc = {
+        r.col_name: r.data_type
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    }
+    assert "Statistics" in desc, desc.keys()
+    store.drop("gold", "orders_stats")
