@@ -364,3 +364,84 @@ register(
           FROM documents)
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# end-to-end curation pipeline
+# --------------------------------------------------------------------------
+def q_traindata_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-curation pass a training-data build actually
+    runs, as ONE plan: score (token count, quality, language-ID — all
+    map-only built-ins) → rule filter (English, quality floor, token
+    bounds) → exact near-dup removal on normalized-text md5 keeping the
+    min doc id. Single shuffle (the dedup key window); at 100 TB the
+    scoring/filter stages ride the scan and only survivors of the
+    rules pay the shuffle. Every stage reuses the §2.11 operators the
+    individual queries check — this entry pins that they compose."""
+    from gaming_ai_analytics_spark.functions.text import (
+        language_id,
+        normalize_text,
+        quality_score,
+        token_count,
+    )
+
+    t = F.col("text")
+    scored = _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        quality_score(t).alias("quality"),
+        language_id(t).alias("lang_guess"),
+        F.md5(normalize_text(t)).alias("_key"),
+    )
+    kept = scored.filter(
+        (F.col("lang_guess") == "en")
+        & (F.col("quality") >= 0.45)
+        & F.col("n_tokens").between(5, 100_000)
+    )
+    w = Window.partitionBy("_key").orderBy("doc_id")
+    return (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "lang_guess", "n_tokens", "quality")
+    )
+
+
+def _curation_oracle() -> str:
+    from gaming_ai_analytics_spark.queries_llm import (
+        _PUNCT_RATIO,
+        _STOP_RATIO,
+        _NORM,
+        _lang_sql,
+    )
+
+    quality = (
+        f"ROUND(0.5 * LEAST(LENGTH(text) / 400.0, 1.0)"
+        f" + 0.3 * LEAST(({_STOP_RATIO}) * 5.0, 1.0)"
+        f" + 0.2 * (1.0 - ({_PUNCT_RATIO})) + 5e-10, 4)"
+    )
+    return f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len({_TOKS}) AS n_tokens,
+             {quality} AS quality,
+             {_lang_sql()} AS lang_guess,
+             md5({_NORM}) AS key
+      FROM documents WHERE {_NONEMPTY}
+    ),
+    kept AS (
+      SELECT * FROM scored
+      WHERE lang_guess = 'en' AND quality >= 0.45
+            AND n_tokens BETWEEN 5 AND 100000
+    )
+    SELECT doc_id, lang_guess, n_tokens, quality
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY doc_id) AS rn
+          FROM kept)
+    WHERE rn = 1
+    """
+
+
+register(
+    "traindata_curation_pipeline",
+    q_traindata_curation_pipeline,
+    _curation_oracle(),
+)

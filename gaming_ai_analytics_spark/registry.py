@@ -126,16 +126,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "window_forward_fill",
     "agg_sketch_rollup",
     # bench headliners not already above — keep driver evidence fresh
-    # for every number in BENCH_r{N}.json (window_topk_per_group, green
-    # in r1+r2, rotates out to make room for the new SQL-UDF query)
-    "join_chain_left",
+    # for every number in BENCH_r{N}.json (window_topk_per_group and
+    # join_chain_left, green in r1+r2, rotate out for round-3 queries)
     "fillna_after_left_join",
     "agg_percentile",
     "agg_rollup",
     "fact_build_transform",
     "metric_view_region",
-    # new this round: SQL-registered ai_score/ai_translate
+    # new this round: SQL-registered ai_score/ai_translate + the
+    # composed corpus-curation pass
     "sql_ai_functions",
+    "traindata_curation_pipeline",
     # oracles changed this round — must re-prove in the driver
     "pivot_lang_counts",
     "agg_scale_sketches",

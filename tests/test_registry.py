@@ -66,6 +66,7 @@ _MUST_BE_IN_WINDOW = {
     "agg_scale_sketches",
     # new this round
     "sql_ai_functions",
+    "traindata_curation_pipeline",
 }
 
 
