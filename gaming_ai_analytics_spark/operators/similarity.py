@@ -186,6 +186,62 @@ def topk_similar_lsh(
     return _topk_per_probe(cand, k, size_hint=corpus)
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    seed: int = 42,
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF "index build": MLlib KMeans trains the coarse quantizer (at
+    100 TB: fit on a ``.sample()`` — IVF quantizers are always trained
+    on a sample) and assigns every corpus vector a cell id. Returns
+    ``(assigned(vec_id, _cv, _cell), centroids ndarray)`` — the
+    assignment is a map-only pass over the corpus, persistable via
+    :func:`save_ivf_index` as a cell-bucketed table so later probe
+    sessions skip both the fit and the assignment."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = array_to_vector(F.col(vec_col).cast("array<double>")).alias("_f")
+    model = KMeans(
+        featuresCol="_f", k=n_clusters, seed=seed, predictionCol="_cell"
+    ).fit(corpus.select(feat))
+
+    assigned = model.transform(
+        corpus.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("_cv"), feat)
+    ).select("vec_id", "_cv", "_cell")
+    return assigned, np.asarray(model.clusterCenters())
+
+
+def save_ivf_index(store, layer: str, name: str, assigned: DataFrame,
+                   centroids: np.ndarray, num_buckets: int = 8) -> None:
+    """Persist an IVF index: the cell assignment as a table BUCKETED on
+    ``_cell`` (probe-time cell scans read only their buckets; two
+    indexes bucketed alike join shuffle-free) plus the centroid matrix
+    as a tiny table. The reference has no vector story; this is the
+    §2.11 extension surface meeting the TableStore layer."""
+    spark = assigned.sparkSession
+    store.save_bucketed(
+        layer, f"{name}_cells", assigned, bucket_cols=["_cell"],
+        num_buckets=num_buckets,
+    )
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    store.save(
+        layer, f"{name}_centroids",
+        spark.createDataFrame(rows, ["cell", "centroid"]),
+    )
+
+
+def load_ivf_index(spark, store, layer: str, name: str) -> tuple[DataFrame, np.ndarray]:
+    """Load a persisted IVF index; centroids collect to the driver
+    (n_clusters × dim — tiny by construction)."""
+    assigned = spark.table(f"{layer}_{name}_cells")
+    rows = store.load(layer, f"{name}_centroids").orderBy("cell").collect()
+    return assigned, np.asarray([r.centroid for r in rows])
+
+
 def topk_similar_ivf(
     corpus: DataFrame,
     probes: DataFrame,
@@ -202,27 +258,30 @@ def topk_similar_ivf(
     only its ``n_probe`` nearest cells exactly. The other standard ANN
     scale path next to :func:`topk_similar_lsh`.
 
-    Spark mapping: MLlib KMeans trains the quantizer (at 100 TB: fit
-    on a ``.sample()`` — IVF quantizers are always trained on a
-    sample) and assigns every corpus vector a cell id — that
-    assignment is the shuffle-free "index build", persistable as a
-    bucketed table keyed by cell. Probe→cell routing happens in one
-    expression over the (tiny, literal) centroid array; the cell join
-    broadcasts the probe side, so the corpus again never shuffles.
-    Recall is tuned by ``n_probe``/``n_clusters`` (asserted vs the
-    exact tier in tests)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    Probe→cell routing happens in one expression over the (tiny,
+    literal) centroid array; the cell join broadcasts the probe side,
+    so the corpus never shuffles. Recall is tuned by ``n_probe``/
+    ``n_clusters`` (asserted vs the exact tier in tests). For the
+    build-once/probe-many shape use :func:`build_ivf_index` +
+    :func:`save_ivf_index` and call :func:`ivf_probe` on the loaded
+    index."""
+    assigned, centroids = build_ivf_index(
+        corpus, id_col, vec_col, n_clusters, seed
+    )
+    return ivf_probe(assigned, centroids, probes, k, probe_id_col, vec_col,
+                     n_probe)
 
-    feat = array_to_vector(F.col(vec_col).cast("array<double>")).alias("_f")
-    model = KMeans(
-        featuresCol="_f", k=n_clusters, seed=seed, predictionCol="_cell"
-    ).fit(corpus.select(feat))
 
-    assigned = model.transform(
-        corpus.select(F.col(id_col).alias("vec_id"),
-                      F.col(vec_col).alias("_cv"), feat)
-    ).select("vec_id", "_cv", "_cell")
+def ivf_probe(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    probes: DataFrame,
+    k: int = 5,
+    probe_id_col: str = "probe_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe an (in-memory or loaded) IVF index."""
 
     # probe → n_probe nearest cells, ranked by squared euclidean
     # distance to each (literal) centroid: one array_sort + slice.
@@ -232,7 +291,7 @@ def topk_similar_ivf(
     from gaming_ai_analytics_spark.functions.vectors import matrix_lit
 
     centers = F.transform(
-        matrix_lit(np.asarray(model.clusterCenters())),
+        matrix_lit(np.asarray(centroids)),
         lambda c, i: F.struct(
             i.alias("cell"),
             F.round(
@@ -274,4 +333,4 @@ def topk_similar_ivf(
         (assigned["_cell"] == routed["_cell"])
         & (F.col("vec_id") != F.col("probe_id")),
     ).select("probe_id", "vec_id", sim.alias("cosine"))
-    return _topk_per_probe(cand, k, size_hint=corpus)
+    return _topk_per_probe(cand, k, size_hint=assigned)

@@ -232,3 +232,36 @@ def test_resize_assets_fixed_length_and_deterministic(spark, sf_dir):
 
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
         resize_assets(assets, decoder=StubDecoder()).collect()
+
+
+def test_ivf_index_persist_roundtrip(spark, tmp_path):
+    """Build-once/probe-many: a saved+reloaded IVF index answers
+    identically to the in-memory build (same quantizer seed), with the
+    cell assignment riding a _cell-bucketed table."""
+    from gaming_ai_analytics_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe,
+        load_ivf_index,
+        save_ivf_index,
+        topk_similar_ivf,
+    )
+    from gaming_ai_analytics_spark.sources.io import TableStore
+    from gaming_ai_analytics_spark.sources.star import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    probes = emb.limit(4).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+
+    direct = topk_similar_ivf(emb, probes, k=3)
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    assigned, cents = build_ivf_index(emb)
+    save_ivf_index(store, "gold", "emb_ivf", assigned, cents)
+    l_assigned, l_cents = load_ivf_index(spark, store, "gold", "emb_ivf")
+    from_index = ivf_probe(l_assigned, l_cents, probes, k=3)
+
+    a = sorted(tuple(r) for r in direct.collect())
+    b = sorted(tuple(r) for r in from_index.collect())
+    assert a == b and len(a) == 12
