@@ -68,7 +68,9 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def duckdb_totals(sf_dir: str, oracles: dict[str, str]) -> tuple[float, float]:
+def duckdb_totals(
+    sf_dir: str, oracles: dict[str, str], warm_runs: int = WARM_RUNS
+) -> tuple[float, float]:
     """Warm sequential + concurrent totals for the oracle engine."""
     import duckdb
 
@@ -83,7 +85,7 @@ def duckdb_totals(sf_dir: str, oracles: dict[str, str]) -> tuple[float, float]:
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         runs = []
-        for _ in range(WARM_RUNS):
+        for _ in range(warm_runs):
             t0 = time.perf_counter()
             con.execute(sql[name]).fetchall()
             runs.append(time.perf_counter() - t0)
@@ -137,7 +139,11 @@ def main() -> None:
     duck_sf1 = None
     if sf1_dir:
         try:
-            duck_sf1, _ = duckdb_totals(sf1_dir, registry.oracle_sql())
+            # one warm run at sf1: the floor is noise at this volume and
+            # the exact-plan twins are slow — keep bench wall-time bounded
+            duck_sf1, _ = duckdb_totals(
+                sf1_dir, registry.oracle_sql(), warm_runs=1
+            )
         except Exception:
             duck_sf1 = None
 
