@@ -222,3 +222,27 @@ def test_latest_per_key_is_partial_max_not_window(spark, sf_dir):
     # which would shuffle every input row.
     assert "partial_max" in plan
     assert "Window" not in plan
+
+
+def test_curation_pipeline_single_shuffle(spark, sf_dir):
+    """Score+filter ride the scan; only the dedup-key window pays a
+    shuffle. ensure_parallelism may add ONE round-robin exchange on
+    tiny inputs — what must not appear is a second hash exchange
+    beyond the window's."""
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_traindata_curation_pipeline,
+    )
+
+    plan = _plan(q_traindata_curation_pipeline(spark, sf_dir))
+    assert plan.count("hashpartitioning") == 1  # the dedup window only
+    assert "BatchEvalPython" not in plan  # scoring is all built-ins
+
+
+def test_sql_ai_functions_arrow_batched(spark, sf_dir):
+    """The SQL-registered scorer/translator must hit the Arrow path
+    (vectorized pandas UDF), never row-at-a-time Python eval."""
+    from gaming_ai_analytics_spark.queries_ext import q_sql_ai_functions
+
+    plan = _plan(q_sql_ai_functions(spark, sf_dir))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
