@@ -33,7 +33,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Iteration order is deliberate (``registry.DRIVER_WINDOW``): the
+    correctness gate samples a prefix of this dict, so the first 50
+    entries are pinned to the queries most in need of driver evidence
+    — never-yet-checked surfaces, bench headliners, and
+    changed-oracle queries — rather than drifting with import order.
+    The remainder stay covered by ``tools/verify_local.py`` and
+    pytest."""
     return registry.queries()
 
 

@@ -102,3 +102,23 @@ def test_scd2_apply_versions_nulls_and_keeps_history(spark):
         (2, "now-set", d(2024, 6, 1), None, True),
         (3, "z", d(2020, 1, 1), None, True),  # identical resend: no-op
     }
+
+
+def test_cli_main_runs_pipeline(spark, tmp_path, capsys):
+    """python -m gaming_ai_analytics_spark: same DAG, JSON summary,
+    exit code keyed on the quality gate."""
+    import json
+
+    from gaming_ai_analytics_spark.__main__ import main
+
+    rc = main(
+        ["/root/testdata/sf0.001", "--warehouse", str(tmp_path / "wh"),
+         "--sequential"]
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert out["quality_passed"] is True
+    assert out["fact_rows_appended"] > 0
+    assert sorted(out["dims_built"]) == [
+        "dim_nation", "dim_part", "dim_supplier"
+    ]
