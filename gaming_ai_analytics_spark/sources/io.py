@@ -164,6 +164,44 @@ class TableStore:
             },
         }
 
+    def upsert(
+        self,
+        layer: str,
+        name: str,
+        updates: DataFrame,
+        key_cols: list[str],
+    ) -> None:
+        """Keyed upsert — the OSS analog of Delta ``MERGE INTO ...
+        WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT`` for whole-row
+        updates. Plain parquet has no row-level ops, so the merge is
+        expressed relationally: existing rows NOT matching an update
+        key (left-anti join) union the update batch, rewritten via a
+        staging-dir + rename swap (same crash-safety note as
+        ``compact``). The anti-join broadcasts the update batch when
+        small — the table side never shuffles; cost is one table
+        rewrite, which is why high-churn tables belong on ``delta``
+        (real MERGE rewrites only touched files).
+        """
+        from pyspark.sql import functions as F  # noqa: F401
+
+        if not self.exists(layer, name):
+            self.save(layer, name, updates)
+            return
+        current = self.load(layer, name)
+        keep = current.join(
+            updates.select(*key_cols).distinct(), key_cols, "left_anti"
+        )
+        merged = keep.unionByName(updates.select(*current.columns))
+        p = self.path(layer, name)
+        staging = p + "._upsert"
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        merged.write.format(self.fmt).mode("overwrite").save(staging)
+        old = p + "._preupsert"
+        os.rename(p, old)
+        os.rename(staging, p)
+        shutil.rmtree(old)
+
     def compact(
         self,
         layer: str,

@@ -296,3 +296,27 @@ def test_tablestore_analyze_feeds_catalog_stats(spark, tmp_path, sf_dir):
     }
     assert "Statistics" in desc, desc.keys()
     store.drop("gold", "orders_stats")
+
+
+def test_tablestore_upsert_merges_by_key(spark, tmp_path):
+    """MERGE-INTO semantics on plain parquet: matched keys replaced,
+    unmatched inserted, untouched rows survive; first call on a
+    missing table degrades to a plain save."""
+    from gaming_ai_analytics_spark.sources.io import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "v", "x"]
+    )
+    store.upsert("silver", "kv", base, ["k"])  # no table yet → save
+    updates = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], ["k", "v", "x"]
+    )
+    store.upsert("silver", "kv", updates, ["k"])
+    got = sorted(tuple(r) for r in store.load("silver", "kv").collect())
+    assert got == [
+        (1, "a", 10.0),   # untouched
+        (2, "B", 99.0),   # matched → replaced
+        (3, "c", 30.0),   # untouched
+        (4, "d", 40.0),   # not matched → inserted
+    ]
