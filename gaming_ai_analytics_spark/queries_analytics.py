@@ -31,7 +31,9 @@ from gaming_ai_analytics_spark.operators.analytics import (
 )
 from gaming_ai_analytics_spark.operators.dedup import ngram_jaccard_pairs
 from gaming_ai_analytics_spark.operators.graph import dedup_clusters
-from gaming_ai_analytics_spark.queries_llm import _JACCARD_PAIRS_SQL
+from gaming_ai_analytics_spark.functions.text_sql import (
+    JACCARD_PAIRS_SQL as _JACCARD_PAIRS_SQL,
+)
 from gaming_ai_analytics_spark.registry import register
 from gaming_ai_analytics_spark.sources.star import load_events, load_table
 

@@ -60,45 +60,16 @@ def q_text_analysis_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# SQL mirrors of functions.text (see that module for the Spark forms).
-_TOKS = "string_split_regex(TRIM(text), ' +')"
-_TOKS_L = "string_split_regex(TRIM(LOWER(text)), ' +')"
-_PUNCT_RATIO = (
-    "CASE WHEN LENGTH(text) = 0 THEN 0.0 ELSE "
-    "(LENGTH(text) - LENGTH(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))"
-    " * 1.0 / LENGTH(text) END"
+# SQL mirrors of functions.text live in functions/text_sql.py (shared
+# with queries_traindata without cross-importing query modules).
+from gaming_ai_analytics_spark.functions.text_sql import (  # noqa: E402
+    NORM as _NORM,
+    PUNCT_RATIO as _PUNCT_RATIO,
+    STOP_RATIO as _STOP_RATIO,
+    TOKS as _TOKS,
+    TOKS_L as _TOKS_L,
+    lang_sql as _lang_sql,
 )
-_STOP_RATIO = (
-    f"CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0.0 ELSE "
-    f"len(list_filter({_TOKS_L}, tk -> tk IN ('the','a','of','and','to','in')))"
-    f" * 1.0 / len({_TOKS_L}) END"
-)
-_NORM = (
-    "TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),"
-    "' +', ' ', 'g'))"
-)
-
-
-def _lang_sql() -> str:
-    hits = {
-        "en": "('the','and','of')",
-        "es": "('el','la','los')",
-        "fr": "('le','les','des')",
-        "de": "('der','die','und')",
-    }
-    h = {
-        lang: f"len(list_filter({_TOKS_L}, tk -> tk IN {inlist}))"
-        for lang, inlist in hits.items()
-    }
-    return f"""
-    CASE WHEN {h['en']} >= GREATEST({h['es']}, {h['fr']}, {h['de']})
-              AND {h['en']} > 0 THEN 'en'
-         WHEN {h['es']} >= GREATEST({h['fr']}, {h['de']})
-              AND {h['es']} > 0 THEN 'es'
-         WHEN {h['fr']} >= {h['de']} AND {h['fr']} > 0 THEN 'fr'
-         WHEN {h['de']} > 0 THEN 'de'
-         ELSE 'und' END
-    """
 
 
 register(
@@ -145,33 +116,9 @@ register(
     """,
 )
 
-_JACCARD_PAIRS_SQL = """
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(TRIM(text), ' +') AS t
-      FROM documents
-      WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0
-    ),
-    pos AS (
-      SELECT doc_id, unnest(generate_series(1, len(t) - 2)) AS i, t
-      FROM toks WHERE len(t) >= 3
-    ),
-    sh AS (
-      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-      FROM pos
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-    pairs AS (
-      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT ia AS id_a, ib AS id_b,
-           ROUND(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
-    FROM pairs
-    JOIN sizes na ON ia = na.doc_id
-    JOIN sizes nb ON ib = nb.doc_id
-    WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5
-"""
+from gaming_ai_analytics_spark.functions.text_sql import (  # noqa: E402
+    JACCARD_PAIRS_SQL as _JACCARD_PAIRS_SQL,
+)
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -407,25 +407,19 @@ def q_traindata_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def _curation_oracle() -> str:
-    from gaming_ai_analytics_spark.queries_llm import (
-        _PUNCT_RATIO,
-        _STOP_RATIO,
-        _NORM,
-        _lang_sql,
+    from gaming_ai_analytics_spark.functions.text_sql import (
+        NORM,
+        QUALITY,
+        lang_sql,
     )
 
-    quality = (
-        f"ROUND(0.5 * LEAST(LENGTH(text) / 400.0, 1.0)"
-        f" + 0.3 * LEAST(({_STOP_RATIO}) * 5.0, 1.0)"
-        f" + 0.2 * (1.0 - ({_PUNCT_RATIO})) + 5e-10, 4)"
-    )
     return f"""
     WITH scored AS (
       SELECT doc_id,
              len({_TOKS}) AS n_tokens,
-             {quality} AS quality,
-             {_lang_sql()} AS lang_guess,
-             md5({_NORM}) AS key
+             {QUALITY} AS quality,
+             {lang_sql()} AS lang_guess,
+             md5({NORM}) AS key
       FROM documents WHERE {_NONEMPTY}
     ),
     kept AS (
