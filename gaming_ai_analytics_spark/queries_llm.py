@@ -159,18 +159,16 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.5)
 
 
-register(
-    "dedup_embedding_cosine",
-    q_dedup_embedding_cosine,
-    """
+_EMBEDDING_PAIRS_SQL = """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS cosine
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) >= 0.5 - 5e-7
-    """,
-)
+    """
+
+register("dedup_embedding_cosine", q_dedup_embedding_cosine, _EMBEDDING_PAIRS_SQL)
 
 
 #: Embedding fixture vector length (FIXTURES.md) — passed explicitly so
@@ -179,15 +177,18 @@ EMBEDDING_DIM = 64
 
 
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH near-dup pairs (scale tier; rows-only —
-    recall vs the exact tier asserted in tests)."""
+    """Random-hyperplane LSH near-dup pairs, exact-cosine-verified.
+    Shares the exact tier's oracle (like dedup_minhash_lsh): bucket
+    collisions only gate WHICH pairs get the exact check, and at the
+    fixtures' similarity gap the deterministic hyperplane battery's
+    recall is 1.0, so the verified output equals the exact pair set."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_cosine_pairs_lsh(
         emb, "vec_id", "embedding", threshold=0.5, dim=EMBEDDING_DIM
     )
 
 
-register("dedup_embedding_lsh", q_dedup_embedding_lsh, None)
+register("dedup_embedding_lsh", q_dedup_embedding_lsh, _EMBEDDING_PAIRS_SQL)
 
 
 # --------------------------------------------------------------------------
