@@ -289,16 +289,36 @@ register(
 
 def q_agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event type merged from per-day HLL sketches
-    (the persistable sketch-table path). No SQL oracle — sketch
-    estimates aren't bit-reproducible across engines; accuracy vs the
-    exact tier is asserted in tests/test_analytics.py."""
+    (the persistable sketch-table path). Sketch estimates aren't
+    bit-reproducible across engines, so — like ``agg_scale_sketches``
+    — the checked output carries the EXACT count plus an error-bound
+    boolean (HLL default lgK error ~1.6%; 5% bound) and the oracle
+    computes the exact tier with literal TRUEs: a broken sketch or
+    merge flips the boolean and hash-fails."""
     ev = load_events(spark, sf_dir)
-    return hll_distinct_rollup(
+    est = hll_distinct_rollup(
         ev, ["event_type"], F.to_date("ts").alias("_day"), "user_id"
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    rel_err = F.abs(
+        F.col("distinct_estimate") - F.col("n_users_exact")
+    ) / F.col("n_users_exact")
+    return exact.join(est, "event_type").select(
+        "event_type", "n_users_exact", (rel_err < 0.05).alias("estimate_ok")
     )
 
 
-register("agg_sketch_rollup", q_agg_sketch_rollup, None)
+register(
+    "agg_sketch_rollup",
+    q_agg_sketch_rollup,
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact,
+           TRUE AS estimate_ok
+    FROM events GROUP BY 1
+    """,
+)
 
 
 def q_dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
