@@ -253,10 +253,16 @@ def minhash_lsh_pairs(
     # instead of the raw shingle strings (~8× less payload) and
     # array_intersect/union compare longs, not strings — measured 2.3×
     # on the sf1 verify stage.
+    # array_distinct ONCE per doc (set semantics are unchanged —
+    # intersect/union dedupe internally anyway, but per PAIR; a doc
+    # appears in many candidate pairs, so deduping at the source
+    # shrinks every joined payload and every per-pair set op)
     shingle_arrays = df.select(
         F.col(id_col).alias("_id"),
-        F.transform(
-            word_shingles(F.col(text_col), k), lambda s: F.xxhash64(s)
+        F.array_distinct(
+            F.transform(
+                word_shingles(F.col(text_col), k), lambda s: F.xxhash64(s)
+            )
         ).alias("_shs"),
     )
     sa = shingle_arrays.select(F.col("_id").alias("id_a"), F.col("_shs").alias("_sa"))
