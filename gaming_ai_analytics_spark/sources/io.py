@@ -291,6 +291,18 @@ class TableStore:
         rather than ``TableStore.save``'s location write. Returns the
         table name."""
         table = f"{layer}_{name}"
+        # a managed table's LOCATION can survive from a previous session
+        # (fresh in-memory catalog, persistent warehouse dir) and makes
+        # CREATE fail with LOCATION_ALREADY_EXISTS even in overwrite
+        # mode — clear the orphaned directory when the catalog has no
+        # entry for it
+        if mode == "overwrite" and not self.spark.catalog.tableExists(table):
+            wh = self.spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            )
+            loc = os.path.join(wh.removeprefix("file:"), table.lower())
+            if os.path.isdir(loc):
+                shutil.rmtree(loc)
         writer = (
             df.write.format(self.fmt)
             .mode(mode)
