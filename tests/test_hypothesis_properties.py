@@ -1,0 +1,149 @@
+"""Hypothesis property tests: randomized inputs vs pure-Python
+reference implementations for the operators whose semantics are
+subtle enough that example-based tests miss edge shapes — as-of tie
+handling, connected-components topology, top-k tournament equivalence.
+
+Spark round-trips are slow, so examples are capped and data kept tiny;
+the point is shape coverage (ties, empty sides, hubs, chains,
+singletons), not volume.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,  # CI stability: same cases every run
+)
+
+
+# --- as-of join ------------------------------------------------------------
+_asof_data = st.tuples(
+    st.lists(  # left: (key, ts)
+        st.tuples(st.integers(0, 3), st.integers(0, 20)), max_size=12
+    ),
+    st.lists(  # right: (key, ts, value)
+        st.tuples(
+            st.integers(0, 3), st.integers(0, 20), st.integers(0, 99)
+        ),
+        max_size=12,
+    ),
+)
+
+
+@settings(**SETTINGS)
+@given(_asof_data)
+def test_asof_join_matches_naive_reference(spark, data):
+    left_rows, right_rows = data
+    if not left_rows:
+        return
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return base + dt.timedelta(minutes=m)
+
+    from gaming_ai_analytics_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(i, k, ts(m)) for i, (k, m) in enumerate(left_rows)],
+        ["row_id", "k", "ts"],
+    )
+    # dedupe right on (k, ts): keep max value, mirroring the operator's
+    # deterministic last-wins-within-struct for simultaneous rows
+    dedup: dict[tuple[int, int], int] = {}
+    for k, m, v in right_rows:
+        dedup[(k, m)] = max(dedup.get((k, m), -1), v)
+    right_rows = [(k, m, v) for (k, m), v in dedup.items()]
+    right = spark.createDataFrame(
+        [(k, ts(m), v) for k, m, v in right_rows] or [(99, ts(0), 0)],
+        ["k", "ts", "v"],
+    )
+
+    got = {
+        r.row_id: r.v
+        for r in asof_join(left, right, ["k"], "ts", ["v"]).collect()
+    }
+
+    for i, (k, m) in enumerate(left_rows):
+        eligible = [(rm, v) for rk, rm, v in right_rows if rk == k and rm <= m]
+        want = max(eligible)[1] if eligible else None
+        assert got[i] == want, (i, k, m, eligible)
+
+
+# --- connected components --------------------------------------------------
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from gaming_ai_analytics_spark.operators.graph import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+    # normalize: label = min node of the component
+    comp_min: dict[int, int] = {}
+    for n, r in want.items():
+        comp_min[find(r)] = min(comp_min.get(find(r), n), n)
+    want = {n: comp_min[find(n)] for n in want}
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == want
+
+
+# --- top-k tournament == naive window -------------------------------------
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),  # probe
+            st.integers(0, 30),  # vec id
+            st.floats(-1, 1, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_topk_tournament_equals_single_window(spark, scored_rows):
+    """The bucketed two-level top-k must return EXACTLY the naive
+    per-probe ranking for any scores/ties (provable: union of
+    per-bucket top-ks contains the global top-k)."""
+    from gaming_ai_analytics_spark.operators.similarity import _topk_per_probe
+
+    dedup = {}
+    for p, v, c in scored_rows:
+        dedup[(p, v)] = round(float(c), 6)
+    rows = [(p, v, c) for (p, v), c in dedup.items()]
+    df = spark.createDataFrame(rows, ["probe_id", "vec_id", "cosine"])
+
+    naive = _topk_per_probe(df, 3, n_buckets=1)
+    tourney = _topk_per_probe(df, 3, n_buckets=7)
+    assert sorted(map(tuple, naive.collect())) == sorted(
+        map(tuple, tourney.collect())
+    )
