@@ -70,8 +70,9 @@ def materialize(df) -> None:
 
 def duckdb_totals(
     sf_dir: str, oracles: dict[str, str], warm_runs: int = WARM_RUNS
-) -> tuple[float, float]:
-    """Warm sequential + concurrent totals for the oracle engine."""
+) -> tuple[float, float, dict[str, float]]:
+    """Warm sequential + concurrent totals (and per-query times) for
+    the oracle engine."""
     import duckdb
 
     sql = dict(oracles)
@@ -98,7 +99,8 @@ def duckdb_totals(
     t0 = time.perf_counter()
     with ThreadPoolExecutor(len(HEADLINE)) as ex:
         list(ex.map(run, HEADLINE))
-    return round(seq, 3), round(time.perf_counter() - t0, 3)
+    per_query = {k: round(v, 3) for k, v in per_query.items()}
+    return round(seq, 3), round(time.perf_counter() - t0, 3), per_query
 
 
 def _sf1_dir() -> str | None:
@@ -133,19 +135,21 @@ def main() -> None:
     # would flatter the Spark/DuckDB ratio, so avoid it. Reference
     # numbers are context; never let their failure cost the Spark run.
     try:
-        duck_seq, duck_conc = duckdb_totals(sf_dir, registry.oracle_sql())
+        duck_seq, duck_conc, duck_queries = duckdb_totals(
+            sf_dir, registry.oracle_sql()
+        )
     except Exception:
-        duck_seq = duck_conc = None
+        duck_seq = duck_conc = duck_queries = None
     duck_sf1 = None
     if sf1_dir:
         try:
             # one warm run at sf1: the floor is noise at this volume and
             # the exact-plan twins are slow — keep bench wall-time bounded
-            duck_sf1, _ = duckdb_totals(
+            duck_sf1, _, duck_sf1_queries = duckdb_totals(
                 sf1_dir, registry.oracle_sql(), warm_runs=1
             )
         except Exception:
-            duck_sf1 = None
+            duck_sf1 = duck_sf1_queries = None
 
     spark = get_spark("bench")
     qs = registry.queries()
@@ -205,11 +209,13 @@ def main() -> None:
         "concurrent_wall_s": concurrent_wall,
         "duckdb_total_warm": duck_seq,
         "duckdb_concurrent_wall_s": duck_conc,
+        "duckdb_queries": duck_queries,
     }
     if sf1_timings:
         out["sf1_total_warm"] = round(sum(sf1_timings.values()), 3)
         out["sf1_queries"] = sf1_timings
         out["sf1_duckdb_total_warm"] = duck_sf1
+        out["sf1_duckdb_queries"] = duck_sf1_queries
     print(json.dumps(out))
 
 
