@@ -20,6 +20,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def conditional_pct(cond: Column, ndigits: int = 4) -> Column:
@@ -63,6 +64,205 @@ def median_exact_arrow(col: str | Column, ndigits: int = 2) -> Column:
         return float(np.percentile(arr, 50)) if arr.size else None
 
     return F.round(_median(F.col(col) if isinstance(col, str) else col), ndigits)
+
+
+def exact_percentiles_scalable(
+    df: DataFrame,
+    group_cols: list[str],
+    value_cols: dict[str, str],
+    p: float = 0.5,
+    accuracy: int = 10_000,
+    ndv_threshold: int = 10_000,
+    ndigits: int = 2,
+) -> DataFrame:
+    """EXACT interpolated percentiles with NO per-group gather — the
+    100 TB answer to "exact quantile_cont" that neither the built-in
+    ``Percentile`` (boxed per-group value map) nor a per-group Arrow
+    kernel (whole group on one reducer) provides.
+
+    Strategy, chosen per value column from measured NDV:
+
+    - **histogram** (NDV ≤ ``ndv_threshold``): aggregate (group, value)
+      counts — state bounded by cardinality, classic two-level
+      compression — and walk the sorted histogram to the target ranks
+      driver-side (≤ NDV·|groups| tiny rows collected).
+    - **bracket-slice** (high NDV): pass 1 takes a
+      ``percentile_approx`` sketch whose rank error is ≤ n/accuracy,
+      giving per-group value brackets guaranteed to contain the target
+      ranks; pass 2 counts values below the bracket (exact rank
+      offset) and collects ONLY the in-bracket slice —
+      O(n/accuracy) values per group, tunable — then selects and
+      interpolates exactly driver-side. If a bracket proves too tight
+      (sketch bound violated — not expected), it widens and retries
+      once before falling back to the gathering built-in.
+
+    Returns a small DataFrame ``group_cols + [out_name...]`` with
+    values rounded to ``ndigits`` (quantile_cont-interpolation parity).
+    Every cluster-side step is a map-side-combinable aggregation; the
+    driver holds O(|groups| · (NDV or n/accuracy)) values, never a
+    full group.
+    """
+    spark = df.sparkSession
+    gcols = list(group_cols)
+    out_names = list(value_cols)
+
+    # per-column NDV probe (one cheap sketch aggregation)
+    ndv_row = df.agg(
+        *[
+            F.approx_count_distinct(c).alias(o)
+            for o, c in value_cols.items()
+        ]
+    ).first()
+    strategies = {
+        o: ("histogram" if ndv_row[o] <= ndv_threshold else "bracket")
+        for o in out_names
+    }
+
+    # exact per-(group, column) NON-NULL counts — percentile ranks are
+    # defined over non-null values only (F.count(col) skips nulls)
+    count_rows = (
+        df.groupBy(*gcols)
+        .agg(*[F.count(value_cols[o]).alias(o) for o in out_names])
+        .collect()
+    )
+    counts = {
+        tuple(r[g] for g in gcols): {o: r[o] for o in out_names}
+        for r in count_rows
+    }
+
+    def rank_of(n: int) -> float:
+        return 1.0 + (n - 1) * p
+
+    results: dict[tuple, dict[str, float]] = {k: {} for k in counts}
+
+    # --- histogram strategy: one (group, value) aggregation per col --
+    for o in [o for o in out_names if strategies[o] == "histogram"]:
+        c = value_cols[o]
+        hist = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(*gcols, F.col(c).alias("_v"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .collect()
+        )
+        by_group: dict[tuple, list[tuple[float, int]]] = {}
+        for r in hist:
+            by_group.setdefault(tuple(r[g] for g in gcols), []).append(
+                (float(r["_v"]), r["_c"])
+            )
+        for key, pairs in by_group.items():
+            pairs.sort()
+            n = sum(cnt for _, cnt in pairs)
+            r = rank_of(n)
+            lo_r, hi_r = int(r), -(-r // 1)
+            cum, vlo, vhi = 0, None, None
+            for v, cnt in pairs:
+                cum += cnt
+                if vlo is None and cum >= lo_r:
+                    vlo = v
+                if vhi is None and cum >= hi_r:
+                    vhi = v
+                    break
+            results[key][o] = vlo + (vhi - vlo) * (r - lo_r)
+
+    # --- bracket-slice strategy ---------------------------------------
+    bracket_cols = [o for o in out_names if strategies[o] == "bracket"]
+    margin = 4.0 / accuracy  # 4× the sketch's rank-error bound
+    for attempt in range(2):
+        if not bracket_cols:
+            break
+        eps = margin * (2**attempt * 2 - 1)  # widen on retry
+        p_lo, p_hi = max(0.0, p - eps), min(1.0, p + eps)
+        sketch = df.groupBy(*gcols).agg(
+            *[
+                F.percentile_approx(
+                    value_cols[o],
+                    F.array(F.lit(p_lo), F.lit(p_hi)),
+                    F.lit(accuracy),
+                ).alias(o)
+                for o in bracket_cols
+            ]
+        )
+        brackets = {
+            tuple(r[g] for g in gcols): {o: (r[o][0], r[o][1]) for o in bracket_cols}
+            for r in sketch.collect()
+        }
+        b_rows = [
+            (*k, *(v for o in bracket_cols for v in brackets[k][o]))
+            for k in brackets
+        ]
+        b_schema = gcols + [
+            f"_{o}_{side}" for o in bracket_cols for side in ("lo", "hi")
+        ]
+        bdf = F.broadcast(spark.createDataFrame(b_rows, b_schema))
+        slice_agg = (
+            df.join(bdf, gcols)
+            .groupBy(*gcols)
+            .agg(
+                *[
+                    F.sum(
+                        F.when(
+                            F.col(value_cols[o]) < F.col(f"_{o}_lo"), 1
+                        ).otherwise(0)
+                    ).alias(f"_{o}_below")
+                    for o in bracket_cols
+                ],
+                *[
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col(value_cols[o]).between(
+                                    F.col(f"_{o}_lo"), F.col(f"_{o}_hi")
+                                ),
+                                F.col(value_cols[o]).cast("double"),
+                            )
+                        )
+                    ).alias(f"_{o}_slice")
+                    for o in bracket_cols
+                ],
+            )
+            .collect()
+        )
+        unresolved = []
+        for r in slice_agg:
+            key = tuple(r[g] for g in gcols)
+            for o in bracket_cols:
+                n = counts[key][o]
+                if n == 0:  # all-null column in this group
+                    results[key][o] = None
+                    continue
+                rk = rank_of(n)
+                lo_r, hi_r = int(rk), int(-(-rk // 1))
+                below, sl = r[f"_{o}_below"], r[f"_{o}_slice"]
+                i_lo, i_hi = lo_r - below - 1, hi_r - below - 1
+                if 0 <= i_lo and i_hi < len(sl):
+                    vlo, vhi = sl[i_lo], sl[i_hi]
+                    results[key][o] = vlo + (vhi - vlo) * (rk - lo_r)
+                else:  # sketch bound violated — widen & retry this col
+                    unresolved.append(o)
+        bracket_cols = sorted(set(unresolved))
+    for o in bracket_cols:  # still unresolved after retry: safe fallback
+        for r in (
+            df.groupBy(*gcols)
+            .agg(F.percentile(value_cols[o], F.lit(p)).alias("_v"))
+            .collect()
+        ):
+            results[tuple(r[g] for g in gcols)][o] = r["_v"]
+
+    rows = [  # .get: a group entirely absent from a strategy's pass
+        # (all-null column) surfaces as NULL, matching F.percentile
+        (*key, *(results[key].get(o) for o in out_names))
+        for key in sorted(counts)
+    ]
+    out_schema = T.StructType(
+        [df.schema[g] for g in gcols]
+        + [T.StructField(o, T.DoubleType()) for o in out_names]
+    )
+    # round ENGINE-side: Python's round() is banker's (52974.045 →
+    # .04) while Spark/DuckDB ROUND is half-up (→ .05) — a knife-edge
+    # parity bug if rounded driver-side
+    return spark.createDataFrame(rows, out_schema).select(
+        *gcols, *[F.round(o, ndigits).alias(o) for o in out_names]
+    )
 
 
 def merge_partial_aggs(

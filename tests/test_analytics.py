@@ -279,3 +279,56 @@ def test_connected_components_raises_when_not_converged(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=2)  # diameter 6 > 2
+
+
+def test_exact_percentiles_scalable_matches_builtin(spark):
+    """Gather-free exact percentile == the built-in on the fixture
+    (both strategies exercised: high-NDV price → bracket-slice,
+    50-value quantity → histogram), including the half-up rounding
+    knife edge that Python's banker's round gets wrong."""
+    from gaming_ai_analytics_spark.operators.aggregates import (
+        exact_percentiles_scalable,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    want = {
+        r.l_linestatus: (r.mp, r.mq)
+        for r in li.groupBy("l_linestatus")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("mp"),
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 2).alias("mq"),
+        )
+        .collect()
+    }
+    got = {
+        r.l_linestatus: (r.median_price, r.median_qty)
+        for r in exact_percentiles_scalable(
+            li,
+            ["l_linestatus"],
+            {"median_price": "l_extendedprice", "median_qty": "l_quantity"},
+        ).collect()
+    }
+    assert got == want
+
+
+def test_exact_percentiles_scalable_nulls_and_ties(spark):
+    """Ranks are over non-null values only; tie-heavy columns take the
+    histogram path; an all-null group yields NULL like F.percentile."""
+    from gaming_ai_analytics_spark.operators.aggregates import (
+        exact_percentiles_scalable,
+    )
+
+    rows = (
+        [("a", v) for v in [1.0, 1.0, 1.0, 2.0, 2.0, 5.0, None, None]]
+        + [("b", None)] * 3
+        + [("c", 7.0)]
+    )
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {
+        r.g: r.med
+        for r in exact_percentiles_scalable(
+            df, ["g"], {"med": "v"}, ndv_threshold=100
+        ).collect()
+    }
+    # a: 6 non-null values [1,1,1,2,2,5] → rank 3.5 → (1+2)/2
+    assert got == {"a": 1.5, "b": None, "c": 7.0}
