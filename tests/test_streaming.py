@@ -178,3 +178,68 @@ def test_streaming_dedupe_matches_batch_distinct(spark):
     )
     assert got.count() == expect.count()
     assert got.exceptAll(expect).count() == 0
+
+
+def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
+    """The watermark contract that bounds state at scale: an event
+    arriving after the watermark passed its window is DROPPED from the
+    aggregate (append mode), not retro-merged. Two explicit
+    micro-batches: batch 1 advances the watermark past the first
+    window and finalizes it; batch 2's late event targets that closed
+    window and must not resurrect it."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def t(minute):
+        return dt.datetime(2024, 1, 1, 12, minute)
+
+    # batch 1: two events in [12:00, 12:10) + one at 12:30 that pushes
+    # the watermark (10 min lateness) to 12:20 — past the first window
+    write_batch("b1", [(1, t(0)), (2, t(5)), (3, t(30))])
+
+    agg = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("start"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_drop_t")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1 → watermark 12:20, window closed
+
+        # batch 2: LATE event for the closed [12:00, 12:10) window
+        write_batch("b2", [(4, t(5))])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.start.minute: r.n for r in spark.table("late_drop_t").collect()
+    }
+    # the finalized first window counts 2 — the late event_id=4 was
+    # dropped, never re-emitted or merged
+    assert got.get(0) == 2, got
