@@ -90,9 +90,35 @@ class TableStore:
             writer = writer.option("partitionOverwriteMode", "dynamic")
         writer.save(self.path(layer, name))
 
-    def load(self, layer: str, name: str) -> DataFrame:
-        """utilities.py:27-30 (``load_data``)."""
-        return self.spark.read.format(self.fmt).load(self.path(layer, name))
+    def load(
+        self, layer: str, name: str, merge_schema: bool = False
+    ) -> DataFrame:
+        """utilities.py:27-30 (``load_data``). ``merge_schema=True``
+        reconciles files written with evolving schemas (appends that
+        added columns) — parquet's footer-merge pass, so off by
+        default: it reads every file's footer at planning time."""
+        reader = self.spark.read.format(self.fmt)
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.load(self.path(layer, name))
+
+    def vacuum(self) -> list[str]:
+        """Remove orphaned staging/backup directories left by a
+        crashed ``compact``/``upsert`` swap (``._compact``,
+        ``._upsert``, ``._precompact``, ``._preupsert``). Safe any
+        time: live tables never carry these suffixes. Returns the
+        removed paths."""
+        removed = []
+        if not os.path.isdir(self.warehouse_dir):
+            return removed
+        for d in os.listdir(self.warehouse_dir):
+            if d.endswith((
+                "._compact", "._upsert", "._precompact", "._preupsert"
+            )):
+                p = os.path.join(self.warehouse_dir, d)
+                shutil.rmtree(p)
+                removed.append(p)
+        return removed
 
     def exists(self, layer: str, name: str) -> bool:
         """utilities.py:34-39 (``table_exists``) without the

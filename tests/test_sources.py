@@ -320,3 +320,27 @@ def test_tablestore_upsert_merges_by_key(spark, tmp_path):
         (3, "c", 30.0),   # untouched
         (4, "d", 40.0),   # not matched → inserted
     ]
+
+
+def test_tablestore_vacuum_and_merge_schema(spark, tmp_path):
+    """vacuum() clears crashed-swap leftovers only; merge_schema=True
+    reconciles appends that added a column."""
+    import os
+
+    from gaming_ai_analytics_spark.sources.io import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.save("silver", "t", spark.createDataFrame([(1,)], ["a"]))
+    # simulate a crashed compact swap
+    os.makedirs(store.path("silver", "t") + "._compact")
+    removed = store.vacuum()
+    assert len(removed) == 1 and removed[0].endswith("._compact")
+    assert store.exists("silver", "t")  # live table untouched
+
+    # schema evolution: append a file with an extra column
+    spark.createDataFrame([(2, "x")], ["a", "b"]).write.mode(
+        "append"
+    ).parquet(store.path("silver", "t"))
+    merged = store.load("silver", "t", merge_schema=True)
+    assert set(merged.columns) == {"a", "b"}
+    assert merged.count() == 2
