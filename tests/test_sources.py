@@ -344,3 +344,27 @@ def test_tablestore_vacuum_and_merge_schema(spark, tmp_path):
     merged = store.load("silver", "t", merge_schema=True)
     assert set(merged.columns) == {"a", "b"}
     assert merged.count() == 2
+
+
+def test_read_jsonl_permissive_survives_corrupt_lines(spark, tmp_path):
+    """A corrupt line must null out, not fail the scan — at 100 TB one
+    bad record cannot cost the job. Schema stays pinned (no inference
+    pass) and good rows are untouched."""
+    from gaming_ai_analytics_spark.sources.io import read_jsonl
+
+    f = tmp_path / "docs.jsonl"
+    f.write_text(
+        '{"id": 1, "text": "ok"}\n'
+        "{not json at all\n"
+        '{"id": 3, "text": "also ok"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    rows = {r.id: r.text for r in read_jsonl(spark, str(f), schema).collect()}
+    assert rows[1] == "ok" and rows[3] == "also ok"
+    assert None in rows  # the corrupt line surfaced as a null row
+    assert len(rows) == 3
