@@ -439,3 +439,60 @@ register(
     q_traindata_curation_pipeline,
     _curation_oracle(),
 )
+
+
+# --------------------------------------------------------------------------
+# sequence packing
+# --------------------------------------------------------------------------
+def q_traindata_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing — the assignment step of
+    building fixed-token training sequences: documents are sharded
+    (deterministic hash), ordered within their shard, and cut into
+    4096-token bins by running token count; ``seq_id``/``seq_offset``
+    say exactly where each doc lands. One shuffle on the shard key
+    (the export-write partitioning), cumsum via a window INSIDE each
+    shard — at 100 TB shards bound both sort width and window state,
+    and the same assignment drives the actual packed-tensor writer.
+    Greedy best-fit packing is sequential by nature; concat-and-chunk
+    is the standard distributed form (what big-corpus trainers do)."""
+    from gaming_ai_analytics_spark.functions.text import token_count
+
+    seq_len = 4096
+    docs = _docs(spark, sf_dir)
+    t = token_count(F.col("text")).cast("long")
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).cast("int").alias("shard"),
+        t.alias("n_tokens"),
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        ((cum - F.col("n_tokens")) / seq_len).cast("int").alias("seq_id"),
+        ((cum - F.col("n_tokens")) % seq_len).cast("int").alias("seq_offset"),
+    )
+
+
+register(
+    "traindata_sequence_packing",
+    q_traindata_sequence_packing,
+    f"""
+    WITH base AS (
+      SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents WHERE {_NONEMPTY}
+    ),
+    cums AS (
+      SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                AS cum
+      FROM base
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(FLOOR((cum - n_tokens) / 4096) AS INT) AS seq_id,
+           CAST((cum - n_tokens) % 4096 AS INT) AS seq_offset
+    FROM cums
+    """,
+)
