@@ -182,17 +182,35 @@ def exact_percentiles_scalable(
                 for o in bracket_cols
             ]
         )
-        brackets = {
-            tuple(r[g] for g in gcols): {o: (r[o][0], r[o][1]) for o in bracket_cols}
+        brackets = {  # a null sketch (all-null column in the group)
+            # carries through as an unusable bracket; the n==0 guard
+            # below resolves those groups to NULL without touching it
+            tuple(r[g] for g in gcols): {
+                o: (r[o][0], r[o][1]) if r[o] is not None else (None, None)
+                for o in bracket_cols
+            }
             for r in sketch.collect()
         }
         b_rows = [
-            (*k, *(v for o in bracket_cols for v in brackets[k][o]))
+            (
+                *k,
+                *(
+                    float(v) if v is not None else None
+                    for o in bracket_cols
+                    for v in brackets[k][o]
+                ),
+            )
             for k in brackets
         ]
-        b_schema = gcols + [
-            f"_{o}_{side}" for o in bracket_cols for side in ("lo", "hi")
-        ]
+        b_schema = T.StructType(  # explicit: an all-null column must
+            # not break schema inference
+            [df.schema[g] for g in gcols]
+            + [
+                T.StructField(f"_{o}_{side}", T.DoubleType())
+                for o in bracket_cols
+                for side in ("lo", "hi")
+            ]
+        )
         bdf = F.broadcast(spark.createDataFrame(b_rows, b_schema))
         slice_agg = (
             df.join(bdf, gcols)

@@ -332,3 +332,22 @@ def test_exact_percentiles_scalable_nulls_and_ties(spark):
     }
     # a: 6 non-null values [1,1,1,2,2,5] → rank 3.5 → (1+2)/2
     assert got == {"a": 1.5, "b": None, "c": 7.0}
+
+
+def test_exact_percentiles_scalable_bracket_path_nulls(spark):
+    """Force the sketch-bracket strategy (ndv_threshold=0) and hit the
+    all-null group there too — the bracket is unusable and the group
+    must surface as NULL without breaking schema inference."""
+    from gaming_ai_analytics_spark.operators.aggregates import (
+        exact_percentiles_scalable,
+    )
+
+    rows = [("a", float(v)) for v in range(1, 8)] + [("b", None)] * 2
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {
+        r.g: r.med
+        for r in exact_percentiles_scalable(
+            df, ["g"], {"med": "v"}, ndv_threshold=0
+        ).collect()
+    }
+    assert got == {"a": 4.0, "b": None}
