@@ -140,16 +140,6 @@ def main() -> None:
         )
     except Exception:
         duck_seq = duck_conc = duck_queries = None
-    duck_sf1 = None
-    if sf1_dir:
-        try:
-            # one warm run at sf1: the floor is noise at this volume and
-            # the exact-plan twins are slow — keep bench wall-time bounded
-            duck_sf1, _, duck_sf1_queries = duckdb_totals(
-                sf1_dir, registry.oracle_sql(), warm_runs=1
-            )
-        except Exception:
-            duck_sf1 = duck_sf1_queries = None
 
     spark = get_spark("bench")
     qs = registry.queries()
@@ -199,6 +189,30 @@ def main() -> None:
         except Exception:
             sf1_timings = None
 
+    # DuckDB sf1 LAST, in a SUBPROCESS. Measured in-process before the
+    # JVM, its ~100 s of 32-thread churn (the exact minhash twin at
+    # 600k docs) degrades the OS/memory state enough to inflate the
+    # subsequent Spark sf0.1 medians ~25% (measured round 3: total
+    # 8.0 s with the in-process phase vs 6.4 s without; every inflated
+    # query recovered). A subprocess returns its memory at exit and
+    # runs after every Spark number is already collected; the child
+    # has no JVM of its own, so the DuckDB measurement stays honest.
+    duck_sf1 = duck_sf1_queries = None
+    if sf1_dir:
+        try:
+            import subprocess
+
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--duck-sf1", sf1_dir],
+                capture_output=True, text=True, timeout=1800,
+            )
+            payload = json.loads(proc.stdout.strip().splitlines()[-1])
+            duck_sf1 = payload["total"]
+            duck_sf1_queries = payload["queries"]
+        except Exception:
+            duck_sf1 = duck_sf1_queries = None
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     out = {
         "metric": "headline_queries_total_warm",
@@ -219,5 +233,22 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def duck_sf1_child(sf1_dir: str) -> None:
+    """Subprocess entry: one warm DuckDB run at sf1 (the floor is
+    noise at this volume and the exact-plan twins are slow — one run
+    keeps bench wall-time bounded). Importing registry never starts a
+    JVM — only ``get_spark`` does — so this process measures DuckDB
+    with no resident JVM, same conditions as the sf0.1 phase."""
+    from gaming_ai_analytics_spark import registry
+
+    total, _, queries = duckdb_totals(
+        sf1_dir, registry.oracle_sql(), warm_runs=1
+    )
+    print(json.dumps({"total": total, "queries": queries}))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 3 and sys.argv[1] == "--duck-sf1":
+        duck_sf1_child(sys.argv[2])
+    else:
+        main()

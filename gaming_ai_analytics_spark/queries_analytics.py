@@ -352,3 +352,89 @@ register(
     FROM reach GROUP BY s
     """,
 )
+
+
+def q_stat_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares fit of value vs hour-of-day —
+    diurnal-trend detection with the built-in regression aggregates
+    (``regr_slope``/``regr_intercept``/``regr_r2``, Spark 3.5+).
+
+    100 TB shape: single hash aggregate on a low-cardinality key; the
+    regression moments (sums, cross-products) combine map-side exactly
+    like ``corr``/``covar`` — no window, no second pass."""
+    ev = load_events(spark, sf_dir)
+    y = F.col("value")
+    x = F.hour("ts").cast("double")
+    return (
+        ev.filter(y.isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.regr_slope(y, x), 6).alias("slope"),
+            F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+        )
+    )
+
+
+register(
+    "stat_regression",
+    q_stat_regression,
+    """
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(regr_slope(value, CAST(date_part('hour', ts) AS DOUBLE)), 6)
+             AS slope,
+           ROUND(regr_intercept(value, CAST(date_part('hour', ts) AS DOUBLE)), 6)
+             AS intercept,
+           ROUND(regr_r2(value, CAST(date_part('hour', ts) AS DOUBLE)), 6)
+             AS r2
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+
+
+def q_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each source's language mix — the
+    mixture-diagnostics primitive of corpus curation (a source whose
+    language distribution collapses is a crawl bug; one whose entropy
+    spikes is a contamination signal).
+
+    100 TB shape: one shuffle on (source, lang) — both low-cardinality
+    — then a tiny re-aggregation to sources; the per-source totals
+    ride the same small post-shuffle frame, no window over raw rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.filter(F.col("lang").isNotNull())
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    t = c.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        c.join(t, "source")
+        .groupBy("source")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+        )
+    )
+
+
+register(
+    "source_lang_entropy",
+    q_source_lang_entropy,
+    """
+    WITH c AS (
+      SELECT source, lang, COUNT(*) AS c
+      FROM documents WHERE lang IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    t AS (SELECT source, SUM(c) AS n FROM c GROUP BY 1)
+    SELECT c.source, CAST(MAX(n) AS BIGINT) AS n_docs, COUNT(*) AS n_langs,
+           ROUND(-SUM((c * 1.0 / n) * LN(c * 1.0 / n)), 6) AS entropy_nats
+    FROM c JOIN t USING (source)
+    GROUP BY c.source
+    """,
+)

@@ -18,6 +18,7 @@ from gaming_ai_analytics_spark.functions.text import (
     language_id,
     quality_score,
     token_count,
+    tokens,
 )
 from gaming_ai_analytics_spark.operators.dedup import (
     embedding_cosine_pairs,
@@ -302,3 +303,107 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("multimodal_resize", q_multimodal_resize, None)
+
+
+# --------------------------------------------------------------------------
+# lexical retrieval scoring
+# --------------------------------------------------------------------------
+_BM25_TERMS = ("spark", "hash", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _eq_term(tm: str):
+    # single-arg closure: a default-arg lambda reads as the 2-ary
+    # (element, index) form of F.filter and binds the index instead
+    return lambda x: x == F.lit(tm)
+
+
+def q_bm25_term_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 score of every document against a fixed term set —
+    the lexical-retrieval primitive of a training-data curation stack
+    (query-relevance filtering, hard-negative mining for retrievers).
+
+    100 TB shape: per-row tf/dl are map-only codegen'd built-ins
+    (``F.filter`` higher-order, no UDF); the corpus statistics
+    (N, avgdl, per-term document frequency) are ONE 1-row aggregate
+    broadcast back into a map-only projection — same pattern as
+    ``tf_idf``, no driver action, no second shuffle. Uses the BM25+
+    idf form ``ln(1 + (N-df+.5)/(df+.5))`` which is strictly positive,
+    so scores never go negative for common terms."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    t = tokens(F.col("text"))
+    base = docs.filter(
+        F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
+    ).select(
+        "doc_id",
+        F.size(t).alias("dl"),
+        *[
+            F.size(F.filter(t, _eq_term(tm))).alias(f"tf_{tm}")
+            for tm in _BM25_TERMS
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{tm}") > 0).cast("long")).alias(f"df_{tm}")
+            for tm in _BM25_TERMS
+        ],
+    )
+    score = F.lit(0.0)
+    for tm in _BM25_TERMS:
+        tf = F.col(f"tf_{tm}")
+        df = F.col(f"df_{tm}")
+        idf = F.log((F.col("n") - df + 0.5) / (df + 0.5) + 1.0)
+        norm = tf + _BM25_K1 * (
+            1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+        )
+        score = score + idf * (tf * (_BM25_K1 + 1.0)) / norm
+    return (
+        base.join(F.broadcast(stats))
+        .select("doc_id", score.alias("_raw"))
+        .filter(F.col("_raw") > 0)
+        .select("doc_id", F.round(F.col("_raw"), 6).alias("bm25"))
+    )
+
+
+def _bm25_sql() -> str:
+    from gaming_ai_analytics_spark.functions.text_sql import TOKS
+
+    tf_cols = ",\n             ".join(
+        f"len(list_filter({TOKS}, x -> x = '{tm}')) AS tf_{tm}"
+        for tm in _BM25_TERMS
+    )
+    df_cols = ",\n             ".join(
+        f"SUM(CASE WHEN tf_{tm} > 0 THEN 1 ELSE 0 END) AS df_{tm}"
+        for tm in _BM25_TERMS
+    )
+    parts = " + ".join(
+        f"LN((n - df_{tm} + 0.5) / (df_{tm} + 0.5) + 1.0)"
+        f" * (tf_{tm} * ({_BM25_K1} + 1.0))"
+        f" / (tf_{tm} + {_BM25_K1}"
+        f" * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+        for tm in _BM25_TERMS
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, len({TOKS}) AS dl,
+             {tf_cols}
+      FROM documents
+      WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, AVG(dl) AS avgdl,
+             {df_cols}
+      FROM base
+    ),
+    scored AS (
+      SELECT doc_id, {parts} AS raw
+      FROM base, stats
+    )
+    SELECT doc_id, ROUND(raw, 6) AS bm25 FROM scored WHERE raw > 0
+    """
+
+
+register("bm25_term_scores", q_bm25_term_scores, _bm25_sql())
