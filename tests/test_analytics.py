@@ -351,3 +351,68 @@ def test_exact_percentiles_scalable_bracket_path_nulls(spark):
         ).collect()
     }
     assert got == {"a": 4.0, "b": None}
+
+
+# --------------------------------------------------------------------------
+# round-3 additions: regression fit, entropy, BM25
+# --------------------------------------------------------------------------
+def test_stat_regression_recovers_planted_line(spark):
+    import datetime as dt
+
+    from gaming_ai_analytics_spark.queries_analytics import q_stat_regression
+
+    # value = 2*hour + 1 exactly → slope 2, intercept 1, r2 1
+    rows = [
+        (i, dt.datetime(2024, 1, 1, h, 0, 0), 1, "t", 2.0 * h + 1.0, "{}")
+        for i, h in enumerate([0, 3, 6, 9, 12, 15, 18, 21])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    df.createOrReplaceTempView("_reg_ev")
+    from gaming_ai_analytics_spark.sources import star
+
+    key = (spark.sparkContext.applicationId, "_mem", "events")
+    star._TABLE_CACHE[key] = df
+    try:
+        out = q_stat_regression(spark, "_mem").collect()[0]
+    finally:
+        del star._TABLE_CACHE[key]
+    assert out["slope"] == 2.0 and out["intercept"] == 1.0
+    assert out["r2"] == 1.0
+
+
+def test_source_lang_entropy_bounds(spark, sf_dir):
+    import math
+
+    from gaming_ai_analytics_spark.queries_analytics import (
+        q_source_lang_entropy,
+    )
+
+    for r in q_source_lang_entropy(spark, sf_dir).collect():
+        # 0 ≤ H ≤ ln(n_langs); uniform mix reaches the upper bound
+        assert 0.0 <= r["entropy_nats"] <= math.log(r["n_langs"]) + 1e-6
+
+
+def test_bm25_zero_for_docs_without_terms_and_monotonic(spark):
+    from gaming_ai_analytics_spark.queries_llm import q_bm25_term_scores
+    from gaming_ai_analytics_spark.sources import star
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark filler filler", "en", "s", 30),
+            (2, "spark filler filler filler filler", "en", "s", 30),
+            (3, "filler only no match here at all", "en", "s", 30),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    key = (spark.sparkContext.applicationId, "_mem", "documents")
+    star._TABLE_CACHE[key] = df
+    try:
+        out = {r["doc_id"]: r["bm25"] for r in
+               q_bm25_term_scores(spark, "_mem").collect()}
+    finally:
+        del star._TABLE_CACHE[key]
+    assert 3 not in out          # no query term → score 0 → filtered
+    assert out[1] > out[2] > 0   # higher tf → higher score
