@@ -438,3 +438,53 @@ register(
     GROUP BY c.source
     """,
 )
+
+
+def q_event_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov path analysis: per-user consecutive event-type
+    transitions with the conditional share of each next step — the
+    "where do users go after X" primitive behind journey/sankey views.
+
+    100 TB shape: the lead() window shuffles once on user_id (bounded
+    per-user state), then the transition counts aggregate onto a
+    |types|² frame; the share window runs on that tiny aggregate,
+    never the event stream."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    trans = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    share = F.col("n") / F.sum("n").over(Window.partitionBy("prev_type"))
+    return trans.select(
+        "prev_type", "next_type", "n", F.round(share, 6).alias("share")
+    )
+
+
+register(
+    "event_path_transitions",
+    q_event_path_transitions,
+    """
+    WITH seq AS (
+      SELECT event_type AS prev_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    ),
+    t AS (
+      SELECT prev_type, next_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type), 6) AS share
+    FROM t
+    """,
+)

@@ -496,3 +496,232 @@ register(
     FROM cums
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rule-based quality gate (C4/Gopher heuristics)
+# --------------------------------------------------------------------------
+def q_quality_gate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document C4/Gopher-style rule flags and the composed keep
+    decision: token-count bounds, mean-word-length band, punctuation
+    ceiling, stopword floor. Emits the metrics plus ``keep`` so a
+    curation run can both filter and audit rejection reasons from the
+    same pass. Map-only (string/array built-ins, no shuffle); the
+    +5e-10 pre-round epsilon keeps both engines on the same side of
+    exact .00005 boundaries (same rationale as quality_score)."""
+    from gaming_ai_analytics_spark.functions.text import (
+        mean_word_length,
+        punctuation_ratio,
+        stopword_ratio,
+        token_count,
+    )
+
+    t = F.col("text")
+    out = _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count(t).cast("int").alias("n_tokens"),
+        F.round(mean_word_length(t) + 5e-10, 4).alias("mean_word_len"),
+        F.round(punctuation_ratio(t) + 5e-10, 4).alias("punct_ratio"),
+        F.round(stopword_ratio(t) + 5e-10, 4).alias("stop_ratio"),
+    )
+    keep = (
+        F.col("n_tokens").between(5, 100_000)
+        & F.col("mean_word_len").between(2.0, 12.0)
+        & (F.col("punct_ratio") < 0.3)
+        & (F.col("stop_ratio") > 0.01)
+    )
+    return out.withColumn("keep", keep)
+
+
+_MEAN_WORD_LEN = (
+    f"CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0.0 ELSE "
+    f"CAST(list_sum(list_transform({_TOKS}, tk -> LENGTH(tk))) AS DOUBLE)"
+    f" / len({_TOKS}) END"
+)
+_PUNCT_RATIO = (
+    "CASE WHEN LENGTH(text) = 0 THEN 0.0 ELSE "
+    "(LENGTH(text) - LENGTH(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))"
+    " * 1.0 / LENGTH(text) END"
+)
+_TOKS_L = "string_split_regex(TRIM(LOWER(text)), ' +')"
+_STOP_RATIO = (
+    f"CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0.0 ELSE "
+    f"len(list_filter({_TOKS_L}, tk -> tk IN ('the','a','of','and','to','in')))"
+    f" * 1.0 / len({_TOKS_L}) END"
+)
+
+register(
+    "quality_gate_rules",
+    q_quality_gate_rules,
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS INT) AS n_tokens,
+             ROUND({_MEAN_WORD_LEN} + 5e-10, 4) AS mean_word_len,
+             ROUND({_PUNCT_RATIO} + 5e-10, 4) AS punct_ratio,
+             ROUND({_STOP_RATIO} + 5e-10, 4) AS stop_ratio
+      FROM documents WHERE {_NONEMPTY}
+    )
+    SELECT *,
+           (n_tokens BETWEEN 5 AND 100000
+            AND mean_word_len BETWEEN 2.0 AND 12.0
+            AND punct_ratio < 0.3
+            AND stop_ratio > 0.01) AS keep
+    FROM m
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# token-budget selection (quality-ranked prefix under a global budget)
+# --------------------------------------------------------------------------
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select the best documents until a global token budget is
+    exhausted: rank by quality (desc, doc_id tie-break), take the
+    prefix whose running token total fits 10k tokens — the "give me
+    the best N tokens" curation primitive.
+
+    The oracle is one global ordered cumsum; a single global window
+    is a one-reducer funnel at 100 TB, so the Spark plan runs the
+    TWO-LEVEL form instead: quality is banded into contiguous ranges
+    (a pure function of the value — no global shuffle), per-band token
+    totals (≤20 rows) produce broadcast prefix offsets, and the
+    corpus-wide cumsum is band-local window + offset. Same answer,
+    bounded window state per band; AQE sees ordinary hash shuffles."""
+    from gaming_ai_analytics_spark.functions.text import (
+        quality_score,
+        token_count,
+    )
+
+    budget, n_bands = 10_000, 20
+    t = F.col("text")
+    scored = _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count(t).cast("long").alias("n_tokens"),
+        quality_score(t).alias("quality"),
+    )
+    # band 0 = best quality; contiguous ranges of the (rounded) score,
+    # so band order == global quality order and equal scores can never
+    # straddle a band boundary.
+    band = F.least(
+        F.floor((1.0 - F.col("quality")) * n_bands), F.lit(n_bands - 1)
+    ).cast("int")
+    banded = scored.withColumn("_b", F.greatest(band, F.lit(0)))
+    totals = banded.groupBy("_b").agg(F.sum("n_tokens").alias("_bt"))
+    w_pre = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    # ≤ n_bands rows: the single-partition window runs on the tiny
+    # aggregate, never the corpus.
+    prefix = totals.withColumn(
+        "_pre", F.coalesce(F.sum("_bt").over(w_pre), F.lit(0).cast("long"))
+    )
+    w_in = Window.partitionBy("_b").orderBy(F.desc("quality"), "doc_id")
+    return (
+        banded.join(F.broadcast(prefix.select("_b", "_pre")), "_b")
+        .withColumn("cum_tokens", F.col("_pre") + F.sum("n_tokens").over(w_in))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", "quality", "n_tokens", "cum_tokens")
+    )
+
+
+def _token_budget_oracle() -> str:
+    from gaming_ai_analytics_spark.functions.text_sql import QUALITY
+
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             {QUALITY} AS quality
+      FROM documents WHERE {_NONEMPTY}
+    ),
+    c AS (
+      SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id)
+                     AS BIGINT) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, quality, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= 10000
+    """
+
+
+register("token_budget_select", q_token_budget_select, _token_budget_oracle())
+
+
+# --------------------------------------------------------------------------
+# bigram vocabulary (n-gram LM counts)
+# --------------------------------------------------------------------------
+def q_vocab_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 corpus bigrams by total occurrence (multiplicity kept —
+    these are LM co-occurrence counts, not document frequency),
+    deterministic tie-break on the bigram. Map-only n-gram expansion
+    (let-bound token array) then one shuffle on the bigram key with
+    map-side partial counts; TakeOrderedAndProject caps the result."""
+    from gaming_ai_analytics_spark.functions.text import word_ngrams
+
+    grams = _docs(spark, sf_dir).select(
+        F.explode(word_ngrams(F.col("text"), 2)).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(40)
+    )
+
+
+register(
+    "vocab_bigrams",
+    q_vocab_bigrams,
+    f"""
+    WITH toks AS (
+      SELECT {_TOKS} AS t FROM documents WHERE {_NONEMPTY}
+    ),
+    g2 AS (
+      SELECT t[i] || ' ' || t[i+1] AS bigram
+      FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 2)
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM g2 GROUP BY 1 ORDER BY n DESC, bigram LIMIT 40
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# token-length histogram (corpus shape diagnostics)
+# --------------------------------------------------------------------------
+def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (25-token) histogram of document lengths with
+    per-bucket token mass and mean char count — the corpus-shape
+    report curation runs before and after every filter stage. One
+    shuffle on the (tiny) bucket key; bucket is plain arithmetic so
+    the whole pass is scan + partial agg."""
+    from gaming_ai_analytics_spark.functions.text import token_count
+
+    nt = token_count(F.col("text"))
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            F.floor(nt / 25).cast("int").alias("bucket"),
+            nt.cast("long").alias("nt"),
+            "n_chars",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+register(
+    "token_length_histogram",
+    q_token_length_histogram,
+    f"""
+    SELECT CAST(FLOOR(len({_TOKS}) / 25) AS INT) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
+           ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM documents WHERE {_NONEMPTY}
+    GROUP BY 1
+    """,
+)

@@ -160,3 +160,149 @@ def test_tf_idf_no_driver_action_for_corpus_size(spark, monkeypatch):
     for action in ("count", "collect", "first", "take", "head"):
         monkeypatch.setattr(DataFrame, action, boom)
     q_tf_idf(spark, SF)  # plan construction only — must not act
+
+
+# --------------------------------------------------------------------------
+# round-3 additions: quality gate, token budget, bigrams, histogram
+# --------------------------------------------------------------------------
+def _inject_docs(spark, rows):
+    from gaming_ai_analytics_spark.sources import star
+
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    key = (spark.sparkContext.applicationId, "_mem", "documents")
+    star._TABLE_CACHE[key] = df
+    return key, star
+
+
+def test_quality_gate_rules_flags_each_rule(spark):
+    from gaming_ai_analytics_spark.queries_traindata import q_quality_gate_rules
+
+    good = "the cat sat of the mat and then went to sleep in town"
+    rows = [
+        (1, good, "en", "s", len(good)),
+        (2, "too short", "en", "s", 9),                     # n_tokens < 5
+        (3, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))", "en", "s", 40),  # punct
+        (4, "zx qw er ty ui op as df gh jk", "en", "s", 30),  # no stopwords
+    ]
+    key, star = _inject_docs(spark, rows)
+    try:
+        out = {r.doc_id: r for r in
+               q_quality_gate_rules(spark, "_mem").collect()}
+    finally:
+        del star._TABLE_CACHE[key]
+    assert out[1].keep is True
+    assert out[2].keep is False
+    assert out[3].keep is False and out[3].punct_ratio >= 0.3
+    assert out[4].keep is False and out[4].stop_ratio == 0.0
+
+
+def test_token_budget_select_matches_global_cumsum(spark):
+    """The two-level banded cumsum must equal the naive global-window
+    answer (the oracle's formulation) on a corpus spanning many
+    quality bands."""
+    from pyspark.sql import Window
+
+    from gaming_ai_analytics_spark.functions.text import (
+        quality_score,
+        token_count,
+    )
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_token_budget_select,
+    )
+
+    rows = []
+    for i in range(60):
+        # vary length and stopword share → a spread of quality scores
+        body = " ".join(["the cat sat of it"] * (1 + i % 7))
+        filler = " ".join(["zzz"] * (i % 11))
+        rows.append((i, f"{body} {filler}".strip(), "en", "s", 10))
+    key, star = _inject_docs(spark, rows)
+    try:
+        got = {
+            (r.doc_id, r.cum_tokens)
+            for r in q_token_budget_select(spark, "_mem").collect()
+        }
+        scored = star._TABLE_CACHE[key].select(
+            "doc_id",
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+            quality_score(F.col("text")).alias("quality"),
+        )
+        w = Window.orderBy(F.desc("quality"), "doc_id")
+        want = {
+            (r.doc_id, r.cum)
+            for r in scored.withColumn("cum", F.sum("n_tokens").over(w))
+            .filter(F.col("cum") <= 10_000)
+            .collect()
+        }
+    finally:
+        del star._TABLE_CACHE[key]
+    assert got == want and got
+
+
+def test_vocab_bigrams_counts_multiplicity(spark):
+    from gaming_ai_analytics_spark.queries_traindata import q_vocab_bigrams
+
+    rows = [(1, "a b a b", "en", "s", 7), (2, "a b c", "en", "s", 5)]
+    key, star = _inject_docs(spark, rows)
+    try:
+        out = {r.bigram: r.n for r in q_vocab_bigrams(spark, "_mem").collect()}
+    finally:
+        del star._TABLE_CACHE[key]
+    # doc1 bigrams: "a b", "b a", "a b"  → multiplicity kept
+    assert out == {"a b": 3, "b a": 1, "b c": 1}
+
+
+def test_token_length_histogram_buckets(spark):
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_token_length_histogram,
+    )
+
+    rows = [
+        (1, " ".join(["w"] * 10), "en", "s", 19),   # bucket 0
+        (2, " ".join(["w"] * 30), "en", "s", 59),   # bucket 1
+        (3, " ".join(["w"] * 40), "en", "s", 79),   # bucket 1
+    ]
+    key, star = _inject_docs(spark, rows)
+    try:
+        out = {r.bucket: (r.n_docs, r.total_tokens)
+               for r in q_token_length_histogram(spark, "_mem").collect()}
+    finally:
+        del star._TABLE_CACHE[key]
+    assert out == {0: (1, 10), 1: (2, 70)}
+
+
+def test_event_path_transitions_planted_sequences(spark):
+    import datetime as dt
+
+    from gaming_ai_analytics_spark.queries_analytics import (
+        q_event_path_transitions,
+    )
+    from gaming_ai_analytics_spark.sources import star
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: view → click → view;  user 2: view → click
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "click", 1.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=2), 1, "view", 1.0, "{}"),
+        (4, t0, 2, "view", 1.0, "{}"),
+        (5, t0 + dt.timedelta(minutes=1), 2, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    key = (spark.sparkContext.applicationId, "_mem", "events")
+    star._TABLE_CACHE[key] = df
+    try:
+        out = {(r.prev_type, r.next_type): (r.n, r.share)
+               for r in q_event_path_transitions(spark, "_mem").collect()}
+    finally:
+        del star._TABLE_CACHE[key]
+    assert out[("view", "click")] == (2, 1.0)  # view always → click
+    # user 2's click ends their path (lead = NULL, no transition), so
+    # the only observed click transition is click → view
+    assert out[("click", "view")] == (1, 1.0)
+    assert len(out) == 2
