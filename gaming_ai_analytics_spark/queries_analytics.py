@@ -488,3 +488,69 @@ register(
     FROM t
     """,
 )
+
+
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier profile per event type: median, MAD (median
+    absolute deviation), and how many events sit beyond the
+    3σ-equivalent robust fence (3 · 1.4826 · MAD) — the
+    contamination-resistant twin of ``anomaly_zscore`` (one planted
+    spike cannot move the fence the way it moves a stddev).
+
+    100 TB shape: two grouped exact medians + one counting pass, all
+    shuffling only on the low-cardinality type key with the tiny
+    median frames broadcast back; swap ``percentile`` for
+    ``percentile_approx`` at scale (same plan shape), as with the
+    other exact-median oracle tiers."""
+    from pyspark.sql.functions import broadcast
+
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    fence = F.lit(3 * 1.4826) * F.col("mad")
+    return (
+        dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum((F.col("adev") > fence).cast("long")).alias("n_outliers"),
+        )
+    )
+
+
+register(
+    "anomaly_mad",
+    q_anomaly_mad,
+    """
+    WITH ev AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM ev GROUP BY 1
+    ),
+    d AS (
+      SELECT ev.event_type, ABS(ev.value - med.med) AS adev, med.med
+      FROM ev JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM d GROUP BY 1
+    )
+    SELECT d.event_type, COUNT(*) AS n,
+           ROUND(MAX(d.med), 6) AS med,
+           ROUND(MAX(mad.mad), 6) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3 * 1.4826 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM d JOIN mad USING (event_type)
+    GROUP BY 1
+    """,
+)

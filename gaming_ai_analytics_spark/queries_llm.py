@@ -28,6 +28,7 @@ from gaming_ai_analytics_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
+from gaming_ai_analytics_spark.functions.vectors import l2_norm
 from gaming_ai_analytics_spark.operators.parallelism import ensure_parallelism
 from gaming_ai_analytics_spark.operators.multimodal import (
     extract_features,
@@ -407,3 +408,46 @@ def _bm25_sql() -> str:
 
 
 register("bm25_term_scores", q_bm25_term_scores, _bm25_sql())
+
+
+# --------------------------------------------------------------------------
+# embedding-column diagnostics
+# --------------------------------------------------------------------------
+def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm profile of the embedding column — the vector
+    health check run before any ANN build (un-normalized or collapsed
+    embeddings are the usual silent killer of cosine retrieval).
+    Map-only fold over each array (same element order both engines),
+    then one partial-agg shuffle on the tiny label key."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = l2_norm(F.col("embedding"))
+    return (
+        emb.filter(F.col("embedding").isNotNull())
+        .select("label", norm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
+
+
+register(
+    "embedding_norm_profile",
+    q_embedding_norm_profile,
+    """
+    WITH n AS (
+      SELECT label,
+             SQRT(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings WHERE embedding IS NOT NULL
+    )
+    SELECT label, COUNT(*) AS n,
+           ROUND(AVG(nrm), 6) AS avg_norm,
+           ROUND(MIN(nrm), 6) AS min_norm,
+           ROUND(MAX(nrm), 6) AS max_norm
+    FROM n GROUP BY label
+    """,
+)

@@ -725,3 +725,63 @@ register(
     GROUP BY 1
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# mixture rebalance (computed per-source rates toward a uniform target)
+# --------------------------------------------------------------------------
+def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus toward a UNIFORM source mix: each source's
+    keep-rate is computed from corpus statistics (target docs-per-source
+    over actual count, capped at 1), then rows are kept by the same
+    deterministic multiplicative hash the sampling operator uses —
+    the training-mix solver step, where sample_stratified is the
+    fixed-rate mechanism.
+
+    100 TB shape: source counts are one partial-agg shuffle onto a
+    tiny frame; the per-source rates broadcast back and the keep
+    predicate is per-row arithmetic riding the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    tot = docs.agg(
+        F.count(F.lit(1)).alias("n_tot"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.col("n_tot") / F.col("n_sources") / F.col("n_src"),
+        ).alias("rate"),
+    )
+    kept = (F.col("doc_id") * F.lit(2654435761)) % 10_000 < F.floor(
+        F.col("rate") * 10_000
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(kept)
+        .select("doc_id", "source", F.round("rate", 6).alias("rate"))
+    )
+
+
+register(
+    "mixture_rebalance",
+    q_mixture_rebalance,
+    """
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_src FROM documents GROUP BY 1
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n_tot, COUNT(DISTINCT source) AS n_sources
+      FROM documents
+    ),
+    rates AS (
+      SELECT source,
+             LEAST(1.0, n_tot * 1.0 / n_sources / n_src) AS rate
+      FROM counts, tot
+    )
+    SELECT d.doc_id, d.source, ROUND(r.rate, 6) AS rate
+    FROM documents d JOIN rates r USING (source)
+    WHERE (d.doc_id * 2654435761) % 10000 < FLOOR(r.rate * 10000)
+    """,
+)

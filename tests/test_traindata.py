@@ -306,3 +306,61 @@ def test_event_path_transitions_planted_sequences(spark):
     # the only observed click transition is click → view
     assert out[("click", "view")] == (1, 1.0)
     assert len(out) == 2
+
+
+def test_mixture_rebalance_rates_hit_uniform_target(spark):
+    from gaming_ai_analytics_spark.queries_traindata import q_mixture_rebalance
+
+    # 3 sources: 60 / 30 / 10 docs; uniform target = 100/3 ≈ 33.3 docs
+    rows = []
+    i = 0
+    for src, n in (("big", 60), ("mid", 30), ("small", 10)):
+        for _ in range(n):
+            rows.append((i, "x", "en", src, 1))
+            i += 1
+    key, star = _inject_docs(spark, rows)
+    try:
+        out = q_mixture_rebalance(spark, "_mem").collect()
+    finally:
+        del star._TABLE_CACHE[key]
+    rates = {r.source: r.rate for r in out}
+    # under-target sources keep everything (rate capped at 1)
+    assert rates.get("small") == 1.0 and rates.get("mid") == 1.0
+    assert abs(rates["big"] - 100 / 3 / 60) < 1e-6
+    kept = {s: sum(1 for r in out if r.source == s) for s in rates}
+    assert kept["small"] == 10 and kept["mid"] == 30
+    assert kept["big"] < 60  # over-represented source was downsampled
+
+
+def test_anomaly_mad_robust_to_planted_spike(spark):
+    import datetime as dt
+
+    from gaming_ai_analytics_spark.queries_analytics import q_anomaly_mad
+    from gaming_ai_analytics_spark.sources import star
+
+    t0 = dt.datetime(2024, 1, 1)
+    # 100 well-behaved values in [0, 10) plus one enormous spike
+    rows = [
+        (i, t0, 1, "a", float(i % 10), "{}") for i in range(100)
+    ] + [(100, t0, 1, "a", 1e9, "{}")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    key = (spark.sparkContext.applicationId, "_mem", "events")
+    star._TABLE_CACHE[key] = df
+    try:
+        out = q_anomaly_mad(spark, "_mem").collect()[0]
+    finally:
+        del star._TABLE_CACHE[key]
+    # the spike cannot drag the robust center/scale appreciably …
+    assert out.med < 10 and out.mad < 10
+    # … and is itself the single flagged outlier
+    assert out.n_outliers == 1
+
+
+def test_embedding_norm_profile_bounds(spark, sf_dir):
+    from gaming_ai_analytics_spark.queries_llm import q_embedding_norm_profile
+
+    for r in q_embedding_norm_profile(spark, sf_dir).collect():
+        assert 0 < r.min_norm <= r.avg_norm <= r.max_norm
