@@ -554,3 +554,110 @@ register(
     GROUP BY 1
     """,
 )
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end near-dup REMOVAL pass: pairs → transitive
+    clusters → keep one canonical doc per cluster plus every
+    unclustered doc — the actual corpus a dedup stage emits, with the
+    keep reason for auditability (``canonical`` = won its cluster,
+    ``unique`` = never matched anything).
+
+    100 TB shape: the cluster frame is tiny relative to the corpus
+    (only docs that matched something), so the final step is a
+    broadcast left anti/semi composition on doc_id — the full corpus
+    shuffles zero times past the pair generation it already paid."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    clusters = dedup_clusters(pairs, "id_a", "id_b")
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    winners = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        "doc_id"
+    )
+    kept = docs.join(F.broadcast(losers), "doc_id", "left_anti")
+    reason = F.when(
+        F.col("is_canon").isNotNull(), F.lit("canonical")
+    ).otherwise(F.lit("unique"))
+    return (
+        kept.join(
+            F.broadcast(winners.withColumn("is_canon", F.lit(1))),
+            "doc_id",
+            "left",
+        )
+        .select("doc_id", "lang", "source", reason.alias("keep_reason"))
+    )
+
+
+register(
+    "dedup_survivors",
+    q_dedup_survivors,
+    f"""
+    WITH RECURSIVE p AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM p
+      UNION
+      SELECT id_b, id_a FROM p
+    ),
+    reach AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    clusters AS (
+      SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+      FROM reach GROUP BY s
+    )
+    SELECT d.doc_id, d.lang, d.source,
+           CASE WHEN c.doc_id IS NOT NULL THEN 'canonical'
+                ELSE 'unique' END AS keep_reason
+    FROM documents d
+    LEFT JOIN clusters c
+      ON d.doc_id = c.doc_id AND c.doc_id = c.cluster_id
+    WHERE d.doc_id NOT IN (
+      SELECT doc_id FROM clusters WHERE doc_id <> cluster_id
+    )
+    """,
+)
+
+
+def q_trending_daily_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per day by volume — the trending/leaderboard
+    window pattern. One shuffle onto the (day, type) aggregate, then
+    the rank window runs on the aggregated frame (365 × |types| rows),
+    never the raw stream."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    daily = (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("day").orderBy(F.desc("n"), "event_type")
+    return (
+        daily.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(F.to_date("day").alias("day"), "rank", "event_type", "n")
+    )
+
+
+register(
+    "trending_daily_topk",
+    q_trending_daily_topk,
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day, rank, event_type, n
+    FROM (SELECT *, CAST(ROW_NUMBER() OVER (
+                      PARTITION BY day ORDER BY n DESC, event_type)
+                    AS INT) AS rank
+          FROM daily)
+    WHERE rank <= 3
+    """,
+)

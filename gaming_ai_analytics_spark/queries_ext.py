@@ -596,3 +596,43 @@ register(
     WHERE text IS NOT NULL AND LENGTH(text) > 0
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# salted skew join (explicit 100 TB skew lever as a checked query)
+# --------------------------------------------------------------------------
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-volume rollup computed THROUGH ``salted_join``: the
+    lineitem side carries a seeded uniform salt, supplier is replicated
+    across all 8 salt values, and the join key becomes (suppkey, salt)
+    — spreading any hot supplier over 8 reducers. Results are
+    identical to the plain join (the salt never reaches the aggregate
+    key); the oracle IS the plain join, so the driver check proves the
+    lever is semantics-preserving. Use when the build side is too big
+    to broadcast and AQE's sort-merge skew split can't apply
+    (operators/skew.py docstring)."""
+    from gaming_ai_analytics_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_quantity"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, supp, "suppkey", "inner", salt_buckets=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+
+
+register(
+    "join_salted_skew",
+    q_join_salted_skew,
+    """
+    SELECT s.s_nationkey, COUNT(*) AS n_items,
+           ROUND(SUM(l.l_quantity), 2) AS total_qty
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1
+    """,
+)

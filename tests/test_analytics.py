@@ -416,3 +416,58 @@ def test_bm25_zero_for_docs_without_terms_and_monotonic(spark):
         del star._TABLE_CACHE[key]
     assert 3 not in out          # no query term → score 0 → filtered
     assert out[1] > out[2] > 0   # higher tf → higher score
+
+
+def test_dedup_survivors_keeps_canonical_and_unique(spark):
+    from gaming_ai_analytics_spark.queries_analytics import q_dedup_survivors
+    from gaming_ai_analytics_spark.sources import star
+
+    near = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        (1, near, "en", "s", 100),                    # cluster {1,2}: canon
+        (2, near + " tail", "en", "s", 105),          # near-dup of 1: dropped
+        (3, "completely different text here now", "en", "s", 34),  # unique
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    key = (spark.sparkContext.applicationId, "_mem", "documents")
+    star._TABLE_CACHE[key] = df
+    try:
+        out = {r.doc_id: r.keep_reason
+               for r in q_dedup_survivors(spark, "_mem").collect()}
+    finally:
+        del star._TABLE_CACHE[key]
+    assert out == {1: "canonical", 3: "unique"}
+
+
+def test_trending_daily_topk_ranks_within_day(spark):
+    import datetime as dt
+
+    from gaming_ai_analytics_spark.queries_analytics import (
+        q_trending_daily_topk,
+    )
+    from gaming_ai_analytics_spark.sources import star
+
+    d1 = dt.datetime(2024, 1, 1, 12)
+    rows = []
+    eid = 0
+    for etype, n in (("a", 5), ("b", 3), ("c", 2), ("d", 1)):
+        for _ in range(n):
+            rows.append((eid, d1, 1, etype, 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    key = (spark.sparkContext.applicationId, "_mem", "events")
+    star._TABLE_CACHE[key] = df
+    try:
+        out = [(r.rank, r.event_type, r.n)
+               for r in q_trending_daily_topk(spark, "_mem")
+               .orderBy("rank").collect()]
+    finally:
+        del star._TABLE_CACHE[key]
+    # top-3 only: 'd' (n=1) must be cut
+    assert out == [(1, "a", 5), (2, "b", 3), (3, "c", 2)]
