@@ -636,3 +636,73 @@ register(
     GROUP BY 1
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation (threshold-based, no global rank window)
+# --------------------------------------------------------------------------
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency/monetary customer segmentation: per-customer order
+    count and spend, split at the corpus medians into the classic 2×2
+    (champion / loyal / big_spender / casual), reported as segment
+    sizes and averages.
+
+    The naive form is ``ntile(2)`` over all customers — a global sort
+    through one reducer. Here the thresholds are two exact medians
+    computed on the aggregated per-customer frame and broadcast back,
+    so nothing bigger than that frame is ever globally ordered; at
+    100 TB swap ``percentile`` for ``percentile_approx`` unchanged.
+    Spend is rounded to cents BEFORE the median/compare so both
+    engines segment identical values (double sums differ by ulps
+    across engines; a knife-edge customer must not flip sides)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("f"),
+        F.round(F.sum("o_totalprice"), 2).alias("m"),
+    )
+    med = cust.agg(
+        F.percentile("f", F.lit(0.5)).alias("med_f"),
+        F.percentile("m", F.lit(0.5)).alias("med_m"),
+    )
+    seg = (
+        F.when((F.col("f") >= F.col("med_f")) & (F.col("m") >= F.col("med_m")),
+               F.lit("champion"))
+        .when(F.col("f") >= F.col("med_f"), F.lit("loyal"))
+        .when(F.col("m") >= F.col("med_m"), F.lit("big_spender"))
+        .otherwise(F.lit("casual"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(med))
+        .select(seg.alias("segment"), "f", "m")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("f"), 4).alias("avg_orders"),
+            F.round(F.avg("m"), 2).alias("avg_spend"),
+        )
+    )
+
+
+register(
+    "customer_rfm_segments",
+    q_customer_rfm_segments,
+    """
+    WITH cust AS (
+      SELECT o_custkey, COUNT(*) AS f, ROUND(SUM(o_totalprice), 2) AS m
+      FROM orders GROUP BY 1
+    ),
+    med AS (
+      SELECT quantile_cont(f, 0.5) AS med_f, quantile_cont(m, 0.5) AS med_m
+      FROM cust
+    )
+    SELECT CASE WHEN f >= med_f AND m >= med_m THEN 'champion'
+                WHEN f >= med_f THEN 'loyal'
+                WHEN m >= med_m THEN 'big_spender'
+                ELSE 'casual' END AS segment,
+           COUNT(*) AS n_customers,
+           ROUND(AVG(f), 4) AS avg_orders,
+           ROUND(AVG(m), 2) AS avg_spend
+    FROM cust, med
+    GROUP BY 1
+    """,
+)

@@ -451,3 +451,40 @@ register(
     FROM n GROUP BY label
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# language-ID confusion matrix
+# --------------------------------------------------------------------------
+def q_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared language vs heuristic language-ID confusion counts —
+    the curation diagnostic that says whether a corpus's lang labels
+    can be trusted (and where the detector itself is weak). Map-only
+    scoring riding the scan, one partial-agg shuffle on the tiny
+    (declared, guessed) key."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
+    )
+    return (
+        docs.select(
+            F.coalesce(F.col("lang"), F.lit("??")).alias("declared"),
+            language_id(F.col("text")).alias("guessed"),
+        )
+        .groupBy("declared", "guessed")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _lang_confusion_sql() -> str:
+    from gaming_ai_analytics_spark.functions.text_sql import lang_sql
+
+    return f"""
+    SELECT COALESCE(lang, '??') AS declared, {lang_sql()} AS guessed,
+           COUNT(*) AS n
+    FROM documents
+    WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0
+    GROUP BY 1, 2
+    """
+
+
+register("lang_confusion_matrix", q_lang_confusion_matrix, _lang_confusion_sql())

@@ -471,3 +471,36 @@ def test_trending_daily_topk_ranks_within_day(spark):
         del star._TABLE_CACHE[key]
     # top-3 only: 'd' (n=1) must be cut
     assert out == [(1, "a", 5), (2, "b", 3), (3, "c", 2)]
+
+
+def test_customer_rfm_segments_partition_customers_exactly_once(spark, sf_dir):
+    from gaming_ai_analytics_spark.queries_ext import q_customer_rfm_segments
+    from gaming_ai_analytics_spark.sources.star import load_table
+
+    rows = q_customer_rfm_segments(spark, sf_dir).collect()
+    segs = {r.segment for r in rows}
+    assert segs <= {"champion", "loyal", "big_spender", "casual"}
+    n_cust = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    by = {r.segment: r for r in rows}
+    if "champion" in by and "casual" in by:  # medians must order the corners
+        assert by["champion"].avg_spend > by["casual"].avg_spend
+        assert by["champion"].avg_orders > by["casual"].avg_orders
+
+
+def test_lang_confusion_matrix_counts_every_doc(spark, sf_dir):
+    from gaming_ai_analytics_spark.queries_llm import q_lang_confusion_matrix
+    from gaming_ai_analytics_spark.sources.star import load_table
+
+    rows = q_lang_confusion_matrix(spark, sf_dir).collect()
+    total = sum(r.n for r in rows)
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import functions as FF
+
+    expect = docs.filter(
+        FF.col("text").isNotNull() & (FF.length(FF.trim("text")) > 0)
+    ).count()
+    assert total == expect
+    assert all(r.guessed in ("en", "es", "fr", "de", "und") for r in rows)
