@@ -67,6 +67,6 @@ def top_keys(df: DataFrame, key: str, n: int = 10) -> DataFrame:
     return (
         df.groupBy(key)
         .agg(F.count(F.lit(1)).alias("rows"))
-        .orderBy(F.desc("rows"))
+        .orderBy(F.desc("rows"), key)  # key tie-break: deterministic top-n
         .limit(n)
     )

@@ -706,3 +706,142 @@ register(
     GROUP BY 1
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# column completeness profile (DQ profiling pass)
+# --------------------------------------------------------------------------
+def q_dq_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null/blank completeness report for the documents
+    table — the profiling pass a DQ gate runs before choosing rules
+    (complements the range/uniqueness gates, which check rules already
+    chosen). ONE aggregate over the scan computes every column's null
+    count (conditional sums, map-side combined); the per-column rows
+    come from unpivoting the 1-row result, so the corpus is read
+    once."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
+
+    def nulls(c: str):
+        return F.sum(F.col(c).isNull().cast("long"))
+
+    agg = docs.agg(
+        n.alias("n_rows"),
+        nulls("text").alias("text"),
+        F.sum(
+            (F.col("text").isNotNull() & (F.length(F.trim("text")) == 0))
+            .cast("long")
+        ).alias("text_blank"),
+        nulls("lang").alias("lang"),
+        nulls("source").alias("source"),
+        nulls("n_chars").alias("n_chars"),
+    )
+    unpivoted = agg.unpivot(
+        ["n_rows"],
+        ["text", "text_blank", "lang", "source", "n_chars"],
+        "column_name",
+        "n_missing",
+    )
+    return unpivoted.select(
+        "column_name",
+        "n_missing",
+        F.round(F.col("n_missing") / F.col("n_rows"), 6).alias("pct_missing"),
+    )
+
+
+register(
+    "dq_completeness_profile",
+    q_dq_completeness_profile,
+    """
+    WITH a AS (
+      SELECT COUNT(*) AS n_rows,
+             SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS text,
+             SUM(CASE WHEN text IS NOT NULL AND LENGTH(TRIM(text)) = 0
+                      THEN 1 ELSE 0 END) AS text_blank,
+             SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS lang,
+             SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS source,
+             SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS n_chars
+      FROM documents
+    )
+    SELECT column_name, CAST(n_missing AS BIGINT) AS n_missing,
+           ROUND(n_missing * 1.0 / n_rows, 6) AS pct_missing
+    FROM a UNPIVOT (n_missing FOR column_name
+                    IN (text, text_blank, lang, source, n_chars))
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# multi-quantile profile
+# --------------------------------------------------------------------------
+def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p10/p50/p90/p99 of order totals per priority — the distribution
+    profile behind SLA/pricing dashboards. One grouped aggregate; each
+    exact interpolated percentile partial-merges per group (bounded
+    state at this cardinality; ``percentile_approx`` is the drop-in at
+    100 TB per the scale-sketch queries)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def p(q: float, name: str):
+        return F.round(
+            F.percentile("o_totalprice", F.lit(q)), 4
+        ).alias(name)
+
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        p(0.1, "p10"),
+        p(0.5, "p50"),
+        p(0.9, "p90"),
+        p(0.99, "p99"),
+    )
+
+
+register(
+    "quantile_profile",
+    q_quantile_profile,
+    """
+    SELECT o_orderpriority, COUNT(*) AS n,
+           ROUND(quantile_cont(o_totalprice, 0.1), 4) AS p10,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders GROUP BY 1
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# key-skew diagnostic
+# --------------------------------------------------------------------------
+def q_skew_top_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10 heaviest users of the event stream with their share of
+    all rows — the diagnostic that decides whether a join needs
+    salting (``operators/skew.py``). Partial-agg shuffle on the key,
+    TakeOrderedAndProject for the top slice; the total rides a 1-row
+    broadcast, not a driver action."""
+    from gaming_ai_analytics_spark.operators.skew import top_keys
+    from gaming_ai_analytics_spark.sources.star import load_events
+
+    ev = load_events(spark, sf_dir)
+    top = top_keys(ev, "user_id", n=10)
+    tot = ev.agg(F.count(F.lit(1)).alias("n_tot"))
+    return top.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        "rows",
+        F.round(F.col("rows") / F.col("n_tot"), 6).alias("share"),
+    )
+
+
+register(
+    "skew_top_keys",
+    q_skew_top_keys,
+    """
+    WITH tot AS (SELECT COUNT(*) AS n_tot FROM events)
+    SELECT user_id, COUNT(*) AS rows,
+           ROUND(COUNT(*) * 1.0 / MAX(n_tot), 6) AS share
+    FROM events, tot
+    GROUP BY user_id
+    ORDER BY rows DESC, user_id
+    LIMIT 10
+    """,
+)

@@ -78,3 +78,61 @@ def test_mixed_error_and_warn_rules(spark, df):
         ],
     ).collect()
     assert any(r["_errors"] for r in rows) and any(r["_warnings"] for r in rows)
+
+
+def test_dq_completeness_profile_counts_planted_gaps(spark):
+    from gaming_ai_analytics_spark.queries_ext import q_dq_completeness_profile
+    from gaming_ai_analytics_spark.sources import star
+
+    rows = [
+        (1, "hello world", "en", "s", 11),
+        (2, None, "en", None, 0),       # null text, null source
+        (3, "   ", None, "s", 3),       # blank text, null lang
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    key = (spark.sparkContext.applicationId, "_mem", "documents")
+    star._TABLE_CACHE[key] = df
+    try:
+        out = {r.column_name: (r.n_missing, r.pct_missing)
+               for r in q_dq_completeness_profile(spark, "_mem").collect()}
+    finally:
+        del star._TABLE_CACHE[key]
+    assert out["text"] == (1, round(1 / 3, 6))
+    assert out["text_blank"] == (1, round(1 / 3, 6))
+    assert out["lang"] == (1, round(1 / 3, 6))
+    assert out["source"] == (1, round(1 / 3, 6))
+    assert out["n_chars"] == (0, 0.0)
+
+
+def test_quantile_profile_monotone(spark, sf_dir):
+    from gaming_ai_analytics_spark.queries_ext import q_quantile_profile
+
+    for r in q_quantile_profile(spark, sf_dir).collect():
+        assert r.p10 <= r.p50 <= r.p90 <= r.p99
+
+
+def test_skew_top_keys_ranks_planted_hot_key(spark):
+    import datetime as dt
+
+    from gaming_ai_analytics_spark.queries_ext import q_skew_top_keys
+    from gaming_ai_analytics_spark.sources import star
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0, 99, "a", 1.0, "{}") for i in range(50)]  # hot user 99
+    rows += [(50 + u, t0, u, "a", 1.0, "{}") for u in range(10)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    key = (spark.sparkContext.applicationId, "_mem", "events")
+    star._TABLE_CACHE[key] = df
+    try:
+        out = q_skew_top_keys(spark, "_mem").collect()
+    finally:
+        del star._TABLE_CACHE[key]
+    assert out[0].user_id == 99 and out[0].rows == 50
+    assert abs(out[0].share - round(50 / 60, 6)) < 1e-9
+    assert len(out) == 10
