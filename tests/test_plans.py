@@ -246,3 +246,32 @@ def test_sql_ai_functions_arrow_batched(spark, sf_dir):
     plan = _plan(q_sql_ai_functions(spark, sf_dir))
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_token_budget_single_partition_only_on_band_totals(spark, sf_dir):
+    """The two-level cumsum's scale contract: the corpus-wide window
+    partitions on the quality band (hash exchange), and the only
+    SinglePartition exchange in the plan feeds the ≤20-row band-totals
+    prefix window — never the corpus."""
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_token_budget_select,
+    )
+
+    plan = _plan(q_token_budget_select(spark, sf_dir))
+    # corpus window keyed on the band
+    assert "windowspecdefinition(_b" in plan
+    # exactly one single-partition exchange (the tiny prefix frame),
+    # sitting under a BroadcastExchange on its way back to the corpus
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "BroadcastExchange" in plan
+
+
+def test_skew_top_keys_uses_take_ordered(spark, sf_dir):
+    """Top-k must be TakeOrderedAndProject over partial counts — a
+    global sort of all keys would be the single-reducer funnel the
+    diagnostic exists to prevent."""
+    from gaming_ai_analytics_spark.queries_ext import q_skew_top_keys
+
+    plan = _plan(q_skew_top_keys(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
