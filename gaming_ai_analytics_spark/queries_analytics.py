@@ -661,3 +661,119 @@ register(
     WHERE rank <= 3
     """,
 )
+
+
+def q_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU and trailing-7-day WAU per day — the activity dashboard
+    pair. The rolling distinct is NOT a range join: each (day, user)
+    pair map-expands to the ≤7 report days it supports (explode of a
+    7-element sequence), then one distinct-count shuffle per day —
+    the formulation that stays linear at 100 TB, with the HLL sketch
+    rollup (``agg_sketch_rollup``) as the approximate drop-in when
+    exact distincts stop fitting."""
+    ev = load_events(spark, sf_dir)
+    pairs = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    spine = pairs.select("day").distinct()
+    expanded = pairs.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day_w"),
+        "user_id",
+    )
+    wau = (
+        expanded.join(
+            F.broadcast(spine.withColumnRenamed("day", "day_w")),
+            "day_w",
+            "left_semi",
+        )
+        .groupBy("day_w")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = pairs.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return dau.join(
+        wau.withColumnRenamed("day_w", "day"), "day"
+    ).select("day", "dau", "wau")
+
+
+register(
+    "weekly_active_users",
+    q_weekly_active_users,
+    """
+    WITH pairs AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    ),
+    spine AS (SELECT DISTINCT day FROM pairs),
+    expanded AS (
+      SELECT day + CAST(i AS INT) AS day_w, user_id
+      FROM pairs, (SELECT unnest(generate_series(0, 6)) AS i)
+    ),
+    wau AS (
+      SELECT day_w AS day, COUNT(DISTINCT user_id) AS wau
+      FROM expanded WHERE day_w IN (SELECT day FROM spine)
+      GROUP BY 1
+    ),
+    dau AS (
+      SELECT day, COUNT(DISTINCT user_id) AS dau FROM pairs GROUP BY 1
+    )
+    SELECT day, dau, wau FROM dau JOIN wau USING (day)
+    """,
+)
+
+
+def q_user_lifetime_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime profile: event volume, total value, active
+    days, first/last day, tenure span and intensity — the LTV frame
+    every engagement model trains on. One shuffle on user_id; every
+    statistic partial-aggregates map-side (the distinct-day count
+    rides the same shuffle as a two-level agg)."""
+    ev = load_events(spark, sf_dir)
+    day = F.to_date("ts")
+    per = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct(day).alias("n_active_days"),
+            F.min(day).alias("first_day"),
+            F.max(day).alias("last_day"),
+        )
+    )
+    span = F.datediff(F.col("last_day"), F.col("first_day")) + 1
+    return per.select(
+        "user_id",
+        "n_events",
+        "total_value",
+        "n_active_days",
+        "first_day",
+        "last_day",
+        span.cast("int").alias("span_days"),
+        F.round(F.col("n_events") / F.col("n_active_days"), 4).alias(
+            "events_per_active_day"
+        ),
+    )
+
+
+register(
+    "user_lifetime_value",
+    q_user_lifetime_value,
+    """
+    WITH per AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             ROUND(SUM(value), 2) AS total_value,
+             COUNT(DISTINCT CAST(date_trunc('day', ts) AS DATE))
+               AS n_active_days,
+             MIN(CAST(date_trunc('day', ts) AS DATE)) AS first_day,
+             MAX(CAST(date_trunc('day', ts) AS DATE)) AS last_day
+      FROM events GROUP BY 1
+    )
+    SELECT user_id, n_events, total_value, n_active_days, first_day,
+           last_day,
+           CAST(last_day - first_day + 1 AS INT) AS span_days,
+           ROUND(n_events * 1.0 / n_active_days, 4)
+             AS events_per_active_day
+    FROM per
+    """,
+)

@@ -504,3 +504,62 @@ def test_lang_confusion_matrix_counts_every_doc(spark, sf_dir):
     ).count()
     assert total == expect
     assert all(r.guessed in ("en", "es", "fr", "de", "und") for r in rows)
+
+
+def test_weekly_active_users_rolling_union(spark):
+    import datetime as dt
+
+    from gaming_ai_analytics_spark.queries_analytics import (
+        q_weekly_active_users,
+    )
+    from gaming_ai_analytics_spark.sources import star
+
+    def ev(i, day, user):
+        return (i, dt.datetime(2024, 1, day, 10), user, "a", 1.0, "{}")
+
+    # day 1: users {1,2}; day 5: {2,3}; day 20: {9}
+    rows = [ev(0, 1, 1), ev(1, 1, 2), ev(2, 5, 2), ev(3, 5, 3), ev(4, 20, 9)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    key = (spark.sparkContext.applicationId, "_mem", "events")
+    star._TABLE_CACHE[key] = df
+    try:
+        out = {str(r.day): (r.dau, r.wau)
+               for r in q_weekly_active_users(spark, "_mem").collect()}
+    finally:
+        del star._TABLE_CACHE[key]
+    assert out["2024-01-01"] == (2, 2)
+    # day 5 window covers days 1-5 → users {1,2,3}
+    assert out["2024-01-05"] == (2, 3)
+    # day 20 is isolated
+    assert out["2024-01-20"] == (1, 1)
+    assert set(out) == {"2024-01-01", "2024-01-05", "2024-01-20"}
+
+
+def test_user_lifetime_value_planted_profile(spark):
+    import datetime as dt
+
+    from gaming_ai_analytics_spark.queries_analytics import (
+        q_user_lifetime_value,
+    )
+    from gaming_ai_analytics_spark.sources import star
+
+    rows = [
+        (0, dt.datetime(2024, 1, 1, 9), 7, "a", 10.0, "{}"),
+        (1, dt.datetime(2024, 1, 1, 17), 7, "a", 5.0, "{}"),
+        (2, dt.datetime(2024, 1, 10, 12), 7, "b", 1.5, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    key = (spark.sparkContext.applicationId, "_mem", "events")
+    star._TABLE_CACHE[key] = df
+    try:
+        r = q_user_lifetime_value(spark, "_mem").collect()[0]
+    finally:
+        del star._TABLE_CACHE[key]
+    assert (r.n_events, r.total_value, r.n_active_days) == (3, 16.5, 2)
+    assert r.span_days == 10 and r.events_per_active_day == 1.5
