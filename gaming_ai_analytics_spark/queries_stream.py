@@ -232,3 +232,38 @@ register(
     GROUP BY 1, 2
     """,
 )
+
+
+def q_events_streaming_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming volume alerting: tumbling 1-hour counts per event
+    type, emitting only windows whose count crosses the alert
+    threshold — readStream → watermark+window agg → post-agg filter →
+    memory sink. The filter rides ABOVE the stateful aggregation, so
+    state size is the windows', not the alert rule's; swapping the
+    static threshold for a broadcast rules table is the production
+    form (stream-static join, already covered by
+    ``events_streaming_static_join``)."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") >= 10)
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+    return run_stream_to_memory(agg, spark, output_mode="complete")
+
+
+register(
+    "events_streaming_rate_alert",
+    q_events_streaming_rate_alert,
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 10
+    """,
+)
