@@ -488,3 +488,76 @@ def _lang_confusion_sql() -> str:
 
 
 register("lang_confusion_matrix", q_lang_confusion_matrix, _lang_confusion_sql())
+
+
+# --------------------------------------------------------------------------
+# dedup diagnostics
+# --------------------------------------------------------------------------
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source: docs vs distinct normalized
+    fingerprints — the per-feed health metric that catches a crawler
+    re-ingesting its own output. One shuffle on (source, fingerprint)
+    via the distinct, then a tiny re-agg to sources."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    fp = docs.select("source", doc_fingerprint(F.col("text")).alias("fp"))
+    return (
+        fp.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            F.round(1.0 - F.col("n_distinct") / F.col("n_docs"), 6).alias(
+                "dup_rate"
+            ),
+        )
+    )
+
+
+register(
+    "dedup_rate_by_source",
+    q_dedup_rate_by_source,
+    f"""
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5({_NORM})) AS n_distinct,
+           ROUND(1.0 - COUNT(DISTINCT md5({_NORM})) * 1.0 / COUNT(*), 6)
+             AS dup_rate
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY 1
+    """,
+)
+
+
+def q_dup_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-similarity histogram of near-dup candidate pairs in
+    0.05 bands — the threshold-sensitivity report that justifies (or
+    moves) the dedup cutoff. Reuses the inverted-index pair generator
+    at threshold 0.3; banding is per-pair arithmetic on the already
+    tiny pair frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.3)
+    band = (F.floor(F.col("jaccard") / 0.05) * 0.05).cast("double")
+    return (
+        pairs.select(F.round(band, 2).alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def _dup_hist_sql() -> str:
+    # same pair SQL as the 0.5-threshold oracle, relaxed to 0.3
+    relaxed = _JACCARD_PAIRS_SQL.replace(">= 0.5", ">= 0.3")
+    return f"""
+    WITH p AS ({relaxed})
+    SELECT ROUND(FLOOR(jaccard / 0.05) * 0.05, 2) AS band,
+           COUNT(*) AS n_pairs
+    FROM p GROUP BY 1
+    """
+
+
+register("dup_similarity_histogram", q_dup_similarity_histogram, _dup_hist_sql())
