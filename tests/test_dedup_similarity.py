@@ -265,3 +265,57 @@ def test_ivf_index_persist_roundtrip(spark, tmp_path):
     a = sorted(tuple(r) for r in direct.collect())
     b = sorted(tuple(r) for r in from_index.collect())
     assert a == b and len(a) == 12
+
+
+def test_dedup_rate_by_source_counts_exact_dups(spark):
+    from gaming_ai_analytics_spark.queries_llm import q_dedup_rate_by_source
+    from gaming_ai_analytics_spark.sources import star
+
+    rows = [
+        (1, "Same Text!", "en", "a", 10),
+        (2, "same text",  "en", "a", 9),    # normalizes identically → dup
+        (3, "different entirely", "en", "a", 18),
+        (4, "unique here", "en", "b", 11),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    key = (spark.sparkContext.applicationId, "_mem", "documents")
+    star._TABLE_CACHE[key] = df
+    try:
+        out = {r.source: (r.n_docs, r.n_distinct, r.dup_rate)
+               for r in q_dedup_rate_by_source(spark, "_mem").collect()}
+    finally:
+        del star._TABLE_CACHE[key]
+    assert out["a"] == (3, 2, round(1 - 2 / 3, 6))
+    assert out["b"] == (4 - 3, 1, 0.0)
+
+
+def test_dup_similarity_histogram_bands_planted_pair(spark):
+    from gaming_ai_analytics_spark.queries_llm import (
+        q_dup_similarity_histogram,
+    )
+    from gaming_ai_analytics_spark.sources import star
+
+    base = [f"w{i}" for i in range(20)]
+    near = base[:-1] + ["zz"]  # high-Jaccard neighbor of base
+    rows = [
+        (1, " ".join(base), "en", "s", 99),
+        (2, " ".join(near), "en", "s", 99),
+        (3, " ".join(f"q{i}" for i in range(20)), "en", "s", 99),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    key = (spark.sparkContext.applicationId, "_mem", "documents")
+    star._TABLE_CACHE[key] = df
+    try:
+        out = {r.band: r.n_pairs
+               for r in q_dup_similarity_histogram(spark, "_mem").collect()}
+    finally:
+        del star._TABLE_CACHE[key]
+    # exactly one candidate pair, landing in a single ≥0.3 band
+    assert sum(out.values()) == 1
+    assert all(b >= 0.3 for b in out)
