@@ -62,6 +62,7 @@ def _load_all() -> None:
     from gaming_ai_analytics_spark import queries_stream  # noqa: F401
     from gaming_ai_analytics_spark import queries_traindata  # noqa: F401
     from gaming_ai_analytics_spark import queries_analytics  # noqa: F401
+    from gaming_ai_analytics_spark import queries_warehouse  # noqa: F401
 
 
 #: The driver's correctness pass checks the FIRST 50 entries of
