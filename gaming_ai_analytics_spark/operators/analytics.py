@@ -160,7 +160,10 @@ def rolling_time_sum(
     """
     w = (
         Window.partitionBy(key_col)
-        .orderBy(F.col(ts_col).cast("long"))
+        # TIMESTAMP_NTZ has no direct long cast (AnalysisException);
+        # cast through TIMESTAMP first — identity under a UTC session,
+        # then epoch-second truncation as before.
+        .orderBy(F.col(ts_col).cast("timestamp").cast("long"))
         .rangeBetween(-window_seconds, 0)
     )
     return df.select(

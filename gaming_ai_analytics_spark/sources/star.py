@@ -44,25 +44,35 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
 
-def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events fixture stores ``ts`` as parquet TIMESTAMP(NANOS),
-    which Spark's vectorized reader rejects. Read it as a long
-    (``nanosAsLong``, runtime-settable) and normalize to a
-    microsecond-precision timestamp column — the precision every
-    downstream window/date function expects.
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the ``ts`` column to a microsecond timestamp — the ONE
+    event-time normalization, shared by the batch loader and the
+    streaming reader (``streaming/events.py``) so the two paths can
+    never disagree. Conditional on the column's ACTUAL type:
+
+    - ``long``: the file stored TIMESTAMP(NANOS) and was read under
+      ``nanosAsLong`` — integer-divide to µs (ns-epoch longs exceed
+      double's 53-bit mantissa, so a float divide would round the
+      microsecond off) and rebuild the timestamp;
+    - timestamp (NTZ or LTZ): already µs precision — pass through
+      untouched. The driver fixtures are all ``timestamp[us]``; the
+      long branch guards older nanos-written copies.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events scan: read under ``nanosAsLong`` (tolerates both
+    TIMESTAMP(NANOS) and plain µs files) then :func:`normalize_event_ts`.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if isinstance(df.schema["ts"].dataType, T.LongType):
-        # integer division: ns-epoch longs exceed double's 53-bit
-        # mantissa, so a float divide would round the microsecond off.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    # else: the file already carries µs timestamps (e.g. the derived
-    # sf1 bench copy, rewritten by a writer without TIMESTAMP(NANOS))
-    return df
+    return normalize_event_ts(df)
 
 
 def load_star(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

@@ -21,40 +21,49 @@ cardinality, not the event rate.
 from __future__ import annotations
 
 import itertools
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from gaming_ai_analytics_spark.sources.star import load_events
+from gaming_ai_analytics_spark.sources.star import (
+    load_events,
+    normalize_event_ts,
+)
 
 _sink_ids = itertools.count()
-
-#: Explicit source schema (never inferSchema — SURVEY §7.0); ts arrives
-#: as long nanos (parquet TIMESTAMP(NANOS) read under nanosAsLong).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with ts normalized to a
-    microsecond timestamp — the streaming twin of sources.star.load_events."""
+    microsecond timestamp — the streaming twin of
+    ``sources.star.load_events``, sharing its ONE normalization.
+
+    ``readStream`` needs the schema declared up front (no inference on
+    streams); it is taken from the batch reader's resolved schema — a
+    driver-only footer read, no data scan — so a fixture written as
+    TIMESTAMP(NANOS) (→ long under ``nanosAsLong``) and one written as
+    plain µs both stream with exactly the batch path's semantics.
+    Round-3 driver caught the previous hardcoded long schema
+    compressing µs fixtures 1000×.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    source_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(source_schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")  # file source needs a dir
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Watermarks demand TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+    # on NTZ) — identity re-interpretation under the engine's pinned
+    # UTC session, so values match the batch path exactly.
+    return normalize_event_ts(raw).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
 
 
 # --------------------------------------------------------------------------
