@@ -24,7 +24,6 @@ from gaming_ai_analytics_spark.operators.aggregates import (
     conditional_pct,
     duplicate_keys,
     median_exact,
-    median_exact_arrow,
 )
 from gaming_ai_analytics_spark.operators.joins import (
     flatten_dimension,
@@ -432,11 +431,23 @@ register(
 
 
 def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 (semantic_layer.sql:91-93): exact median with interpolation."""
+    """A4 (semantic_layer.sql:91-93): exact median with interpolation.
+
+    Built-in ``percentile``: partial aggregation state is a bounded
+    value→count map (NDV-bounded, map-side combined), NOT the raw
+    group — the previous ``median_exact_arrow`` funneled all of
+    ``lineitem`` through |l_linestatus| = 2 reducers (20 s at sf1,
+    75× DuckDB, round-3's one scale-killer; 1.4 s now, and measured
+    faster than both that kernel and the multi-pass
+    :func:`exact_percentiles_scalable` at sf0.1 AND sf1). At 100 TB
+    with very-high-NDV value columns prefer ``median_approx``
+    (mergeable sketch) or ``exact_percentiles_scalable`` (exact,
+    driver holds only O(|groups|·n/accuracy)).
+    """
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_linestatus").agg(
-        median_exact_arrow("l_extendedprice").alias("median_price"),
-        median_exact_arrow("l_quantity").alias("median_qty"),
+        median_exact("l_extendedprice").alias("median_price"),
+        median_exact("l_quantity").alias("median_qty"),
     )
 
 
