@@ -145,14 +145,39 @@ register("dedup_minhash_lsh", q_dedup_minhash_lsh, _JACCARD_PAIRS_SQL)
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-≤8 candidate pairs (rows-only check: the
-    fingerprint bit math has no SQL twin — xxhash64 is Spark-side).
-    Recall against exact Jaccard is asserted in tests/test_dedup.py."""
+    """SimHash Hamming-≤8 candidate recall contract. The fingerprint
+    bit math has no SQL twin (xxhash64 is Spark-side), so the checked
+    output is the engine-computed contract the oracle CAN recompute:
+    the exact 3-shingle-Jaccard near-dup pair count (DuckDB re-derives
+    it from scratch) plus a pinned recall floor — the share of exact
+    pairs the SimHash blocking recovers, ≥ 0.8 per the operator's test
+    (measured 0.92 on the fixtures; SimHash is deliberately lossy).
+    A blocking regression (bad banding, broken bit fold) drops recall
+    below the floor and hash-fails this row."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=8)
+    cand = simhash_near_pairs(docs, "doc_id", "text", max_hamming=8)
+    exact = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    hits = cand.select("id_a", "id_b").withColumn("_hit", F.lit(1))
+    return (
+        exact.select("id_a", "id_b")
+        .join(hits, ["id_a", "id_b"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact_pairs"),
+            ((F.count("_hit") / F.count(F.lit(1))) >= 0.8).alias(
+                "recall_ok"
+            ),
+        )
+    )
 
 
-register("dedup_simhash_pairs", q_dedup_simhash_pairs, None)
+register(
+    "dedup_simhash_pairs",
+    q_dedup_simhash_pairs,
+    f"""
+    SELECT COUNT(*) AS n_exact_pairs, TRUE AS recall_ok
+    FROM ({_JACCARD_PAIRS_SQL})
+    """,
+)
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,13 +272,43 @@ register("similarity_topk_lsh", q_similarity_topk_lsh, None)
 # --------------------------------------------------------------------------
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-asset decode + byte-histogram featurization via
-    mapInPandas (rows-only: Python featurizer has no SQL twin;
-    shape/determinism asserted in tests)."""
+    mapInPandas. The registered output is SCALAR-only (round-3 driver
+    crash: the raw ``array<float>`` column is unhashable for the
+    canonicalizer): the embedding stays internal to the operator and
+    the query emits its checkable invariants — dimension and L1 mass
+    (the histogram is L1-normalized, so mass is 1 for every non-empty
+    payload) next to the data-dependent byte length the oracle
+    recomputes with ``octet_length``."""
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(make_assets(docs))
+    feats = extract_features(make_assets(docs))
+    return feats.select(
+        "asset_id",
+        "kind",
+        "n_bytes",
+        F.size("features").alias("feat_dim"),
+        F.round(
+            F.aggregate(
+                "features", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            2,
+        ).alias("feat_l1"),
+    )
 
 
-register("multimodal_features", q_multimodal_features, None)
+register(
+    "multimodal_features",
+    q_multimodal_features,
+    """
+    SELECT doc_id AS asset_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image'
+                           WHEN 1 THEN 'audio'
+                           ELSE 'video' END AS kind,
+           COALESCE(octet_length(encode(text)), 0) AS n_bytes,
+           16 AS feat_dim,
+           CAST(1.0 AS DOUBLE) AS feat_l1
+    FROM documents
+    """,
+)
 
 
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,17 +348,104 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("similarity_topk_ivf", q_similarity_topk_ivf, None)
 
 
+def _ann_recall_summary(
+    exact: DataFrame, ann: DataFrame, floor: float
+) -> DataFrame:
+    """Engine-side ANN recall contract: join the ANN result onto the
+    exact top-k (both computed in-engine) and emit the shape the
+    oracle recomputes from scratch — probe and exact-result counts —
+    plus a pinned aggregate recall floor. The raw ANN queries stay
+    registered (and benched) in their pure form; these twins exist so
+    the accuracy contract has a hash-checked driver row."""
+    hits = ann.select("probe_id", "vec_id").withColumn("_hit", F.lit(1))
+    return (
+        exact.select("probe_id", "vec_id")
+        .join(hits, ["probe_id", "vec_id"], "left")
+        .agg(
+            F.countDistinct("probe_id").alias("n_probes"),
+            F.count(F.lit(1)).alias("n_exact_results"),
+            ((F.count("_hit") / F.count(F.lit(1))) >= floor).alias(
+                "recall_ok"
+            ),
+        )
+    )
+
+
+_ANN_RECALL_ORACLE = """
+    SELECT COUNT(*) AS n_probes, COUNT(*) * 5 AS n_exact_results,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 5
+    """
+
+
+def q_similarity_topk_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract for the RHP-LSH ANN tier vs the exact tier —
+    floor 0.25 (measured 0.32–0.40 on the fixtures; single-probe
+    sign-bucket LSH trades recall for a map-only candidate stage)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = _probes(spark, sf_dir)
+    return _ann_recall_summary(
+        topk_similar(emb, probes, k=5),
+        topk_similar_lsh(emb, probes, k=5, dim=EMBEDDING_DIM),
+        floor=0.25,
+    )
+
+
+register("similarity_topk_lsh_recall", q_similarity_topk_lsh_recall, _ANN_RECALL_ORACLE)
+
+
+def q_similarity_topk_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract for the IVF ANN tier vs the exact tier — floor
+    0.5 (measured 0.64–0.84 at n_probe=6 of 16 cells; tests pin the
+    same)."""
+    from gaming_ai_analytics_spark.operators.similarity import topk_similar_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = _probes(spark, sf_dir)
+    return _ann_recall_summary(
+        topk_similar(emb, probes, k=5),
+        topk_similar_ivf(emb, probes, k=5, n_probe=6),
+        floor=0.5,
+    )
+
+
+register("similarity_topk_ivf_recall", q_similarity_topk_ivf_recall, _ANN_RECALL_ORACLE)
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-length resample of binary assets via mapInPandas
-    (rows-only: Python resampler has no SQL twin; length/determinism
+    """Fixed-length resample of binary assets via mapInPandas. The
+    registered output projects the operator's checkable contract —
+    every payload resamples to exactly ``TARGET_SAMPLES`` bytes
+    (``F.length`` measured on the ACTUAL resized binary, so a
+    length-breaking regression fails the oracle) plus the
+    data-dependent original byte count; the resized bytes themselves
+    stay internal (byte-level bucketed means have no SQL twin —
     asserted in tests)."""
     from gaming_ai_analytics_spark.operators.multimodal import resize_assets
 
     docs = load_table(spark, sf_dir, "documents")
-    return resize_assets(make_assets(docs))
+    resized = resize_assets(make_assets(docs))
+    return resized.select(
+        "asset_id",
+        "kind",
+        "orig_bytes",
+        F.length("resized").alias("resized_len"),
+    )
 
 
-register("multimodal_resize", q_multimodal_resize, None)
+register(
+    "multimodal_resize",
+    q_multimodal_resize,
+    """
+    SELECT doc_id AS asset_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image'
+                           WHEN 1 THEN 'audio'
+                           ELSE 'video' END AS kind,
+           COALESCE(octet_length(encode(text)), 0) AS orig_bytes,
+           32 AS resized_len
+    FROM documents
+    """,
+)
 
 
 # --------------------------------------------------------------------------
