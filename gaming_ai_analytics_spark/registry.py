@@ -72,75 +72,82 @@ def _load_all() -> None:
 #: checked window.  So the window is pinned EXPLICITLY: these names are
 #: moved to the front (in this order) after all modules register.
 #:
-#: Composition: flagship, every query that has never had a driver
-#: correctness row (the LLM-pipeline / streaming / train-data /
-#: analytics surfaces), the bench headliners not already among them,
-#: and the two queries whose oracles changed this round
-#: (``pivot_lang_counts`` hash fix, ``agg_scale_sketches`` new oracle).
-#: Long-green core/ext queries rotate out; they stay covered by
-#: ``tools/verify_local.py`` and pytest.
+#: Round-4 composition (VERDICT r3 ask #4): flagship, the four
+#: round-3 FAIL/crash queries re-proving their fixes, the three
+#: queries whose registered output was reshaped to oracle-checkable
+#: form this round, ``agg_percentile`` (implementation swapped), all
+#: 32 queries that have NEVER had a driver correctness row in any
+#: round (warehouse reports, analytics/skew/RFM/DQ diagnostics, BM25,
+#: quality gates, token budgeting, sequence packing, streaming rate
+#: alert, dedup diagnostics, the new ANN recall twins), and the bench
+#: headliners so every BENCH_r{N} number keeps fresh driver evidence.
+#: r3-green entries rotate out; they stay covered by
+#: ``tools/verify_local.py`` (all-registered gate) and pytest. Every
+#: name below carries a full oracle — zero rows-only checks in the
+#: window.
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship first — the smoke-check query
     "flagship_star_metrics",
-    # §2.11 LLM-pipeline ladder (green in r1, evicted in r2)
-    "text_analysis_profile",
-    "dedup_exact_canonical",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "dedup_cluster_assign",
-    "similarity_topk",
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    # streaming (never driver-checked in any round)
-    "events_tumbling_hourly",
+    # round-3 driver FAILs/crashes, fixed this round
     "events_streaming_tumbling",
-    "events_sliding_window",
-    "events_session_window",
-    "events_streaming_stateful_totals",
     "events_streaming_session",
     "events_stream_stream_join",
-    "events_streaming_dedupe",
-    "events_streaming_static_join",
-    # train-data pipeline (new in r2, never checked)
-    "doc_chunking",
-    "vocab_top_terms",
-    "tf_idf",
-    "sample_stratified",
-    "pii_redact",
-    "quality_repetition",
-    "decontaminate_eval_overlap",
-    "export_shards",
-    # analytics (new in r2, never checked)
-    "funnel_conversion",
-    "retention_cohorts",
-    "anomaly_zscore",
     "window_rolling_7d",
-    "agg_incremental_merge",
-    "latest_event_per_user",
-    "timeseries_gap_fill",
-    "window_forward_fill",
-    "agg_sketch_rollup",
-    # bench headliners not already above — keep driver evidence fresh
-    # for every number in BENCH_r{N}.json (window_topk_per_group and
-    # join_chain_left, green in r1+r2, rotate out for round-3 queries)
-    "fillna_after_left_join",
+    # registered output reshaped to oracle-checkable form this round
+    "multimodal_features",
+    "multimodal_resize",
+    "dedup_simhash_pairs",
+    # implementation swapped (gather-free percentile)
     "agg_percentile",
-    "agg_rollup",
+    # never driver-checked: warehouse report ladder (r3)
+    "pricing_summary",
+    "top_revenue_orders",
+    "returned_item_customers",
+    "priority_class_mix",
+    "late_ship_priority_counts",
+    # never driver-checked: analytics / diagnostics (r3)
+    "weekly_active_users",
+    "user_lifetime_value",
+    "trending_daily_topk",
+    "customer_rfm_segments",
+    "quantile_profile",
+    "anomaly_mad",
+    "stat_regression",
+    "event_path_transitions",
+    "source_lang_entropy",
+    "skew_top_keys",
+    "join_salted_skew",
+    "dq_completeness_profile",
+    "embedding_norm_profile",
+    # never driver-checked: train-data ladder (r3)
+    "bm25_term_scores",
+    "quality_gate_rules",
+    "token_budget_select",
+    "vocab_bigrams",
+    "token_length_histogram",
+    "mixture_rebalance",
+    "traindata_sequence_packing",
+    "dedup_rate_by_source",
+    "dup_similarity_histogram",
+    "dedup_survivors",
+    "lang_confusion_matrix",
+    # never driver-checked: streaming rate alert (shares the fixed
+    # stream_events path) + the new ANN recall contracts
+    "events_streaming_rate_alert",
+    "similarity_topk_lsh_recall",
+    "similarity_topk_ivf_recall",
+    # bench headliners not already above — keep driver evidence fresh
+    # for every number in BENCH_r{N}.json (agg_rollup rotates out:
+    # triple-green, floor-bound)
+    "join_chain_left",
+    "fillna_after_left_join",
+    "window_topk_per_group",
     "fact_build_transform",
+    "text_analysis_profile",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+    "events_session_window",
     "metric_view_region",
-    # new this round: SQL-registered ai_score/ai_translate + the
-    # composed corpus-curation pass
-    "sql_ai_functions",
-    "traindata_curation_pipeline",
-    # oracles changed this round — must re-prove in the driver
-    "pivot_lang_counts",
-    "agg_scale_sketches",
 )
 
 
