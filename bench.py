@@ -213,6 +213,21 @@ def main() -> None:
         except Exception:
             duck_sf1 = duck_sf1_queries = None
 
+    def ratios(
+        spark_q: dict[str, float], duck_q: dict[str, float] | None
+    ) -> dict[str, float] | None:
+        """Per-query Spark/DuckDB ratio, both engines measured in THIS
+        process on THIS box — the round-over-round comparable number
+        (absolute seconds drift ±25% with host load, BASELINE.md; the
+        same-run ratio does not)."""
+        if not duck_q:
+            return None
+        return {
+            k: round(spark_q[k] / duck_q[k], 2)
+            for k in spark_q
+            if duck_q.get(k)
+        }
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     out = {
         "metric": "headline_queries_total_warm",
@@ -224,12 +239,22 @@ def main() -> None:
         "duckdb_total_warm": duck_seq,
         "duckdb_concurrent_wall_s": duck_conc,
         "duckdb_queries": duck_queries,
+        "ratio_queries": ratios(timings, duck_queries),
+        "ratio_total": (
+            round(sum(timings.values()) / duck_seq, 2) if duck_seq else None
+        ),
     }
     if sf1_timings:
         out["sf1_total_warm"] = round(sum(sf1_timings.values()), 3)
         out["sf1_queries"] = sf1_timings
         out["sf1_duckdb_total_warm"] = duck_sf1
         out["sf1_duckdb_queries"] = duck_sf1_queries
+        out["sf1_ratio_queries"] = ratios(sf1_timings, duck_sf1_queries)
+        out["sf1_ratio_total"] = (
+            round(sum(sf1_timings.values()) / duck_sf1, 2)
+            if duck_sf1
+            else None
+        )
     print(json.dumps(out))
 
 

@@ -147,3 +147,71 @@ class MetricView:
         """The consumer entry point: pick dims + measures, get a
         DataFrame plan (lazy — Catalyst sees one declarative query)."""
         return self.spark.sql(self.compile_sql(dimensions, measures, where))
+
+    def sql(self, consumer_sql: str) -> DataFrame:
+        """Accept the reference's consumer SQL shape VERBATIM —
+        ``SELECT <dim>, MEASURE(<m>) FROM <view> GROUP BY <dim>``
+        (semantic_layer.sql:7-10's query contract) — and rewrite it to
+        :meth:`query`. Deliberately regex-level: the grammar is the
+        metric-view consumer contract (bare dimension names, MEASURE()
+        calls, optional AS aliases, optional WHERE pushed below the
+        aggregation, GROUP BY by name or ordinal), not general SQL —
+        anything else raises rather than mis-parsing.
+        """
+        import re
+
+        m = re.match(
+            r"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<view>[\w.${}]+)"
+            r"(?:\s+WHERE\s+(?P<where>.+?))?"
+            r"(?:\s+GROUP\s+BY\s+(?P<group>.+?))?\s*;?\s*$",
+            consumer_sql,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(
+                f"not a metric-view consumer query: {consumer_sql!r}"
+            )
+        dims: list[str] = []
+        measures: list[str] = []
+        renames: list[tuple[str, str]] = []  # (declared name, alias)
+        for item in m["select"].split(","):
+            item = item.strip()
+            mm = re.match(
+                r"^MEASURE\s*\(\s*(\w+)\s*\)(?:\s+AS\s+(\w+))?$",
+                item,
+                re.IGNORECASE,
+            )
+            if mm:
+                measures.append(mm[1])
+                if mm[2]:
+                    renames.append((mm[1], mm[2]))
+                continue
+            md = re.match(r"^(\w+)(?:\s+AS\s+(\w+))?$", item, re.IGNORECASE)
+            if not md:
+                raise ValueError(
+                    f"unsupported select item (dimensions are bare names, "
+                    f"measures are MEASURE(name)): {item!r}"
+                )
+            dims.append(md[1])
+            if md[2]:
+                renames.append((md[1], md[2]))
+        if m["group"]:
+            grouped = [g.strip() for g in m["group"].split(",")]
+            by_ordinal = [
+                dims[int(g) - 1] for g in grouped if g.isdigit()
+            ] + [g for g in grouped if not g.isdigit()]
+            if sorted(by_ordinal) != sorted(dims):
+                raise ValueError(
+                    f"GROUP BY {grouped} does not match the selected "
+                    f"dimensions {dims} (metric views group by exactly "
+                    "the chosen dimensions)"
+                )
+        elif dims:
+            raise ValueError(
+                "dimensions selected without GROUP BY — metric views "
+                "group by exactly the chosen dimensions"
+            )
+        out = self.query(dims, measures, where=m["where"])
+        for declared, alias in renames:
+            out = out.withColumnRenamed(declared, alias)
+        return out

@@ -94,3 +94,43 @@ def test_rewrite_handles_escaped_quotes(mv):
     r = mv._rewrite("concat('it''s orders.', orders.o_orderpriority)")
     assert "'it''s orders.'" in r
     assert r.count("__mv") == 1
+
+
+def test_consumer_sql_reference_shape_verbatim(mv):
+    """The reference's consumer contract (semantic_layer.sql:7-10):
+    ``SELECT dim, MEASURE(m) FROM view GROUP BY dim`` — typed as a raw
+    SQL string, rewritten to query() by MetricView.sql()."""
+    out = mv.sql(
+        "SELECT region, MEASURE(order_count) FROM review_metrics "
+        "GROUP BY region"
+    ).collect()
+    assert len(out) == 5
+    assert set(out[0].asDict()) == {"region", "order_count"}
+    ref = {(r.region, r.order_count) for r in mv.query(["region"], ["order_count"]).collect()}
+    assert {(r.region, r.order_count) for r in out} == ref
+
+
+def test_consumer_sql_aliases_ordinals_where(mv):
+    out = mv.sql(
+        "SELECT region AS r, MEASURE(avg_price) AS p\n"
+        "FROM metrics WHERE orders.o_totalprice > 100000 GROUP BY 1;"
+    )
+    rows = out.collect()
+    assert set(rows[0].asDict()) == {"r", "p"}
+    assert len(rows) == 5
+
+
+def test_consumer_sql_grand_total_no_group_by(mv):
+    out = mv.sql("SELECT MEASURE(order_count) FROM v").collect()
+    assert len(out) == 1
+
+
+def test_consumer_sql_rejects_non_consumer_shapes(mv):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mv.sql("SELECT region FROM v")  # dims without GROUP BY
+    with _pytest.raises(ValueError):
+        mv.sql("SELECT region, MEASURE(order_count) FROM v GROUP BY priority")
+    with _pytest.raises(ValueError):
+        mv.sql("DELETE FROM v")
