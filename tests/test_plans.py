@@ -275,3 +275,24 @@ def test_skew_top_keys_uses_take_ordered(spark, sf_dir):
     plan = _plan(q_skew_top_keys(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan
+
+
+def test_fillna_join_preaggregates_below_join(spark, sf_dir):
+    """fillna_after_left_join must aggregate orders per custkey BELOW
+    the join (one partial-agg shuffle of per-key rows) and never
+    re-aggregate after it — the round-3 perf-weak shape joined raw
+    orders first and grouped the fan-out back down."""
+    from gaming_ai_analytics_spark.queries_core import q_fillna_after_left_join
+
+    df = q_fillna_after_left_join(spark, sf_dir)
+    plan = _plan(df)
+    join_pos = plan.find("Join")
+    agg_positions = [
+        i for i in range(len(plan)) if plan.startswith("HashAggregate", i)
+    ]
+    assert join_pos != -1 and agg_positions
+    # plan strings print top-down: anything BEFORE the join line is
+    # above it in the tree. No aggregate may sit above the join.
+    assert all(pos > join_pos for pos in agg_positions), (
+        "aggregate above the join — orders must pre-aggregate below it"
+    )
