@@ -13,60 +13,58 @@ from __future__ import annotations
 
 from gaming_ai_analytics_spark import registry
 
-#: Queries that had no CORRECTNESS row in rounds 1-2 (never checked or
-#: evicted) — the whole point of the explicit window is that these get
-#: driver evidence.
+#: Round-4 window rationale: every query with NO driver correctness
+#: row in rounds 1-3, plus the round-3 FAILs/crashes re-proving their
+#: fixes and the queries whose registered output/implementation
+#: changed this round. The whole point of the explicit window is that
+#: these get driver evidence.
 _MUST_BE_IN_WINDOW = {
-    # §2.11 extension ladder
-    "text_analysis_profile",
-    "dedup_exact_canonical",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "dedup_cluster_assign",
-    "similarity_topk",
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    # streaming
-    "events_tumbling_hourly",
+    # round-3 driver FAILs/crashes, fixed in round 4
     "events_streaming_tumbling",
-    "events_sliding_window",
-    "events_session_window",
-    "events_streaming_stateful_totals",
     "events_streaming_session",
     "events_stream_stream_join",
-    "events_streaming_dedupe",
-    "events_streaming_static_join",
-    # train-data
-    "doc_chunking",
-    "vocab_top_terms",
-    "tf_idf",
-    "sample_stratified",
-    "pii_redact",
-    "quality_repetition",
-    "decontaminate_eval_overlap",
-    "export_shards",
-    # analytics
-    "funnel_conversion",
-    "retention_cohorts",
-    "anomaly_zscore",
     "window_rolling_7d",
-    "agg_incremental_merge",
-    "latest_event_per_user",
-    "timeseries_gap_fill",
-    "window_forward_fill",
-    "agg_sketch_rollup",
-    # oracle changed this round — needs a fresh driver row
-    "pivot_lang_counts",
-    "agg_scale_sketches",
-    # new this round
-    "sql_ai_functions",
-    "traindata_curation_pipeline",
+    # output reshaped / implementation swapped in round 4
+    "multimodal_features",
+    "multimodal_resize",
+    "dedup_simhash_pairs",
+    "agg_percentile",
+    # never driver-checked before round 4: warehouse reports
+    "pricing_summary",
+    "top_revenue_orders",
+    "returned_item_customers",
+    "priority_class_mix",
+    "late_ship_priority_counts",
+    # never checked: analytics / diagnostics
+    "weekly_active_users",
+    "user_lifetime_value",
+    "trending_daily_topk",
+    "customer_rfm_segments",
+    "quantile_profile",
+    "anomaly_mad",
+    "stat_regression",
+    "event_path_transitions",
+    "source_lang_entropy",
+    "skew_top_keys",
+    "join_salted_skew",
+    "dq_completeness_profile",
+    "embedding_norm_profile",
+    # never checked: train-data ladder
+    "bm25_term_scores",
+    "quality_gate_rules",
+    "token_budget_select",
+    "vocab_bigrams",
+    "token_length_histogram",
+    "mixture_rebalance",
+    "traindata_sequence_packing",
+    "dedup_rate_by_source",
+    "dup_similarity_histogram",
+    "dedup_survivors",
+    "lang_confusion_matrix",
+    # never checked: streaming rate alert + ANN recall contracts
+    "events_streaming_rate_alert",
+    "similarity_topk_lsh_recall",
+    "similarity_topk_ivf_recall",
 }
 
 
