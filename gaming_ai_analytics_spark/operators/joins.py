@@ -172,17 +172,29 @@ def range_join(
     AQE-optimizable — followed by the exact containment filter. Pick
     ``bucket_seconds`` near the typical range length so fan-out stays
     ~2×. Output: all left columns + all right columns (ranges)."""
+    from pyspark.sql import types as T
+
+    def seconds(df: DataFrame, col: str):
+        # TIMESTAMP_NTZ has no direct numeric cast (AnalysisException);
+        # route timestamps through TIMESTAMP (identity under the
+        # engine's pinned UTC session) to fractional epoch seconds.
+        if isinstance(
+            df.schema[col].dataType, (T.TimestampType, T.TimestampNTZType)
+        ):
+            return F.col(col).cast("timestamp").cast("double")
+        return F.col(col).cast("double")
+
     keys = list(keys)
     lb = left.withColumn(
         "_bucket",
-        F.floor(F.col(ts_col).cast("double") / bucket_seconds).cast("long"),
+        F.floor(seconds(left, ts_col) / bucket_seconds).cast("long"),
     )
     rb = right.withColumn(
         "_bucket",
         F.explode(
             F.sequence(
-                F.floor(F.col(start_col).cast("double") / bucket_seconds).cast("long"),
-                F.floor(F.col(end_col).cast("double") / bucket_seconds).cast("long"),
+                F.floor(seconds(right, start_col) / bucket_seconds).cast("long"),
+                F.floor(seconds(right, end_col) / bucket_seconds).cast("long"),
             )
         ),
     )
