@@ -35,10 +35,16 @@ def get_spark(
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+    # local[N] runs N task threads inside ONE JVM whose default heap is
+    # 1g — 32 concurrent aggregation states in 1 GB OOMed a full-registry
+    # verify pass at sf0.1. Size the heap like the executor fleet it
+    # stands in for (only effective at JVM creation; ignored on attach).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
 
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
