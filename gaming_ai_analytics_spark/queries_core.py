@@ -796,13 +796,34 @@ def q_agg_scale_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound violation) flips a boolean and hash-fails — this is a full
     hash-matched row, not a rows-only check."""
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_linestatus").agg(
-        F.expr("percentile(l_extendedprice, 0.5)").alias("_median_exact"),
-        F.countDistinct("l_orderkey").alias("n_orders_exact"),
-        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10_000)).alias(
-            "_median_approx"
-        ),
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("_acd"),
+    # Each aggregate runs in its OWN cheapest plan, then the four 2-row
+    # results broadcast-join back together. Mixing them in one agg()
+    # planned an Expand (distinct + non-distinct) carrying the object
+    # aggregates' state through multiplied rows: 170 s and 256 MB
+    # single allocations at sf1 vs 2.8 s composed (measured r4) — the
+    # difference between a demo and an operator. countDistinct is
+    # expressed as the two-level distinct (groupBy key pair, then
+    # count) — partial-combined on both levels, no Expand.
+    ls = "l_linestatus"
+    med_e = li.groupBy(ls).agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("_median_exact")
+    )
+    med_a = li.groupBy(ls).agg(
+        F.percentile_approx(
+            "l_extendedprice", F.lit(0.5), F.lit(10_000)
+        ).alias("_median_approx")
+    )
+    nd_e = (
+        li.select(ls, "l_orderkey")
+        .distinct()
+        .groupBy(ls)
+        .agg(F.count(F.lit(1)).alias("n_orders_exact"))
+    )
+    nd_a = li.groupBy(ls).agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("_acd")
+    )
+    agg = (
+        med_e.join(med_a, ls).join(nd_e, ls).join(nd_a, ls)
     )
     rel_err = lambda a, e: F.abs(a - e) / e  # noqa: E731
     return agg.select(
