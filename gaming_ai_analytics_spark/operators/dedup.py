@@ -391,8 +391,16 @@ def embedding_cosine_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9
 ) -> DataFrame:
     """Exact pairwise cosine near-dups (id_a < id_b). O(n²) — the
-    correctness oracle; use the LSH variant beyond ~10⁵ vectors."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    correctness oracle; use the LSH variant beyond ~10⁵ vectors.
+
+    The non-equi condition plans as a broadcast nested-loop join whose
+    parallelism is the STREAMED side's partition count — a small
+    parquet scan is 1-2 splits, which serialized the entire n² dot
+    work onto 2 cores (observed hanging the sf1 sweep). Widening the
+    streamed side spreads the quadratic work across the cluster."""
+    a = ensure_parallelism(
+        df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    )
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     sim = F.round(dot(F.col("_va"), F.col("_vb")), 6)
     return (
