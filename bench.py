@@ -38,6 +38,11 @@ from concurrent.futures import ThreadPoolExecutor
 
 WARM_RUNS = 3
 
+try:  # sampled at import, before any engine starts
+    _LOAD_AT_START = round(os.getloadavg()[0], 2)
+except OSError:  # platform without getloadavg
+    _LOAD_AT_START = None
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
@@ -231,6 +236,10 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     out = {
         "metric": "headline_queries_total_warm",
+        # 1-min load BEFORE this process's own Spark phase is the
+        # contamination tell: a loaded box inflates both engines ~2×
+        # (measured r4: 13.5 s vs 7.1 s total with concurrent suites).
+        "load_avg_start": _LOAD_AT_START,
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,

@@ -221,6 +221,61 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals on the ``transformWithStateInPandas``
+    API (Spark 4.x) — the successor to ``applyInPandasWithState`` with
+    named, schema'd state variables, per-key timers, and TTL support.
+    Functionally identical to :func:`stateful_user_totals` (update
+    semantics: one row per user per micro-batch, totals monotone in
+    ``n_events``); kept alongside it so both stateful surfaces stay
+    exercised. State is one ValueState tuple per user — bounded by
+    |users|; at scale pair with a TTL so abandoned keys expire instead
+    of accumulating forever.
+
+    Environment note: EXECUTING this operator requires ``protobuf``
+    (Spark's transformWithState driver-worker protocol), which this
+    container does not ship — plan construction and schema are fully
+    testable here, execution is exercised where protobuf exists
+    (tests/test_streaming.py skips it otherwise, like the delta
+    tests). ``applyInPandasWithState`` above has no such dependency
+    and remains the locally-verified stateful path."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", USER_TOTALS_STATE)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotals(),
+        outputStructType=USER_TOTALS_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stream_append_idempotent(
     stream_df: DataFrame,
     store,

@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import pytest
+
 from gaming_ai_analytics_spark.sources.star import load_events
 from gaming_ai_analytics_spark.streaming.events import (
     session_windows,
@@ -243,3 +245,59 @@ def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
     # the finalized first window counts 2 — the late event_id=4 was
     # dropped, never re-emitted or merged
     assert got.get(0) == 2, got
+
+
+def test_transform_with_state_plan_construction(spark, sf_dir):
+    """transformWithStateInPandas surface: plan + output schema build
+    without execution (execution needs protobuf — absent here)."""
+    from gaming_ai_analytics_spark.sources.star import load_events
+    from gaming_ai_analytics_spark.streaming.events import (
+        stateful_user_totals_tws,
+    )
+
+    out = stateful_user_totals_tws(load_events(spark, sf_dir))
+    assert [f.name for f in out.schema.fields] == [
+        "user_id",
+        "n_events",
+        "total_value",
+    ]
+
+
+def test_transform_with_state_matches_batch(spark, sf_dir):
+    """Full execution parity vs the batch aggregate — runs only where
+    protobuf is installed (production images; not this container)."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gaming_ai_analytics_spark.sources.star import load_events
+    from gaming_ai_analytics_spark.streaming.events import (
+        run_stream_to_memory,
+        stateful_user_totals_tws,
+        stream_events,
+    )
+
+    out = run_stream_to_memory(
+        stateful_user_totals_tws(stream_events(spark, sf_dir)),
+        spark,
+        output_mode="update",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = {
+        (r.user_id, r.n_events, r.total_value)
+        for r in out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "total_value")
+        .collect()
+    }
+    batch = {
+        (r.user_id, r.n_events, r.total_value)
+        for r in load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .collect()
+    }
+    assert final == batch
