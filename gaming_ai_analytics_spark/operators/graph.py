@@ -98,6 +98,99 @@ def connected_components(
     )
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Connected components in O(log n) rounds — the alternating
+    large-star/small-star scheme of Kiveris et al., "Connected
+    Components in MapReduce and Beyond" (SOCC'14) — for graphs whose
+    diameter makes per-hop hash-min sweeps (:func:`connected_components`)
+    too many rounds (long chains; adversarial near-dup link farms).
+
+    Each round is two join+min-aggregate steps over the flat edge
+    list (the same building blocks and scale properties as hash-min —
+    map-side combinable, no adjacency arrays, AQE skew-splitting
+    applies):
+
+    - **large-star**: every node connects its strictly-larger
+      neighbors to the minimum of its closed neighborhood;
+    - **small-star**: on the larger→smaller orientation, every node
+      connects its ≤-neighbors (and itself) to that minimum.
+
+    The edge set converges to stars centered at each component's
+    minimum id; output is ``(node, component)`` like hash-min (equality
+    on arbitrary graphs is test-pinned). Convergence is checked by
+    edge-set equality (an existence probe, the one driver action per
+    round); rounds are O(log n) regardless of diameter — a 200-link
+    chain converges in ~6 rounds where hash-min needs 200 sweeps.
+    """
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .where(F.col("_s") != F.col("_d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def star(frame: DataFrame, large: bool) -> DataFrame:
+        # orient: large-star sees the full symmetric neighborhood;
+        # small-star only the larger→smaller orientation
+        sym = frame.union(
+            frame.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+        )
+        nbrs = sym if large else sym.where(F.col("_d") <= F.col("_s"))
+        m = nbrs.groupBy("_s").agg(
+            F.least(F.min("_d"), F.first("_s")).alias("_m")
+        )
+        joined = nbrs.join(m, "_s")
+        if large:
+            out = joined.where(F.col("_d") > F.col("_s")).select(
+                F.col("_d").alias("_s"), F.col("_m").alias("_d")
+            )
+        else:
+            out = joined.select(
+                F.col("_d").alias("_s"), F.col("_m").alias("_d")
+            ).union(
+                m.select(F.col("_s"), F.col("_m").alias("_d"))
+            )
+        return (
+            out.where(F.col("_s") != F.col("_d"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    for _ in range(max_iter):
+        nxt = star(star(e, large=True), large=False)
+        unchanged = (
+            nxt.count() == e.count()
+            and nxt.exceptAll(e).limit(1).count() == 0
+        )
+        e = nxt
+        if unchanged:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds"
+        )
+    # stars: every non-center node points at its component min
+    labels = e.select(
+        F.col("_s").alias("node"), F.col("_d").alias("component")
+    ).distinct()
+    centers = all_nodes.join(
+        labels.select("node"), "node", "left_anti"
+    ).withColumn("component", F.col("node"))
+    return labels.union(centers)
+
+
 def dedup_clusters(
     pairs: DataFrame,
     src: str = "id_a",

@@ -563,3 +563,49 @@ def test_user_lifetime_value_planted_profile(spark):
         del star._TABLE_CACHE[key]
     assert (r.n_events, r.total_value, r.n_active_days) == (3, 16.5, 2)
     assert r.span_days == 10 and r.events_per_active_day == 1.5
+
+
+def test_star_cc_matches_hashmin_on_random_graphs(spark):
+    """large-star/small-star must produce exactly hash-min's labels on
+    arbitrary graphs (random edge sets, multiple components, hubs)."""
+    import random
+
+    from gaming_ai_analytics_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    for trial in range(3):
+        edges = [
+            (rng.randrange(40), rng.randrange(40)) for _ in range(30)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        ref = {
+            r.node: r.component for r in connected_components(df).collect()
+        }
+        got = {
+            r.node: r.component
+            for r in connected_components_star(df).collect()
+        }
+        assert got == ref, f"trial {trial}"
+
+
+def test_star_cc_long_chain_logarithmic_rounds(spark):
+    """A 120-link chain: hash-min needs diameter sweeps (raises at a
+    low cap); star converges in O(log n) rounds under the same cap."""
+    import pytest as _pytest
+
+    from gaming_ai_analytics_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    chain = [(i, i + 1) for i in range(120)]
+    df = spark.createDataFrame(chain, ["id_a", "id_b"])
+    with _pytest.raises(RuntimeError):
+        connected_components(df, max_iter=10)
+    out = {
+        r.node: r.component
+        for r in connected_components_star(df, max_iter=10).collect()
+    }
+    assert out == {i: 0 for i in range(121)}
