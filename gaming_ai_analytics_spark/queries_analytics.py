@@ -34,7 +34,7 @@ from gaming_ai_analytics_spark.operators.graph import dedup_clusters
 from gaming_ai_analytics_spark.functions.text_sql import (
     JACCARD_PAIRS_SQL as _JACCARD_PAIRS_SQL,
 )
-from gaming_ai_analytics_spark.registry import register
+from gaming_ai_analytics_spark.registry import oracle_for, register
 from gaming_ai_analytics_spark.sources.star import load_events, load_table
 
 _FUNNEL_STEPS = ("view", "click", "purchase")
@@ -351,6 +351,29 @@ register(
     SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
     FROM reach GROUP BY s
     """,
+)
+
+
+def q_dedup_cluster_assign_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same cluster assignment via the O(log n)-round
+    large-star/small-star scheme (operators/graph.py
+    ``connected_components_star``) — the long-diameter scale path
+    beside hash-min; identical labels, same recursive-CTE oracle."""
+    from gaming_ai_analytics_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    return connected_components_star(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+register(
+    "dedup_cluster_assign_star",
+    q_dedup_cluster_assign_star,
+    oracle_for("dedup_cluster_assign"),
 )
 
 
