@@ -125,7 +125,9 @@ def connected_components_star(
     on arbitrary graphs is test-pinned). Convergence is checked by
     edge-set equality (an existence probe, the one driver action per
     round); rounds are O(log n) regardless of diameter — a 200-link
-    chain converges in ~6 rounds where hash-min needs 200 sweeps.
+    chain converges in ~6 rounds where hash-min needs 200 sweeps, and
+    even on the short-diameter sf1 near-dup graph the fewer rounds
+    win outright (24.9 s vs hash-min's 46.5 s, same pair input).
     """
     e = (
         edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
