@@ -324,10 +324,12 @@ register(
 def q_dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → transitive clusters: every clustered doc
     labeled with its component's min doc_id (the canonical survivor).
-    Spark: iterative hash-min propagation; oracle: recursive CTE."""
+    Spark: iterative hash-min propagation; oracle: recursive CTE.
+    (Pinned to ``hashmin`` so both algorithms keep driver evidence —
+    ``dedup_cluster_assign_star`` covers the default star scheme.)"""
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
-    return dedup_clusters(pairs, "id_a", "id_b")
+    return dedup_clusters(pairs, "id_a", "id_b", algorithm="hashmin")
 
 
 register(
