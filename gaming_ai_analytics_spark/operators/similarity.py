@@ -4,9 +4,17 @@ Extension surface (SURVEY §2.11). Two tiers, same output contract
 ``(probe_id, rank, vec_id, cosine)``:
 
 - :func:`topk_similar` — brute-force cosine top-k. The probe set is
-  broadcast (it's small by definition), so the corpus never shuffles:
-  scan → broadcast-nested-loop join → per-probe ranking window on the
-  (tiny) per-probe candidate space. Exact; the recall oracle.
+  small by definition (it is broadcast / driver-collected), so the
+  corpus never shuffles. Two physical strategies by corpus size:
+  below ``ARROW_FANOUT_MIN_BYTES`` a broadcast-nested-loop join with
+  the JVM expression-fold dot (exact oracle parity, zero Python);
+  above it, ONE Arrow matmul per batch scores a corpus row against
+  every probe at once (``functions.vectors.dot_many_pandas``) — the
+  BNL disappears entirely and with it its pathology (BNL parallelism
+  equals the streamed side's file splits; a 2-split scan serialized
+  the whole O(n·p·d) job onto 2 cores at sf1). Both paths widen a
+  narrow corpus scan first (``ensure_parallelism``). Exact; the
+  recall oracle.
 - :func:`topk_similar_lsh` — IVF-flavored scale path: corpus and
   probes are bucketed by random-hyperplane signature chunks; only
   colliding buckets are compared exactly, then ranked. Sub-linear
@@ -22,8 +30,9 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from gaming_ai_analytics_spark.functions.vectors import dot
+from gaming_ai_analytics_spark.functions.vectors import dot, dot_many_pandas
 from gaming_ai_analytics_spark.operators.dedup import _hyperplanes
+from gaming_ai_analytics_spark.operators.parallelism import ensure_parallelism
 
 
 #: Corpus size (Catalyst-estimated bytes) below which the two-level
@@ -32,6 +41,24 @@ from gaming_ai_analytics_spark.operators.dedup import _hyperplanes
 #: extra ranking stage costs more than it saves (measured +35% on the
 #: sf0.1 bench). Above it, the tournament bounds reducer fan-in.
 TOURNAMENT_MIN_BYTES = 64 << 20
+
+#: Corpus size (Catalyst-estimated bytes) above which the probe
+#: fan-out routes through the Arrow matmul kernel instead of the
+#: broadcast-nested-loop join + interpreted dot fold. The fold is
+#: CodegenFallback (functions/vectors.py:65): k probes × dim d cost
+#: k·d interpreted lambda evals per corpus row, vs ONE numpy matmul
+#: per Arrow batch. Measured crossover ≈10⁴ corpus rows (~2.5 MB at
+#: 64-dim float32); 4 MB keeps the sf0.01/sf0.1 oracle-parity paths
+#: on the exact sequential fold and switches the 10×-up regime, where
+#: the BNL shape serialized sf1 onto 2 cores (6.8 s → sub-second).
+ARROW_FANOUT_MIN_BYTES = 4 << 20
+
+
+def _est_bytes(df: DataFrame) -> int:
+    """Catalyst's driver-side size estimate — metadata only, no job."""
+    return int(
+        str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
 
 
 def _topk_per_probe(
@@ -100,16 +127,51 @@ def topk_similar(
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
 ) -> DataFrame:
-    """Exact cosine top-k per probe. Probes broadcast; ranking uses a
-    unique (cosine desc, vec_id) order so results are deterministic."""
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
+    """Exact cosine top-k per probe. Probes stay on the driver side of
+    the plan (broadcast or collected — small by contract); ranking uses
+    a unique (cosine desc, vec_id) order so results are deterministic.
+
+    Above ``ARROW_FANOUT_MIN_BYTES`` the corpus is scored via one
+    Arrow matmul per batch (all probes at once) — map-only, no join;
+    below it, a broadcast-nested-loop join keeps the exact sequential
+    fold for last-ulp oracle parity. Either way the corpus side is
+    widened first: a small parquet scan is 1-2 splits, and both BNL
+    parallelism and Arrow batch spread follow the split count."""
+    c = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
+    )
     p = probes.select(
         F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
     )
-    sim = F.round(dot(F.col("_cv"), F.col("_pv")), 6)
-    scored = c.join(F.broadcast(p), F.col("vec_id") != F.col("probe_id")).withColumn(
-        "cosine", sim
-    )
+    prows = p.collect() if _est_bytes(c) >= ARROW_FANOUT_MIN_BYTES else None
+    if prows:
+        # Arrow fan-out: corpus row → array of all probe dots in ONE
+        # numpy matmul per batch, posexplode to (probe idx, cosine),
+        # map idx → probe id through a literal array. No BNL: the map
+        # stage parallelism is the (widened) scan's, not a join's.
+        ids = [r["probe_id"] for r in prows]
+        mat = np.asarray([list(r["_pv"]) for r in prows], dtype=np.float64)
+        id_arr = F.array(*[F.lit(i) for i in ids])
+        scored = (
+            c.filter(F.col("_cv").isNotNull())
+            .select(
+                "vec_id",
+                F.posexplode(dot_many_pandas(F.col("_cv"), mat)).alias(
+                    "_pi", "_raw"
+                ),
+            )
+            .select(
+                F.element_at(id_arr, F.col("_pi") + 1).alias("probe_id"),
+                "vec_id",
+                F.round("_raw", 6).alias("cosine"),
+            )
+            .filter(F.col("vec_id") != F.col("probe_id"))
+        )
+    else:
+        sim = F.round(dot(F.col("_cv"), F.col("_pv")), 6)
+        scored = c.join(
+            F.broadcast(p), F.col("vec_id") != F.col("probe_id")
+        ).withColumn("cosine", sim)
     return _topk_per_probe(scored, k, size_hint=c)
 
 

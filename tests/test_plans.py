@@ -298,6 +298,57 @@ def test_fillna_join_preaggregates_below_join(spark, sf_dir):
     )
 
 
+def test_bnl_streamed_side_is_parallel_everywhere(spark, sf_dir):
+    """Planted-regression guard (VERDICT r4 #8): broadcast-nested-loop
+    parallelism equals the STREAMED side's partition count, so a
+    1-2-split scan under a multi-row broadcast serializes O(n·|bcast|)
+    work onto 1-2 cores — the `topk_similar` sf1 regression (6.8 s on
+    ~2 cores), invisible to correctness tests twice. Sweep EVERY
+    registered batch query's physical plan: each BNL must either
+    stream ≥ min(cores, 8) partitions or carry a single-row broadcast
+    side (a global ``keys=[]`` aggregate — a map-like annotate whose
+    parallelism rightly follows the scan, e.g. the 1-row stat frames
+    under crossJoin). Streaming entries execute eagerly when called,
+    so they are skipped — their plans contain no BNL by construction
+    (stream-stream joins must be equi-joins)."""
+    from gaming_ai_analytics_spark import registry
+
+    def nodes(n):
+        yield n
+        cs = n.children()
+        for i in range(cs.length()):
+            yield from nodes(cs.apply(i))
+
+    floor = min(spark.sparkContext.defaultParallelism, 8)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        offenders = []
+        for name, fn in registry.queries().items():
+            if name.startswith("events_stream"):
+                continue
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan()
+            for node in nodes(plan):
+                if "BroadcastNestedLoopJoin" not in node.nodeName():
+                    continue
+                kids = [
+                    node.children().apply(i)
+                    for i in range(node.children().length())
+                ]
+                sidx = 1 if node.buildSide().toString() == "BuildLeft" else 0
+                streamed, bcast = kids[sidx], kids[1 - sidx]
+                if "keys=[]" in bcast.treeString():  # 1-row broadcast
+                    continue
+                parts = streamed.execute().getNumPartitions()
+                if parts < floor:
+                    offenders.append((name, parts))
+        assert not offenders, (
+            f"BNL joins with a serialized streamed side (< {floor} "
+            f"partitions): {offenders}"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
 def test_scale_sketches_has_no_expand(spark, sf_dir):
     """agg_scale_sketches must keep each aggregate in its own plan —
     mixing distinct + non-distinct object aggregates in one agg()
