@@ -591,6 +591,37 @@ def test_star_cc_matches_hashmin_on_random_graphs(spark):
         assert got == ref, f"trial {trial}"
 
 
+def test_star_cc_labels_self_loop_only_nodes(spark):
+    """A node whose only edge is a self-loop is a singleton component.
+    hash-min labels it (the self-edge survives into its node list);
+    the star scheme filters self-loops out of the edge set, so its
+    node list must come from the UNFILTERED input or the node
+    silently vanishes from the labeling."""
+    from gaming_ai_analytics_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2), (7, 7), (3, 3), (3, 4)], ["id_a", "id_b"]
+    )
+    ref = {r.node: r.component for r in connected_components(df).collect()}
+    got = {
+        r.node: r.component for r in connected_components_star(df).collect()
+    }
+    assert got == ref == {1: 1, 2: 1, 3: 3, 4: 3, 7: 7}
+
+
+def test_dedup_clusters_explicit_zero_cap_raises(spark):
+    """max_iter=0 is a 'must already be converged' probe, not a
+    request for the default cap — on a non-trivial graph it raises."""
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    for algo in ("star", "hashmin"):
+        with _pytest.raises(RuntimeError):
+            dedup_clusters(pairs, max_iter=0, algorithm=algo).collect()
+
+
 def test_star_cc_long_chain_logarithmic_rounds(spark):
     """A 120-link chain: hash-min needs diameter sweeps (raises at a
     low cap); star converges in O(log n) rounds under the same cap."""
