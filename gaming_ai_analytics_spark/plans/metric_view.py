@@ -55,18 +55,29 @@ class MetricView:
     ``tables`` maps names used in the spec (source + join names) to
     DataFrames; they are registered as temp views under a unique
     prefix so compiled SQL never collides with user views.
+
+    ``name`` is the metric view's declared consumer-facing name: when
+    set, :meth:`sql` only accepts consumer queries whose ``FROM``
+    names it (a query naming a DIFFERENT metric view must error, not
+    silently run against this one). When ``None`` the ``FROM`` name is
+    not checked (single-view usage).
     """
 
     _seq = 0
 
     def __init__(
-        self, spark: SparkSession, spec: MetricViewSpec, tables: dict[str, DataFrame]
+        self,
+        spark: SparkSession,
+        spec: MetricViewSpec,
+        tables: dict[str, DataFrame],
+        name: str | None = None,
     ):
         missing = {spec.source, *(j.name for j in spec.joins)} - set(tables)
         if missing:
             raise ValueError(f"metric view references unknown tables: {missing}")
         self.spark = spark
         self.spec = spec
+        self.name = name
         MetricView._seq += 1
         self._prefix = f"__mv{MetricView._seq}_"
         self._alias = {name: f"{self._prefix}{name}" for name in tables}
@@ -171,8 +182,17 @@ class MetricView:
             raise ValueError(
                 f"not a metric-view consumer query: {consumer_sql!r}"
             )
-        dims: list[str] = []
-        measures: list[str] = []
+        if self.name is not None and m["view"].lower() != self.name.lower():
+            raise ValueError(
+                f"consumer query names metric view {m['view']!r}, but "
+                f"this view is declared as {self.name!r} — route the "
+                "query to the view it names"
+            )
+        # select items in SELECT order — GROUP BY ordinals resolve
+        # against THIS list (dims and measures interleave freely;
+        # resolving against the dims list alone mis-binds the moment a
+        # measure precedes a dimension)
+        items: list[tuple[str, str]] = []  # (kind, declared name)
         renames: list[tuple[str, str]] = []  # (declared name, alias)
         for item in m["select"].split(","):
             item = item.strip()
@@ -182,7 +202,7 @@ class MetricView:
                 re.IGNORECASE,
             )
             if mm:
-                measures.append(mm[1])
+                items.append(("measure", mm[1]))
                 if mm[2]:
                     renames.append((mm[1], mm[2]))
                 continue
@@ -192,15 +212,33 @@ class MetricView:
                     f"unsupported select item (dimensions are bare names, "
                     f"measures are MEASURE(name)): {item!r}"
                 )
-            dims.append(md[1])
+            items.append(("dim", md[1]))
             if md[2]:
                 renames.append((md[1], md[2]))
+        dims = [name for kind, name in items if kind == "dim"]
+        measures = [name for kind, name in items if kind == "measure"]
         if m["group"]:
             grouped = [g.strip() for g in m["group"].split(",")]
-            by_ordinal = [
-                dims[int(g) - 1] for g in grouped if g.isdigit()
-            ] + [g for g in grouped if not g.isdigit()]
-            if sorted(by_ordinal) != sorted(dims):
+            resolved = []
+            for g in grouped:
+                if not g.isdigit():
+                    resolved.append(g)
+                    continue
+                idx = int(g) - 1
+                if not 0 <= idx < len(items):
+                    raise ValueError(
+                        f"GROUP BY ordinal {g} is out of range for the "
+                        f"{len(items)}-item select list"
+                    )
+                kind, name = items[idx]
+                if kind == "measure":
+                    raise ValueError(
+                        f"GROUP BY ordinal {g} refers to "
+                        f"MEASURE({name}) — metric views group only by "
+                        "dimensions"
+                    )
+                resolved.append(name)
+            if sorted(resolved) != sorted(dims):
                 raise ValueError(
                     f"GROUP BY {grouped} does not match the selected "
                     f"dimensions {dims} (metric views group by exactly "

@@ -232,36 +232,45 @@ register("dedup_embedding_lsh", q_dedup_embedding_lsh, _EMBEDDING_PAIRS_SQL)
 # --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------
+#: Shared similarity-search contract: the probe set is the vectors
+#: with ``vec_id < _N_PROBES``; every tier (exact, LSH, IVF) returns
+#: top-``_TOPK_K`` — the recall oracles derive their expected counts
+#: from THESE constants, so changing k or the probe set here keeps
+#: query and oracle in lockstep instead of silently diverging.
+_N_PROBES = 5
+_TOPK_K = 5
+
+
 def _probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return emb.filter(F.col("vec_id") < 5).select(
+    return emb.filter(F.col("vec_id") < _N_PROBES).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
 
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 per probe (exact tier)."""
+    """Brute-force cosine top-k per probe (exact tier)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return topk_similar(emb, _probes(spark, sf_dir), k=5)
+    return topk_similar(emb, _probes(spark, sf_dir), k=_TOPK_K)
 
 
 register(
     "similarity_topk",
     q_similarity_topk,
-    """
+    f"""
     WITH scored AS (
       SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
              ROUND(list_sum(list_transform(list_zip(c.embedding, p.embedding),
                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS cosine
       FROM embeddings c
-      JOIN embeddings p ON p.vec_id < 5 AND c.vec_id <> p.vec_id
+      JOIN embeddings p ON p.vec_id < {_N_PROBES} AND c.vec_id <> p.vec_id
     )
     SELECT probe_id, rank, vec_id, cosine
     FROM (SELECT probe_id, vec_id, cosine,
                  ROW_NUMBER() OVER (PARTITION BY probe_id
                                     ORDER BY cosine DESC, vec_id) AS rank
           FROM scored)
-    WHERE rank <= 5
+    WHERE rank <= {_TOPK_K}
     """,
 )
 
@@ -271,7 +280,7 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact tier asserted in tests)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return topk_similar_lsh(
-        emb, _probes(spark, sf_dir), k=5, dim=EMBEDDING_DIM
+        emb, _probes(spark, sf_dir), k=_TOPK_K, dim=EMBEDDING_DIM
     )
 
 
@@ -353,7 +362,9 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gaming_ai_analytics_spark.operators.similarity import topk_similar_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return topk_similar_ivf(emb, _probes(spark, sf_dir), k=5, n_probe=6)
+    return topk_similar_ivf(
+        emb, _probes(spark, sf_dir), k=_TOPK_K, n_probe=6
+    )
 
 
 register("similarity_topk_ivf", q_similarity_topk_ivf, None)
@@ -382,10 +393,16 @@ def _ann_recall_summary(
     )
 
 
-_ANN_RECALL_ORACLE = """
-    SELECT COUNT(*) AS n_probes, COUNT(*) * 5 AS n_exact_results,
+#: The exact tier returns min(corpus_size - 1, k) rows per probe
+#: (self-match excluded), so the oracle derives the expected result
+#: count from the corpus itself rather than assuming a full k — a
+#: sub-(k+1) corpus or a k change no longer silently diverges.
+_ANN_RECALL_ORACLE = f"""
+    SELECT COUNT(*) AS n_probes,
+           COUNT(*) * LEAST((SELECT COUNT(*) - 1 FROM embeddings),
+                            {_TOPK_K}) AS n_exact_results,
            TRUE AS recall_ok
-    FROM embeddings WHERE vec_id < 5
+    FROM embeddings WHERE vec_id < {_N_PROBES}
     """
 
 
@@ -396,8 +413,8 @@ def q_similarity_topk_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = _probes(spark, sf_dir)
     return _ann_recall_summary(
-        topk_similar(emb, probes, k=5),
-        topk_similar_lsh(emb, probes, k=5, dim=EMBEDDING_DIM),
+        topk_similar(emb, probes, k=_TOPK_K),
+        topk_similar_lsh(emb, probes, k=_TOPK_K, dim=EMBEDDING_DIM),
         floor=0.25,
     )
 
@@ -414,8 +431,8 @@ def q_similarity_topk_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = _probes(spark, sf_dir)
     return _ann_recall_summary(
-        topk_similar(emb, probes, k=5),
-        topk_similar_ivf(emb, probes, k=5, n_probe=6),
+        topk_similar(emb, probes, k=_TOPK_K),
+        topk_similar_ivf(emb, probes, k=_TOPK_K, n_probe=6),
         floor=0.5,
     )
 

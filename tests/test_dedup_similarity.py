@@ -113,6 +113,37 @@ def test_multimodal_features_shape_and_determinism(spark):
     assert all(list(r.features) == again[r.asset_id] for r in rows)
 
 
+def test_multimodal_empty_and_null_payload_invariants(spark):
+    """The registered multimodal oracles pin feat_l1=1.0 / feat_dim=16
+    / resized_len=32 as CONSTANTS for every row. That is only safe if
+    a null/empty text keeps the invariants: FakeDecoder substitutes a
+    single zero byte, so the histogram still carries unit L1 mass and
+    the resize still pads to the fixed length. Pin it on a synthetic
+    frame so a decoder change that breaks the invariant fails HERE,
+    not as a driver hash mismatch on some future fixture."""
+    from gaming_ai_analytics_spark.operators.multimodal import (
+        TARGET_SAMPLES,
+        resize_assets,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, None, None, 0), (1, "", "en", 0), (2, "abc", "en", 3)],
+        ["doc_id", "text", "lang", "n_chars"],
+    )
+    assets = make_assets(docs)
+    feats = {r.asset_id: r for r in extract_features(assets).collect()}
+    assert set(feats) == {0, 1, 2}
+    for r in feats.values():
+        assert len(r.features) == 16
+        assert abs(sum(r.features) - 1.0) < 1e-3
+    assert feats[0].n_bytes == 0 and feats[1].n_bytes == 0
+    resized = {r.asset_id: r for r in resize_assets(assets).collect()}
+    assert all(
+        len(r.resized) == TARGET_SAMPLES for r in resized.values()
+    )
+    assert resized[0].orig_bytes == 0 and resized[1].orig_bytes == 0
+
+
 def test_frame_sampling_only_video(spark):
     docs = load_table(spark, SF, "documents").limit(60)
     frames = sample_frames(make_assets(docs))

@@ -134,3 +134,44 @@ def test_consumer_sql_rejects_non_consumer_shapes(mv):
         mv.sql("SELECT region, MEASURE(order_count) FROM v GROUP BY priority")
     with _pytest.raises(ValueError):
         mv.sql("DELETE FROM v")
+
+
+def test_consumer_sql_ordinals_resolve_against_select_list(mv):
+    """GROUP BY ordinals are positions in the SELECT list, not the
+    dims-only list: 'MEASURE(m), region GROUP BY 2' is valid (ordinal
+    2 is the dimension), while an ordinal landing on a measure or out
+    of range raises the contract ValueError — never a raw IndexError."""
+    import pytest as _pytest
+
+    out = mv.sql(
+        "SELECT MEASURE(order_count), region FROM v GROUP BY 2"
+    ).collect()
+    assert len(out) == 5
+    with _pytest.raises(ValueError, match="MEASURE"):
+        mv.sql("SELECT MEASURE(order_count), region FROM v GROUP BY 1, 2")
+    with _pytest.raises(ValueError, match="out of range"):
+        mv.sql("SELECT region, MEASURE(order_count) FROM v GROUP BY 3")
+
+
+def test_consumer_sql_checks_declared_view_name(spark, sf_dir):
+    """A named metric view only serves consumer SQL addressed to it —
+    a query naming a different view must error, not silently run here
+    (an unnamed view keeps the permissive single-view behavior)."""
+    import pytest as _pytest
+
+    spec = MetricViewSpec(
+        source="orders",
+        dimensions={"priority": "orders.o_orderpriority"},
+        measures={"order_count": "COUNT(*)"},
+    )
+    named = MetricView(
+        spark, spec, {"orders": load_table(spark, sf_dir, "orders")},
+        name="order_metrics",
+    )
+    ok = named.sql(
+        "SELECT priority, MEASURE(order_count) FROM Order_Metrics "
+        "GROUP BY priority"
+    ).collect()
+    assert len(ok) > 0
+    with _pytest.raises(ValueError, match="order_metrics"):
+        named.sql("SELECT MEASURE(order_count) FROM other_view")
