@@ -265,6 +265,33 @@ def main() -> None:
             else None
         )
     print(json.dumps(out))
+    # ALSO persist the full result next to the driver's BENCH_r{N}
+    # capture: the driver keeps only the last 2000 chars of stdout,
+    # which truncated the r4 JSON to an unparseable tail — the on-disk
+    # twin keeps every per-query table round-over-round comparable.
+    # Never let a write failure cost the stdout contract above.
+    try:
+        with open(_local_out_path(), "w") as f:
+            json.dump(out, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass
+
+
+def _local_out_path() -> str:
+    """``BENCH_LOCAL_r{N}.json`` with N = the round the driver will
+    record next (one past the newest ``BENCH_r*.json`` it committed)."""
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return os.path.join(
+        REPO, f"BENCH_LOCAL_r{max(rounds, default=0) + 1:02d}.json"
+    )
 
 
 def duck_sf1_child(sf1_dir: str) -> None:
