@@ -72,82 +72,88 @@ def _load_all() -> None:
 #: checked window.  So the window is pinned EXPLICITLY: these names are
 #: moved to the front (in this order) after all modules register.
 #:
-#: Round-4 composition (VERDICT r3 ask #4): flagship, the four
-#: round-3 FAIL/crash queries re-proving their fixes, the three
-#: queries whose registered output was reshaped to oracle-checkable
-#: form this round, ``agg_percentile`` (implementation swapped), all
-#: 32 queries that have NEVER had a driver correctness row in any
-#: round (warehouse reports, analytics/skew/RFM/DQ diagnostics, BM25,
-#: quality gates, token budgeting, sequence packing, streaming rate
-#: alert, dedup diagnostics, the new ANN recall twins), and the bench
-#: headliners so every BENCH_r{N} number keeps fresh driver evidence.
-#: r3-green entries rotate out; they stay covered by
-#: ``tools/verify_local.py`` (all-registered gate) and pytest. Every
-#: name below carries a full oracle — zero rows-only checks in the
-#: window.
+#: Round-5 composition (VERDICT r4 asks #2 and #7): flagship, the
+#: never-driver-checked ``dedup_cluster_assign_star`` (now the
+#: ``dedup_clusters`` default), every query whose implementation or
+#: oracle changed in round 5 (the reworked exact top-k + its two
+#: recall contracts with the parameterized oracle, the two CC
+#: consumers riding the rewritten star scheme, the reordered
+#: flagship, metric-view), two data-proportional bench headliners,
+#: and ALL 40 queries whose last driver row is round 2 — the staleness
+#: cap (no entry older than two rounds) binds exactly 40+10 = 50
+#: slots, so the remaining r4-green headliners sit this round out
+#: (they keep ``tools/verify_local.py`` + pytest coverage and rotate
+#: back in round 6). Every name below carries a full oracle — zero
+#: rows-only checks in the window.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # flagship first — the smoke-check query
+    # flagship first — the smoke-check query (join order reworked r5)
     "flagship_star_metrics",
-    # round-3 driver FAILs/crashes, fixed this round
-    "events_streaming_tumbling",
-    "events_streaming_session",
-    "events_stream_stream_join",
-    "window_rolling_7d",
-    # registered output reshaped to oracle-checkable form this round
-    "multimodal_features",
-    "multimodal_resize",
-    "dedup_simhash_pairs",
-    # implementation swapped (gather-free percentile)
-    "agg_percentile",
-    # never driver-checked: warehouse report ladder (r3)
-    "pricing_summary",
-    "top_revenue_orders",
-    "returned_item_customers",
-    "priority_class_mix",
-    "late_ship_priority_counts",
-    # never driver-checked: analytics / diagnostics (r3)
-    "weekly_active_users",
-    "user_lifetime_value",
-    "trending_daily_topk",
-    "customer_rfm_segments",
-    "quantile_profile",
-    "anomaly_mad",
-    "stat_regression",
-    "event_path_transitions",
-    "source_lang_entropy",
-    "skew_top_keys",
-    "join_salted_skew",
-    "dq_completeness_profile",
-    "embedding_norm_profile",
-    # never driver-checked: train-data ladder (r3)
-    "bm25_term_scores",
-    "quality_gate_rules",
-    "token_budget_select",
-    "vocab_bigrams",
-    "token_length_histogram",
-    "mixture_rebalance",
-    "traindata_sequence_packing",
-    "dedup_rate_by_source",
-    "dup_similarity_histogram",
+    # the dedup_clusters default CC scheme: first-ever driver row,
+    # plus its two consumers re-proving the r5 convergence rewrite
+    "dedup_cluster_assign_star",
+    "dedup_cluster_assign",
     "dedup_survivors",
-    "lang_confusion_matrix",
-    # never driver-checked: streaming rate alert (shares the fixed
-    # stream_events path) + the new ANN recall contracts
-    "events_streaming_rate_alert",
+    # exact top-k reworked r5 (Arrow fan-out) + recall contracts
+    # whose oracle was parameterized r5
+    "similarity_topk",
     "similarity_topk_lsh_recall",
     "similarity_topk_ivf_recall",
-    # bench headliners not already above — keep driver evidence fresh
-    # for every number in BENCH_r{N}.json (agg_rollup rotates out:
-    # triple-green, floor-bound)
-    "join_chain_left",
-    "fillna_after_left_join",
-    "window_topk_per_group",
-    "fact_build_transform",
+    # metric-view consumer-SQL hardening landed r5
+    "metric_view_region",
+    # data-proportional bench headliners — the two ratio signals
     "text_analysis_profile",
     "dedup_minhash_lsh",
-    "similarity_topk",
-    "events_session_window",
-    "metric_view_region",
+    # --- the 40 round-2-stale entries (last driver row r2) ---
+    # filters / projections / scalars
+    "filter_numeric_conjunction",
+    "filter_boolean_algebra",
+    "filter_isin",
+    "filter_null_guard",
+    "project_rename",
+    "derived_columns",
+    "scalar_string_functions",
+    "case_when_banding",
+    # joins
+    "join_flatten_dim",
+    "join_anti_incremental",
+    "join_inner",
+    "join_semi",
+    # aggregations
+    "agg_count_by_group",
+    "agg_avg_by_group",
+    "agg_conditional_ratio",
+    "agg_distinct",
+    "agg_global_counts",
+    "agg_uniqueness_check",
+    "agg_cube",
+    # sort-limit
+    "topk_orders",
+    # windows
+    "window_running_sum",
+    "window_lag_delta",
+    "window_ntile_pctrank",
+    "window_value_functions",
+    # set ops
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    # event-time batch
+    "events_daily_rollup",
+    "events_asof_enrich",
+    "events_range_join",
+    "events_json_props",
+    # stats / data quality
+    "stat_correlation",
+    "dq_range_violations",
+    "dq_uniqueness_violations",
+    # UDF surface + metric-view consumer variant
+    "translate_dim_names",
+    "metric_view_two_dims_where",
+    # sources + reshapes + SCD
+    "csv_roundtrip_scan",
+    "jsonl_roundtrip_scan",
+    "unpivot_measures",
+    "scd2_customer_segment",
 )
 
 

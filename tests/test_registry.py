@@ -13,58 +13,65 @@ from __future__ import annotations
 
 from gaming_ai_analytics_spark import registry
 
-#: Round-4 window rationale: every query with NO driver correctness
-#: row in rounds 1-3, plus the round-3 FAILs/crashes re-proving their
-#: fixes and the queries whose registered output/implementation
-#: changed this round. The whole point of the explicit window is that
-#: these get driver evidence.
+#: Round-5 window rationale: the never-driver-checked star-CC default,
+#: every query whose implementation or oracle changed in round 5, and
+#: the staleness cap — every query whose last driver row is round 2
+#: must re-prove this round (no registry entry may go more than two
+#: rounds without driver evidence). The whole point of the explicit
+#: window is that these get driver evidence.
 _MUST_BE_IN_WINDOW = {
-    # round-3 driver FAILs/crashes, fixed in round 4
-    "events_streaming_tumbling",
-    "events_streaming_session",
-    "events_stream_stream_join",
-    "window_rolling_7d",
-    # output reshaped / implementation swapped in round 4
-    "multimodal_features",
-    "multimodal_resize",
-    "dedup_simhash_pairs",
-    "agg_percentile",
-    # never driver-checked before round 4: warehouse reports
-    "pricing_summary",
-    "top_revenue_orders",
-    "returned_item_customers",
-    "priority_class_mix",
-    "late_ship_priority_counts",
-    # never checked: analytics / diagnostics
-    "weekly_active_users",
-    "user_lifetime_value",
-    "trending_daily_topk",
-    "customer_rfm_segments",
-    "quantile_profile",
-    "anomaly_mad",
-    "stat_regression",
-    "event_path_transitions",
-    "source_lang_entropy",
-    "skew_top_keys",
-    "join_salted_skew",
-    "dq_completeness_profile",
-    "embedding_norm_profile",
-    # never checked: train-data ladder
-    "bm25_term_scores",
-    "quality_gate_rules",
-    "token_budget_select",
-    "vocab_bigrams",
-    "token_length_histogram",
-    "mixture_rebalance",
-    "traindata_sequence_packing",
-    "dedup_rate_by_source",
-    "dup_similarity_histogram",
+    # dedup_clusters default CC scheme — never driver-checked — plus
+    # its consumers re-proving the round-5 convergence rewrite
+    "dedup_cluster_assign_star",
+    "dedup_cluster_assign",
     "dedup_survivors",
-    "lang_confusion_matrix",
-    # never checked: streaming rate alert + ANN recall contracts
-    "events_streaming_rate_alert",
+    # implementation / oracle changed in round 5
+    "flagship_star_metrics",
+    "similarity_topk",
     "similarity_topk_lsh_recall",
     "similarity_topk_ivf_recall",
+    "metric_view_region",
+    # round-2-stale (last driver row r2) — the staleness cap
+    "filter_numeric_conjunction",
+    "filter_boolean_algebra",
+    "filter_isin",
+    "filter_null_guard",
+    "project_rename",
+    "derived_columns",
+    "scalar_string_functions",
+    "case_when_banding",
+    "join_flatten_dim",
+    "join_anti_incremental",
+    "join_inner",
+    "join_semi",
+    "agg_count_by_group",
+    "agg_avg_by_group",
+    "agg_conditional_ratio",
+    "agg_distinct",
+    "agg_global_counts",
+    "agg_uniqueness_check",
+    "agg_cube",
+    "topk_orders",
+    "window_running_sum",
+    "window_lag_delta",
+    "window_ntile_pctrank",
+    "window_value_functions",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "events_daily_rollup",
+    "events_asof_enrich",
+    "events_range_join",
+    "events_json_props",
+    "stat_correlation",
+    "dq_range_violations",
+    "dq_uniqueness_violations",
+    "translate_dim_names",
+    "metric_view_two_dims_where",
+    "csv_roundtrip_scan",
+    "jsonl_roundtrip_scan",
+    "unpivot_measures",
+    "scd2_customer_segment",
 }
 
 
