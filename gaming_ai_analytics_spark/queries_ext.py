@@ -598,6 +598,51 @@ register(
 )
 
 
+def q_orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format interop twin of csv/jsonl_roundtrip_scan: land
+    documents as ORC (Spark-builtin, pushdown-capable like parquet),
+    scan back through sources.io.read_orc (schema-pinned). A lossless
+    round-trip hashes identically to the parquet-backed oracle,
+    proving the third columnar source/sink path."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from gaming_ai_analytics_spark.sources.io import read_orc
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select("doc_id", "lang", "n_chars", "text")
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"gaa_orc_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    docs.write.mode("overwrite").orc(path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    return read_orc(spark, path, schema)
+
+
+register(
+    "orc_roundtrip_scan",
+    q_orc_roundtrip_scan,
+    """
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, text
+    FROM documents
+    WHERE text IS NOT NULL AND LENGTH(text) > 0
+    """,
+)
+
+
 # --------------------------------------------------------------------------
 # salted skew join (explicit 100 TB skew lever as a checked query)
 # --------------------------------------------------------------------------

@@ -785,3 +785,54 @@ register(
     WHERE (d.doc_id * 2654435761) % 10000 < FLOOR(r.rate * 10000)
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# per-domain document cap (C4-style host frequency limiting)
+# --------------------------------------------------------------------------
+def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap: keep at most N documents per source,
+    best quality first (deterministic doc_id tie-break) — the
+    host-frequency limiter every web-scale curation stack runs so one
+    crawler-friendly domain cannot dominate the training mixture
+    (C4 keeps ≤3 sentences per page; Gopher caps per-domain pages —
+    same public recipe, document granularity here).
+
+    100 TB shape: ONE hash shuffle on the source key feeding a
+    per-source ranking window. Per-reducer state is a row counter;
+    rows stream through sorted once. A hot host (crawl dumps routinely
+    have 10⁸-page domains) makes that reducer the straggler — the cap
+    N bounds the OUTPUT but not the sort, so for adversarial skew
+    compose with ``salted_join``-style pre-sampling; the fixtures'
+    source fan-out (~25 docs/source) is the ordinary regime."""
+    from gaming_ai_analytics_spark.functions.text import quality_score
+
+    cap = 10
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", quality_score(F.col("text")).alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), "doc_id")
+    return (
+        docs.withColumn("domain_rank", F.row_number().over(w))
+        .filter(F.col("domain_rank") <= cap)
+        .select("doc_id", "source", "quality", "domain_rank")
+    )
+
+
+def _domain_cap_oracle() -> str:
+    from gaming_ai_analytics_spark.functions.text_sql import QUALITY
+
+    return f"""
+    SELECT doc_id, source, quality, domain_rank
+    FROM (
+      SELECT doc_id, source, {QUALITY} AS quality,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY {QUALITY} DESC, doc_id)
+               AS domain_rank
+      FROM documents WHERE {_NONEMPTY}
+    )
+    WHERE domain_rank <= 10
+    """
+
+
+register("domain_cap_sample", q_domain_cap_sample, _domain_cap_oracle())

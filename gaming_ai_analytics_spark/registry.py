@@ -78,13 +78,14 @@ def _load_all() -> None:
 #: oracle changed in round 5 (the reworked exact top-k + its two
 #: recall contracts with the parameterized oracle, the two CC
 #: consumers riding the rewritten star scheme, the reordered
-#: flagship, metric-view), two data-proportional bench headliners,
-#: and ALL 40 queries whose last driver row is round 2 — the staleness
-#: cap (no entry older than two rounds) binds exactly 40+10 = 50
-#: slots, so the remaining r4-green headliners sit this round out
-#: (they keep ``tools/verify_local.py`` + pytest coverage and rotate
-#: back in round 6). Every name below carries a full oracle — zero
-#: rows-only checks in the window.
+#: flagship, metric-view), the two round-5 additions (ORC round-trip,
+#: per-domain cap — never driver-checked), and ALL 40 queries whose
+#: last driver row is round 2 — the staleness cap (no entry older
+#: than two rounds) binds exactly 40+10 = 50 slots, so the r4-green
+#: bench headliners sit this round out (they keep
+#: ``tools/verify_local.py`` + pytest coverage and rotate back in
+#: round 6). Every name below carries a full oracle — zero rows-only
+#: checks in the window.
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship first — the smoke-check query (join order reworked r5)
     "flagship_star_metrics",
@@ -100,9 +101,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "similarity_topk_ivf_recall",
     # metric-view consumer-SQL hardening landed r5
     "metric_view_region",
-    # data-proportional bench headliners — the two ratio signals
-    "text_analysis_profile",
-    "dedup_minhash_lsh",
+    # round-5 additions — first driver rows (these outrank keeping
+    # r4-green bench headliners fresh; the headliners rotate back r6)
+    "orc_roundtrip_scan",
+    "domain_cap_sample",
     # --- the 40 round-2-stale entries (last driver row r2) ---
     # filters / projections / scalars
     "filter_numeric_conjunction",

@@ -376,6 +376,21 @@ def read_jsonl(
     return reader.json(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType, **extra: str
+) -> DataFrame:
+    """Schema-pinned ORC scan — the third columnar interchange format
+    next to parquet (native) and CSV/JSONL (text). ORC support is
+    built into Spark (no extra package); pinning the schema skips the
+    footer-merge inference pass across a 100 TB file listing, and ORC
+    scans get the same pushdown/pruning treatment as parquet
+    (``spark.sql.orc.filterPushdown`` is on by default)."""
+    reader = spark.read.schema(schema)
+    for k, v in extra.items():
+        reader = reader.option(k, v)
+    return reader.orc(path)
+
+
 def discover_sources(raw_dir: str, suffix: str = ".csv") -> dict[str, str]:
     """S5 (auxillary_dims.py:34,48,59): landing-zone listing that drives
     the per-file dim dispatch — ``dbutils.fs.ls`` + filename split in

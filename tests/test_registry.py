@@ -31,6 +31,9 @@ _MUST_BE_IN_WINDOW = {
     "similarity_topk_lsh_recall",
     "similarity_topk_ivf_recall",
     "metric_view_region",
+    # added in round 5 — never driver-checked
+    "orc_roundtrip_scan",
+    "domain_cap_sample",
     # round-2-stale (last driver row r2) — the staleness cap
     "filter_numeric_conjunction",
     "filter_boolean_algebra",

@@ -368,3 +368,35 @@ def test_read_jsonl_permissive_survives_corrupt_lines(spark, tmp_path):
     assert rows[1] == "ok" and rows[3] == "also ok"
     assert None in rows  # the corrupt line surfaced as a null row
     assert len(rows) == 3
+
+
+def test_read_orc_roundtrip_and_pushdown(spark, tmp_path, sf_dir):
+    """ORC is the third columnar interchange path: a write→read
+    round-trip must be lossless under a pinned schema, and filters
+    must reach the ORC scan (ORC gets the same pushdown treatment as
+    parquet — `spark.sql.orc.filterPushdown` defaults on)."""
+    from gaming_ai_analytics_spark.sources.io import read_orc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    path = str(tmp_path / "docs_orc")
+    docs.write.mode("overwrite").orc(path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    back = read_orc(spark, path, schema)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, docs.collect())
+    )
+    plan = (
+        back.filter(F.col("doc_id") > 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,10)]" in plan
