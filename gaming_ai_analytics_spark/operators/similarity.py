@@ -32,7 +32,11 @@ from pyspark.sql import functions as F
 
 from gaming_ai_analytics_spark.functions.vectors import dot, dot_many_pandas
 from gaming_ai_analytics_spark.operators.dedup import _hyperplanes
-from gaming_ai_analytics_spark.operators.parallelism import ensure_parallelism
+from gaming_ai_analytics_spark.operators.parallelism import (
+    ARROW_FANOUT_MIN_BYTES,
+    ensure_parallelism,
+    est_bytes,
+)
 
 
 #: Corpus size (Catalyst-estimated bytes) below which the two-level
@@ -42,23 +46,8 @@ from gaming_ai_analytics_spark.operators.parallelism import ensure_parallelism
 #: sf0.1 bench). Above it, the tournament bounds reducer fan-in.
 TOURNAMENT_MIN_BYTES = 64 << 20
 
-#: Corpus size (Catalyst-estimated bytes) above which the probe
-#: fan-out routes through the Arrow matmul kernel instead of the
-#: broadcast-nested-loop join + interpreted dot fold. The fold is
-#: CodegenFallback (functions/vectors.py:65): k probes × dim d cost
-#: k·d interpreted lambda evals per corpus row, vs ONE numpy matmul
-#: per Arrow batch. Measured crossover ≈10⁴ corpus rows (~2.5 MB at
-#: 64-dim float32); 4 MB keeps the sf0.01/sf0.1 oracle-parity paths
-#: on the exact sequential fold and switches the 10×-up regime, where
-#: the BNL shape serialized sf1 onto 2 cores (6.8 s → sub-second).
-ARROW_FANOUT_MIN_BYTES = 4 << 20
-
-
-def _est_bytes(df: DataFrame) -> int:
-    """Catalyst's driver-side size estimate — metadata only, no job."""
-    return int(
-        str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    )
+# Arrow fan-out sizing shared with the dedup exact tier lives in
+# operators.parallelism (ARROW_FANOUT_MIN_BYTES / est_bytes).
 
 
 def _topk_per_probe(
@@ -143,7 +132,7 @@ def topk_similar(
     p = probes.select(
         F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
     )
-    prows = p.collect() if _est_bytes(c) >= ARROW_FANOUT_MIN_BYTES else None
+    prows = p.collect() if est_bytes(c) >= ARROW_FANOUT_MIN_BYTES else None
     if prows:
         # Arrow fan-out: corpus row → array of all probe dots in ONE
         # numpy matmul per batch, posexplode to (probe idx, cosine),

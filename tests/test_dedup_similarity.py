@@ -144,6 +144,30 @@ def test_multimodal_empty_and_null_payload_invariants(spark):
     assert resized[0].orig_bytes == 0 and resized[1].orig_bytes == 0
 
 
+def test_cosine_pairs_arrow_tier_matches_expression_tier(spark, monkeypatch):
+    """embedding_cosine_pairs picks its physical strategy by corpus
+    size (expression-fold BNL vs sparse Arrow matmul). Both tiers must
+    return the identical pair set — the same (rounded cosine ≥
+    threshold) decision is applied JVM-side on both paths, so a
+    boundary pair cannot split them. Also pinned at the 10× sweep
+    scale once (r5: 91400 identical pairs, 111 s → 1.5 s)."""
+    import gaming_ai_analytics_spark.operators.parallelism as par
+    from gaming_ai_analytics_spark.operators.dedup import (
+        embedding_cosine_pairs,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    expr_pairs = sorted(
+        map(tuple, embedding_cosine_pairs(emb, "vec_id", "embedding", 0.5).collect())
+    )
+    monkeypatch.setattr(par, "ARROW_FANOUT_MIN_BYTES", 0)
+    arrow_pairs = sorted(
+        map(tuple, embedding_cosine_pairs(emb, "vec_id", "embedding", 0.5).collect())
+    )
+    assert expr_pairs == arrow_pairs
+    assert expr_pairs  # the fixture plants at least one near-dup pair
+
+
 def test_frame_sampling_only_video(spark):
     docs = load_table(spark, SF, "documents").limit(60)
     frames = sample_frames(make_assets(docs))
