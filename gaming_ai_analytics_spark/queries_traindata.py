@@ -836,3 +836,59 @@ def _domain_cap_oracle() -> str:
 
 
 register("domain_cap_sample", q_domain_cap_sample, _domain_cap_oracle())
+
+
+# --------------------------------------------------------------------------
+# scale-safe global ordering (range partition + offset rank)
+# --------------------------------------------------------------------------
+def q_global_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense GLOBAL rank of every document by quality without a
+    single-reducer sort — the TeraSort shape. A naive
+    ``row_number() OVER (ORDER BY quality)`` funnels the corpus
+    through ONE reducer; instead ``repartitionByRange`` on the sort
+    key gives totally ordered partitions (sampled boundaries — one
+    extra pass, the documented price of range partitioning), a tiny
+    per-partition count frame broadcasts prefix offsets back, and
+    rank = offset + in-partition row_number. The in-partition window
+    keys on the partition id, so reducer state is one partition's
+    rows, never the corpus; every exchange is data-parallel.
+
+    The (quality DESC, doc_id) order is total (doc_id unique), so
+    ranks are identical regardless of where sampled boundaries land —
+    the oracle is the naive single-window form."""
+    from gaming_ai_analytics_spark.functions.text import quality_score
+
+    n_ranges = 16
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+    part = docs.repartitionByRange(
+        n_ranges, F.desc("quality"), F.asc("doc_id")
+    ).withColumn("_pid", F.spark_partition_id())
+    counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_pre = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    # ≤ n_ranges rows: the single-partition prefix window runs on the
+    # tiny count frame, never the corpus.
+    prefix = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_pre), F.lit(0).cast("long"))
+    )
+    w_in = Window.partitionBy("_pid").orderBy(F.desc("quality"), "doc_id")
+    return (
+        part.join(F.broadcast(prefix.select("_pid", "_off")), "_pid")
+        .withColumn("global_rank", F.col("_off") + F.row_number().over(w_in))
+        .select("doc_id", "quality", "global_rank")
+    )
+
+
+def _global_rank_oracle() -> str:
+    from gaming_ai_analytics_spark.functions.text_sql import QUALITY
+
+    return f"""
+    SELECT doc_id, {QUALITY} AS quality,
+           ROW_NUMBER() OVER (ORDER BY {QUALITY} DESC, doc_id)
+             AS global_rank
+    FROM documents WHERE {_NONEMPTY}
+    """
+
+
+register("global_quality_rank", q_global_quality_rank, _global_rank_oracle())

@@ -90,10 +90,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # flagship first — the smoke-check query (join order reworked r5)
     "flagship_star_metrics",
     # the dedup_clusters default CC scheme: first-ever driver row,
-    # plus its two consumers re-proving the r5 convergence rewrite
+    # plus the consumer riding the r5 convergence rewrite (hash-min's
+    # own query is unchanged this round — r3-green, rotates back r6)
     "dedup_cluster_assign_star",
-    "dedup_cluster_assign",
     "dedup_survivors",
+    "global_quality_rank",
     # exact top-k reworked r5 (Arrow fan-out) + recall contracts
     # whose oracle was parameterized r5
     "similarity_topk",

@@ -266,6 +266,23 @@ def test_token_budget_single_partition_only_on_band_totals(spark, sf_dir):
     assert "BroadcastExchange" in plan
 
 
+def test_global_rank_single_partition_only_on_prefix_frame(spark, sf_dir):
+    """Global ranking must never sort the corpus in one reducer: the
+    corpus rides a RangePartitioning exchange + per-partition window,
+    and the only SinglePartition exchange feeds the ≤16-row prefix
+    frame on its way to a broadcast."""
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_global_quality_rank,
+    )
+
+    plan = _plan(q_global_quality_rank(spark, sf_dir))
+    assert "rangepartitioning" in plan
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "BroadcastExchange" in plan
+    # corpus window keys on the partition id, not empty (global) keys
+    assert "windowspecdefinition(_pid" in plan
+
+
 def test_skew_top_keys_uses_take_ordered(spark, sf_dir):
     """Top-k must be TakeOrderedAndProject over partial counts — a
     global sort of all keys would be the single-reducer funnel the

@@ -21,9 +21,8 @@ from gaming_ai_analytics_spark import registry
 #: window is that these get driver evidence.
 _MUST_BE_IN_WINDOW = {
     # dedup_clusters default CC scheme — never driver-checked — plus
-    # its consumers re-proving the round-5 convergence rewrite
+    # the consumer re-proving the round-5 convergence rewrite
     "dedup_cluster_assign_star",
-    "dedup_cluster_assign",
     "dedup_survivors",
     # implementation / oracle changed in round 5
     "flagship_star_metrics",
@@ -34,6 +33,7 @@ _MUST_BE_IN_WINDOW = {
     # added in round 5 — never driver-checked
     "orc_roundtrip_scan",
     "domain_cap_sample",
+    "global_quality_rank",
     # round-2-stale (last driver row r2) — the staleness cap
     "filter_numeric_conjunction",
     "filter_boolean_algebra",
