@@ -185,7 +185,9 @@ def q_events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts", "1 hour"
     )
     return run_stream_to_memory(
-        view_to_purchase_pairs(v, p, horizon="30 minutes"),
+        view_to_purchase_pairs(v, p, horizon="30 minutes").select(
+            "user_id", "view_id", "purchase_id"
+        ),
         spark,
         output_mode="append",
     )
@@ -204,6 +206,57 @@ register(
 )
 
 
+def q_events_stream_stream_left_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT-OUTER stream-stream join — the state-expiry surface inner
+    joins never touch: an unmatched view emits its null-purchase row
+    only when the global watermark passes ``view_ts + horizon`` and
+    the join state is evicted. On a bounded source the watermark ends
+    at ``max_ts − delay``, so the query restricts the OUTPUT to views
+    at least 2 h older than the stream's end (watermark 1 h + horizon
+    30 min + 30 min eviction-strictness margin) — every admitted view
+    is guaranteed flushed, matched or not. The input streams stay
+    unfiltered: filtering the view INPUT instead would hold the view
+    side's own watermark back behind its admitted maximum and the
+    tail would never flush (see view_to_purchase_pairs docstring).
+    The oracle applies the same cutoff to a batch LEFT JOIN."""
+    import datetime
+
+    ev = stream_events(spark, sf_dir)
+    v = ev.where(F.col("event_type") == "view").withWatermark("ts", "1 hour")
+    p = ev.where(F.col("event_type") == "purchase").withWatermark(
+        "ts", "1 hour"
+    )
+    max_ts = load_events(spark, sf_dir).agg(F.max("ts")).first()[0]
+    cutoff = max_ts - datetime.timedelta(hours=2)
+    joined = view_to_purchase_pairs(
+        v, p, horizon="30 minutes", how="left_outer"
+    )
+    return run_stream_to_memory(
+        joined.where(F.col("view_ts") <= F.lit(cutoff)).select(
+            "user_id", "view_id", "purchase_id"
+        ),
+        spark,
+        output_mode="append",
+    )
+
+
+register(
+    "events_stream_stream_left_join",
+    q_events_stream_stream_left_join,
+    """
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+    FROM (SELECT * FROM events
+          WHERE event_type = 'view'
+            AND ts <= (SELECT MAX(ts) - INTERVAL '2 hours' FROM events)) v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '30 minutes'
+    """,
+)
+
+
 def q_events_streaming_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication: first-seen-wins state per
     (user_id, event_type); emitting only the key tuple makes the
@@ -218,6 +271,37 @@ def q_events_streaming_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "events_streaming_dedupe",
     q_events_streaming_dedupe,
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+
+
+def q_events_streaming_dedupe_ttl(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TTL-bounded streaming dedup: ``dropDuplicatesWithinWatermark``
+    — the scale-correct form of ``events_streaming_dedupe``. Plain
+    ``dropDuplicates`` state grows with key cardinality FOREVER; the
+    within-watermark variant evicts a key's state once the watermark
+    passes its last sighting + delay, bounding state by the dedup
+    horizon instead. Semantics: duplicates recurring FARTHER apart
+    than the horizon re-emit — so with the delay set beyond the
+    fixture's 30-day span the result equals batch DISTINCT exactly
+    (the oracle), while the operator exercises the real TTL code
+    path; production sets the horizon to the actual recurrence window
+    (minutes for at-least-once sources)."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "45 days")
+    return run_stream_to_memory(
+        ev.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
+            "user_id", "event_type"
+        ),
+        spark,
+        output_mode="append",
+    )
+
+
+register(
+    "events_streaming_dedupe_ttl",
+    q_events_streaming_dedupe_ttl,
     "SELECT DISTINCT user_id, event_type FROM events",
 )
 

@@ -127,7 +127,10 @@ def segment_totals(events: DataFrame, customer_dim: DataFrame) -> DataFrame:
 
 
 def view_to_purchase_pairs(
-    views: DataFrame, purchases: DataFrame, horizon: str = "30 minutes"
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Time-interval equi-join: every (view, purchase) pair for the
     same user where the purchase lands within ``horizon`` after the
@@ -136,7 +139,15 @@ def view_to_purchase_pairs(
     the interval condition lets the engine expire join state once the
     watermark passes ``view_ts + horizon`` (unbounded state otherwise);
     inner-join matches emit as they occur, so append mode streams
-    results incrementally."""
+    results incrementally.
+
+    ``how='left_outer'`` adds the UNCONVERTED views with a null
+    purchase — streamed, an unmatched view's null row emits only when
+    the global watermark passes ``view_ts + horizon`` and its state is
+    evicted, so on a bounded source the caller must restrict the
+    OUTPUT (not the input — a filtered input holds its own watermark
+    back) to views old enough to have flushed; ``view_ts`` stays in
+    the output for exactly that filter."""
     v = views.select(
         F.col("user_id"),
         F.col("ts").alias("view_ts"),
@@ -152,7 +163,8 @@ def view_to_purchase_pairs(
         (v["user_id"] == p["_pu"])
         & (p["purchase_ts"] >= v["view_ts"])
         & (p["purchase_ts"] <= v["view_ts"] + F.expr(f"INTERVAL {horizon}")),
-    ).select("user_id", "view_id", "purchase_id")
+        how,
+    ).select("user_id", "view_id", "purchase_id", "view_ts")
 
 
 def dedupe_keys(events: DataFrame, keys: list[str]) -> DataFrame:
