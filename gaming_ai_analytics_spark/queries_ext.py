@@ -890,3 +890,34 @@ register(
     LIMIT 10
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# Z-order layout key (multi-dimensional clustering)
+# --------------------------------------------------------------------------
+def q_zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (user_id, minute-of-day) —
+    the write-layout lever for 2-D scan pruning (operators/layout.py:
+    range-sort the write on this key and parquet min/max statistics
+    prune BOTH dimensions; this query checks the interleave itself
+    against a bit-identical SQL twin). Pure shift/and/or expressions,
+    codegen'd, map-only."""
+    from gaming_ai_analytics_spark.operators.layout import zorder_key
+    from gaming_ai_analytics_spark.sources.star import load_events
+
+    ev = load_events(spark, sf_dir)
+    minute = F.hour("ts") * 60 + F.minute("ts")
+    return ev.select(
+        "event_id",
+        zorder_key(F.col("user_id"), minute, bits=16).alias("zkey"),
+    )
+
+
+def _zorder_oracle() -> str:
+    from gaming_ai_analytics_spark.operators.layout import zorder_key_sql
+
+    z = zorder_key_sql("user_id", "(EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts))", 16)
+    return f"SELECT event_id, {z} AS zkey FROM events"
+
+
+register("zorder_key_events", q_zorder_key_events, _zorder_oracle())

@@ -892,3 +892,52 @@ def _global_rank_oracle() -> str:
 
 
 register("global_quality_rank", q_global_quality_rank, _global_rank_oracle())
+
+
+# --------------------------------------------------------------------------
+# Python UDTF surface (table function — one input row, many output rows)
+# --------------------------------------------------------------------------
+def q_doc_chunking_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDTF twin of ``doc_chunking``: a Python user-defined TABLE
+    function (Spark 3.5+/4 ``@udtf``) emitting one row per chunk —
+    the §2.10 surface for row-expanding logic a scalar UDF can't
+    express and built-ins can't cover (here they CAN: ``doc_chunking``
+    is the production path, all JVM; this query exists to pin the
+    UDTF machinery — registration, lateral-join planning, per-row
+    yield — against the SAME oracle). Chunking math mirrors the
+    oracle exactly: space-run tokenization after space-trim, 32-token
+    chunks at stride 24. Arrow batching for UDTFs rides
+    ``spark.sql.execution.pythonUDTF.arrow.enabled`` — worth enabling
+    at scale; correctness is identical either way."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_no int, chunk string")
+    class ChunkDocs:
+        def eval(self, doc_id, text):
+            if text is None:
+                return
+            trimmed = text.strip(" ")
+            if not trimmed:
+                return
+            toks = re.split(" +", trimmed)
+            n = len(toks)
+            # ceil((n-32)/24) in pure ints: the pickled class must not
+            # reach for module globals on the worker
+            n_chunks = 1 if n <= 32 else 1 + (n - 32 + 23) // 24
+            for i in range(n_chunks):
+                yield doc_id, i, " ".join(toks[i * 24 : i * 24 + 32])
+
+    docs = _docs(spark, sf_dir)
+    spark.udtf.register("gaa_chunk_docs", ChunkDocs)
+    docs.select("doc_id", "text").createOrReplaceTempView("__udtf_docs_in")
+    return spark.sql(
+        "SELECT c.doc_id, c.chunk_no, c.chunk "
+        "FROM __udtf_docs_in, LATERAL gaa_chunk_docs(doc_id, text) c"
+    )
+
+
+from gaming_ai_analytics_spark.registry import oracle_for as _oracle_for  # noqa: E402
+
+register("doc_chunking_udtf", q_doc_chunking_udtf, _oracle_for("doc_chunking"))
