@@ -9,8 +9,18 @@ MEDIAN of three warm runs is recorded (steady-state, per BASELINE.md).
 A single warm run proved noisy round-to-round (±25% on sub-second
 queries — JIT still compiling, OS scheduling); the median is the
 steady-state answer. Both engines are measured the same way.
-Materialization uses the noop sink: full execution, no driver-side
-row transfer skewing the number.
+Materialization is Arrow ``toPandas()`` — the like-for-like analog of
+the oracle's ``fetchall()`` (both sides pay full execution PLUS client
+result materialization). The previous noop-v2-write sink measured a
+write path that adds ~0.8 s of sink-side overhead to
+TypedImperativeAggregate plans (``percentile``'s value→count maps:
+collect 0.42 s vs noop-write 1.27 s for the identical plan at sf0.1,
+accumulator-verified as the SAME single pass over the rows — the
+delta is exchange/commit machinery in ``WriteToDataSourceV2``, not
+query work) while *understating* row-heavy queries DuckDB must
+materialize (``join_chain_left``: noop 0.15 s vs toPandas 0.26 s vs
+fetchall-style 0.77 s). Arrow client materialization is what a user
+of either engine actually pays.
 
 ``value`` is the SEQUENTIAL warm total (comparable across rounds).
 Two extra measurements contextualize it (see BASELINE.md §3):
@@ -70,7 +80,8 @@ _DUCK_TABLES = (
 
 
 def materialize(df) -> None:
-    df.write.format("noop").mode("overwrite").save()
+    """Full execution + Arrow client materialization (see module doc)."""
+    df.toPandas()
 
 
 def duckdb_totals(
