@@ -921,3 +921,53 @@ def _zorder_oracle() -> str:
 
 
 register("zorder_key_events", q_zorder_key_events, _zorder_oracle())
+
+
+def q_fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching with candidate blocking — the
+    entity-resolution primitive (typo'd product/entity names).  A
+    naive formulation is an all-pairs cross join (O(n²) Levenshtein
+    evals — dead at any scale); here candidates are generated by an
+    equi-join on a blocking key (the name's second token), so the
+    shuffle is keyed, partition-parallel, and the quadratic term is
+    bounded per block.  ``levenshtein`` is JVM-codegen'd on both
+    engines.  Skewed blocks (one very common token) would salt via
+    operators/skew.py — the same lever as any hot-key join."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.split("p_name", " ").getItem(1).alias("_blk"),
+    )
+    a = part.alias("a")
+    b = part.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .withColumn(
+            "dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+        )
+        .filter(F.col("dist") <= 3)
+        .select(
+            F.col("a.p_partkey").alias("a_key"),
+            F.col("b.p_partkey").alias("b_key"),
+            "dist",
+        )
+    )
+
+
+register(
+    "fuzzy_part_name_pairs",
+    q_fuzzy_part_name_pairs,
+    """
+    SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM part a
+    JOIN part b
+      ON string_split(a.p_name, ' ')[2] = string_split(b.p_name, ' ')[2]
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)

@@ -731,3 +731,39 @@ def _dup_hist_sql() -> str:
 
 
 register("dup_similarity_histogram", q_dup_similarity_histogram, _dup_hist_sql())
+
+
+def q_regex_token_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``regexp_extract_all`` + explode — the multi-match extraction
+    surface (mentions, tags, codes) that single-match
+    ``regexp_extract`` can't express.  Map-only fan-out (no join): each
+    doc yields its match array in one codegen'd pass, explode feeds a
+    token-keyed partial-combine aggregate, and the top-10 finishes as
+    TakeOrderedAndProject.  The pattern sticks to RE2-safe syntax so
+    Spark (Java regex) and the oracle (RE2) agree by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all("text", F.lit("s[a-z]{3,}"), 0)
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .orderBy(F.col("n_mentions").desc(), "token")
+        .limit(10)
+    )
+
+
+register(
+    "regex_token_mentions",
+    q_regex_token_mentions,
+    """
+    SELECT t.token, COUNT(*) AS n_mentions
+    FROM documents d,
+         UNNEST(regexp_extract_all(d.text, 's[a-z]{3,}')) AS t(token)
+    GROUP BY t.token
+    ORDER BY n_mentions DESC, t.token
+    LIMIT 10
+    """,
+)

@@ -288,3 +288,256 @@ register(
     GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
 )
+
+
+def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: local-supplier revenue by nation for one region
+    and year.  Six-table star: the four dims (customer, supplier,
+    nation, region) broadcast; lineitem⋈orders is the one fact⋈fact
+    sort-merge join (bucketing removes it, sources/io.py); the
+    ``c_nationkey = s_nationkey`` residual is a post-join filter on
+    broadcast columns, so the whole plan carries exactly one big
+    shuffle plus a 25-key aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+register(
+    "regional_supplier_volume",
+    q_regional_supplier_volume,
+    """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+
+
+def q_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between two nations by
+    year.  Both nation dims broadcast (aliased twice); the OR of the
+    two direction tuples is evaluated on broadcast columns after the
+    fact joins, so no extra shuffle; grouping key is (2 nations × 2
+    directions × years) — tiny."""
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == n1.s_nkey)
+        .join(F.broadcast(n2), cust.c_nationkey == n2.c_nkey)
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+register(
+    "nation_trade_flows",
+    q_nation_trade_flows,
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM supplier, lineitem, orders, customer, nation n1, nation n2
+    WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      AND c_nationkey = n2.n_nationkey
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY 1, 2, 3
+    """,
+)
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's supplier share of a region's
+    ECONOMY-part market by order year.  The share is a conditional-sum
+    ratio inside one aggregate over the joined fact — numerator and
+    denominator ride the same shuffle (no second pass, no join of two
+    aggregates)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    )
+    n_cust = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_rkey"),
+    )
+    n_supp = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_cust), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_rkey") == region.r_regionkey)
+        .join(F.broadcast(n_supp), supp.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+                / F.sum(volume),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+register(
+    "market_share",
+    q_market_share,
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           ROUND(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+    FROM part, lineitem, orders, customer, supplier,
+         nation n1, nation n2, region
+    WHERE p_partkey = l_partkey AND o_orderkey = l_orderkey
+      AND c_custkey = o_custkey AND s_suppkey = l_suppkey
+      AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+      AND s_nationkey = n2.n_nationkey
+      AND r_name = 'EUROPE' AND p_type = 'ECONOMY'
+    GROUP BY 1
+    """,
+)
+
+
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the general form beyond ROLLUP/CUBE
+    (``agg_rollup`` / ``agg_cube``): per-status totals, per-priority
+    totals, and the grand total in ONE pass.  Spark plans this as a
+    single Expand + hash aggregate: each input row fans out once per
+    set, partials combine map-side, so the three reports cost one
+    shuffle instead of three scans."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+register(
+    "agg_grouping_sets",
+    q_agg_grouping_sets,
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+
+
+def q_lateral_topk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — the SQL surface for per-row
+    dependent joins (top-2 suppliers by balance per nation).  Catalyst
+    decorrelates the LATERAL into a ranked window over one
+    nation-keyed shuffle — same physical plan as
+    ``window_topk_per_group``, so the scale properties carry over; the
+    point here is the SQL-language surface, exercised verbatim on both
+    engines.  Tables bind via ``parquet.`path``` scans, not session
+    temp views, so concurrent callers at different scale factors never
+    race on view names."""
+    return spark.sql(
+        f"""
+        SELECT n.n_name, t.s_name, ROUND(t.s_acctbal, 2) AS s_acctbal
+        FROM parquet.`{sf_dir}/nation.parquet` n,
+        LATERAL (
+            SELECT s_name, s_acctbal
+            FROM parquet.`{sf_dir}/supplier.parquet` s
+            WHERE s.s_nationkey = n.n_nationkey
+            ORDER BY s_acctbal DESC, s_name
+            LIMIT 2
+        ) t
+        """
+    )
+
+
+register(
+    "lateral_topk_suppliers",
+    q_lateral_topk_suppliers,
+    """
+    SELECT n.n_name, t.s_name, ROUND(t.s_acctbal, 2) AS s_acctbal
+    FROM nation n,
+    LATERAL (
+        SELECT s_name, s_acctbal
+        FROM supplier s
+        WHERE s.s_nationkey = n.n_nationkey
+        ORDER BY s_acctbal DESC, s_name
+        LIMIT 2
+    ) t
+    """,
+)

@@ -374,3 +374,19 @@ def test_dup_similarity_histogram_bands_planted_pair(spark):
     # exactly one candidate pair, landing in a single ≥0.3 band
     assert sum(out.values()) == 1
     assert all(b >= 0.3 for b in out)
+
+
+def test_fuzzy_pairs_blocked_no_cartesian(spark, sf_dir):
+    """Fuzzy name matching must candidate-generate via the blocking-key
+    equi-join — never a cross/nested-loop join — and every emitted
+    pair must respect the ordering and distance contracts."""
+    from gaming_ai_analytics_spark.queries_ext import q_fuzzy_part_name_pairs
+
+    df = q_fuzzy_part_name_pairs(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    rows = df.collect()
+    # symmetric-dedup contract: each unordered pair appears once
+    assert all(r.a_key < r.b_key for r in rows)
+    assert all(0 <= r.dist <= 3 for r in rows)

@@ -112,3 +112,138 @@ def test_late_ship_exists_semantics(spark, sf_dir):
     expect = {r.o_orderpriority: r["count"] for r in late_orders.collect()}
     got = {r.o_orderpriority: r.order_count for r in rows}
     assert got == expect and sum(got.values()) > 0
+
+
+def test_regional_supplier_volume_nation_consistency(spark, sf_dir):
+    from gaming_ai_analytics_spark.queries_warehouse import (
+        q_regional_supplier_volume,
+    )
+
+    rows = q_regional_supplier_volume(spark, sf_dir).collect()
+    # every reported nation belongs to ASIA, and names are unique
+    asia = {
+        r.n_name
+        for r in load_table(spark, sf_dir, "nation")
+        .join(
+            load_table(spark, sf_dir, "region").filter(
+                F.col("r_name") == "ASIA"
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .collect()
+    }
+    names = [r.n_name for r in rows]
+    assert len(names) == len(set(names))
+    assert set(names) <= asia
+    assert all(r.revenue > 0 for r in rows)
+
+
+def test_nation_trade_flows_directions(spark, sf_dir):
+    from gaming_ai_analytics_spark.queries_warehouse import (
+        q_nation_trade_flows,
+    )
+
+    rows = q_nation_trade_flows(spark, sf_dir).collect()
+    dirs = {(r.supp_nation, r.cust_nation) for r in rows}
+    assert dirs <= {("NATION_1", "NATION_2"), ("NATION_2", "NATION_1")}
+    assert all(1995 <= r.l_year <= 2001 for r in rows)
+    # independent derivation — full-set parity (may be empty at
+    # sf0.001; the sf0.01 oracle gate covers the populated case)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    nk = {r.n_name: r.n_nationkey for r in nation.collect()}
+    want = set()
+    for sn, cn in (("NATION_1", "NATION_2"), ("NATION_2", "NATION_1")):
+        flows = (
+            li.join(supp.filter(F.col("s_nationkey") == nk[sn]),
+                    F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cust.filter(F.col("c_nationkey") == nk[cn]),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy(F.year("l_shipdate").alias("y"))
+            .agg(F.round(F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("rev"))
+        )
+        want |= {(sn, cn, r.y, r.rev) for r in flows.collect()}
+    got = {(r.supp_nation, r.cust_nation, r.l_year, r.revenue) for r in rows}
+    assert got == want
+
+
+def test_market_share_bounded(spark, sf_dir):
+    from gaming_ai_analytics_spark.queries_warehouse import q_market_share
+
+    rows = q_market_share(spark, sf_dir).collect()
+    assert rows
+    assert all(0.0 <= r.mkt_share <= 1.0 for r in rows)
+    years = [r.o_year for r in rows]
+    assert len(years) == len(set(years))
+
+
+def test_grouping_sets_matches_three_separate_aggregates(spark, sf_dir):
+    from gaming_ai_analytics_spark.queries_warehouse import (
+        q_agg_grouping_sets,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = q_agg_grouping_sets(spark, sf_dir).collect()
+    by_status = {
+        r.o_orderstatus: r.n_orders
+        for r in rows
+        if r.o_orderstatus is not None
+    }
+    by_prio = {
+        r.o_orderpriority: r.n_orders
+        for r in rows
+        if r.o_orderpriority is not None
+    }
+    grand = [
+        r for r in rows if r.o_orderstatus is None and r.o_orderpriority is None
+    ]
+    want_status = {
+        r.o_orderstatus: r.cnt
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert by_status == want_status
+    assert sum(by_prio.values()) == orders.count()
+    assert len(grand) == 1 and grand[0].n_orders == orders.count()
+    # one pass: a single Expand feeds a single aggregate
+    plan = (
+        q_agg_grouping_sets(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Expand") >= 1
+    assert "Union" not in plan
+
+
+def test_lateral_topk_equals_window_topk(spark, sf_dir):
+    from gaming_ai_analytics_spark.queries_warehouse import (
+        q_lateral_topk_suppliers,
+    )
+    from pyspark.sql import Window
+
+    got = {
+        (r.n_name, r.s_name, r.s_acctbal)
+        for r in q_lateral_topk_suppliers(spark, sf_dir).collect()
+    }
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), "s_name"
+    )
+    want = {
+        (r.n_name, r.s_name, r.s_acctbal)
+        for r in supp.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .collect()
+    }
+    assert got == want
