@@ -802,3 +802,52 @@ register(
     FROM per
     """,
 )
+
+
+def q_recursive_cte_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``) — an acyclic
+    day-spine recursion joined to daily event counts, the SQL-language
+    twin of :func:`timeseries_gap_fill` (which stays the scale path:
+    ``sequence`` + explode is one map-side expression, while recursion
+    executes one iteration per day).  The anchor computes (min, max)
+    day in one aggregate; recursion walks forward until the max, so
+    depth = calendar span, data-driven, with no UNION-distinct state
+    (Spark's recursion supports UNION ALL only — cyclic reachability
+    stays on operators/graph.py's iterative schemes).  Tables bind via
+    ``parquet.`path``` so concurrent scale factors never race on view
+    names; the event-time cast goes through the same micro-precision
+    normalization contract as every events reader."""
+    ev = load_events(spark, sf_dir)
+    view = f"_spine_events_{abs(hash(sf_dir)) % 10**8}"
+    ev.select(F.to_date("ts").alias("d")).createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE spine(day, dmax) AS (
+          SELECT MIN(d), MAX(d) FROM {view}
+          UNION ALL
+          SELECT DATE_ADD(day, 1), dmax FROM spine WHERE day < dmax
+        )
+        SELECT s.day, COALESCE(c.n, 0) AS n_events
+        FROM spine s
+        LEFT JOIN (SELECT d, COUNT(*) AS n FROM {view} GROUP BY d) c
+          ON s.day = c.d
+        """
+    )
+
+
+register(
+    "recursive_cte_spine",
+    q_recursive_cte_spine,
+    """
+    WITH RECURSIVE spine(day, dmax) AS (
+      SELECT MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)) FROM events
+      UNION ALL
+      SELECT day + 1, dmax FROM spine WHERE day < dmax
+    )
+    SELECT s.day, COALESCE(c.n, 0) AS n_events
+    FROM spine s
+    LEFT JOIN (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+               FROM events GROUP BY 1) c
+      ON s.day = c.d
+    """,
+)

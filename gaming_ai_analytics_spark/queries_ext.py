@@ -971,3 +971,143 @@ register(
     WHERE levenshtein(a.p_name, b.p_name) <= 3
     """,
 )
+
+
+def q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured parsing (Spark 4): ``parse_json`` →
+    binary-encoded variant → typed ``variant_get`` extraction — the
+    shredded-JSON path that replaces per-query string re-parsing (the
+    ``get_json_object`` twin ``events_json_props`` re-parses text per
+    path; a variant column parses ONCE and serves every path, the
+    right trade when many fields are read at 100 TB).  Map-only parse,
+    one small-key shuffle for the aggregate."""
+    from gaming_ai_analytics_spark.sources.star import load_events
+
+    ev = load_events(spark, sf_dir)
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.round(F.sum("k") / F.count("k"), 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+        )
+    )
+
+
+register(
+    "events_props_variant",
+    q_events_props_variant,
+    """
+    SELECT event_type, COUNT(CAST(props->>'k' AS INT)) AS n_with_k,
+           ROUND(SUM(CAST(props->>'k' AS INT))
+                 / COUNT(CAST(props->>'k' AS INT)), 4) AS avg_k,
+           MIN(CAST(props->>'k' AS INT)) AS min_k
+    FROM events GROUP BY 1
+    """,
+)
+
+
+def q_approx_topk_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_top_k`` heavy-hitters sketch, graded as a CONTRACT (the
+    recall-contract pattern of ``similarity_topk_lsh_recall``): below
+    the sketch's tracked-item capacity the estimates are exact, so
+    every estimated count must equal the true count and the estimate
+    SUM must equal the exact top-k mass.  The query emits the checked
+    invariants, not the (tie-order-unstable) item list; the oracle
+    recomputes the exact side.  At 100 TB the sketch is the point —
+    mergeable fixed-size state per partition versus an exact top-k's
+    full-cardinality shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = 5
+    est = (
+        li.agg(F.expr(f"approx_top_k(l_suppkey, {k})").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("item"), F.col("e.count").alias("est"))
+    )
+    exact = (
+        li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "l_suppkey")
+        .limit(k)
+    )
+    exact_mass = exact.agg(
+        F.sum("cnt").alias("_mass"), F.count(F.lit(1)).alias("_k")
+    )
+    joined = est.join(
+        li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("true_cnt")),
+        est.item == F.col("l_suppkey"),
+        "left",
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            F.when(F.col("est") == F.col("true_cnt"), 1).otherwise(0)
+        ).alias("n_exact_counts"),
+        F.sum("est").alias("est_mass"),
+    ).crossJoin(F.broadcast(exact_mass)).select(
+        "n_items",
+        "n_exact_counts",
+        (F.col("est_mass") == F.col("_mass")).alias("mass_matches"),
+        (F.col("n_items") == F.col("_k")).alias("k_matches"),
+    )
+
+
+register(
+    "approx_topk_contract",
+    q_approx_topk_contract,
+    """
+    WITH exact AS (
+      SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem
+      GROUP BY 1 ORDER BY cnt DESC, l_suppkey LIMIT 5
+    )
+    SELECT 5 AS n_items, 5 AS n_exact_counts,
+           TRUE AS mass_matches, TRUE AS k_matches
+    FROM (SELECT SUM(cnt) FROM exact)
+    """,
+)
+
+
+def q_xml_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``from_xml`` / ``from_csv`` single-value parsing — the
+    semi-structured string surfaces beyond JSON.  Serialized order
+    records (XML for status+price, CSV for priority) parse back to
+    typed columns in one codegen'd map pass — no Python, no extra
+    scan; the oracle emits the source fields directly, so the check
+    proves lossless round-trip typing (struct schema, DOUBLE cast,
+    delimiter handling) rather than echoing the parser."""
+    orders = load_table(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit("<o><st>"),
+        F.col("o_orderstatus"),
+        F.lit("</st><tp>"),
+        F.col("o_totalprice").cast("string"),
+        F.lit("</tp></o>"),
+    )
+    csv = F.concat_ws(";", "o_orderpriority", "o_orderkey")
+    parsed_x = F.from_xml(xml, "st STRING, tp DOUBLE")
+    parsed_c = F.from_csv(
+        csv, "prio STRING, okey BIGINT", {"sep": ";"}
+    )
+    return orders.select(
+        F.col("o_orderkey"),
+        parsed_x.getField("st").alias("status"),
+        F.round(parsed_x.getField("tp"), 2).alias("total_price"),
+        parsed_c.getField("prio").alias("priority"),
+        (F.col("o_orderkey") == parsed_c.getField("okey")).alias("key_roundtrip"),
+    )
+
+
+register(
+    "xml_csv_roundtrip",
+    q_xml_csv_roundtrip,
+    """
+    SELECT o_orderkey, o_orderstatus AS status,
+           ROUND(o_totalprice, 2) AS total_price,
+           o_orderpriority AS priority,
+           TRUE AS key_roundtrip
+    FROM orders
+    """,
+)

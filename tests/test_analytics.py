@@ -640,3 +640,25 @@ def test_star_cc_long_chain_logarithmic_rounds(spark):
         for r in connected_components_star(df, max_iter=10).collect()
     }
     assert out == {i: 0 for i in range(121)}
+
+
+def test_recursive_spine_covers_every_day_once(spark, sf_dir):
+    from gaming_ai_analytics_spark.queries_analytics import (
+        q_recursive_cte_spine,
+    )
+    from gaming_ai_analytics_spark.sources.star import load_events
+    from pyspark.sql import functions as F
+
+    rows = q_recursive_cte_spine(spark, sf_dir).collect()
+    days = [r.day for r in rows]
+    assert len(days) == len(set(days))
+    # contiguous calendar: row count equals the span, endpoints match
+    lo, hi = min(days), max(days)
+    assert len(days) == (hi - lo).days + 1
+    # zero-filled days carry 0, and the total equals the event count
+    ev = load_events(spark, sf_dir)
+    assert sum(r.n_events for r in rows) == ev.count()
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    ).first()
+    assert (lo, hi) == (bounds.lo, bounds.hi)

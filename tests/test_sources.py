@@ -453,3 +453,40 @@ def test_read_orc_roundtrip_and_pushdown(spark, tmp_path, sf_dir):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,10)]" in plan
+
+
+def test_variant_parity_with_json_path(spark, sf_dir):
+    """The VARIANT path must agree with the get_json_object twin on
+    the shared aggregates (count basis differs: n counts rows, n_with_k
+    counts non-null k — equal when every row carries k)."""
+    from gaming_ai_analytics_spark.queries_ext import (
+        q_events_json_props,
+        q_events_props_variant,
+    )
+
+    json_side = {
+        r.event_type: r.avg_k for r in q_events_json_props(spark, sf_dir).collect()
+    }
+    var_side = {
+        r.event_type: r.avg_k
+        for r in q_events_props_variant(spark, sf_dir).collect()
+    }
+    assert json_side == var_side
+
+
+def test_approx_topk_contract_true_at_test_scale(spark, sf_dir):
+    from gaming_ai_analytics_spark.queries_ext import q_approx_topk_contract
+
+    row = q_approx_topk_contract(spark, sf_dir).first()
+    assert row.n_items == row.n_exact_counts == 5
+    assert row.mass_matches and row.k_matches
+
+
+def test_xml_csv_roundtrip_codegen_no_python(spark, sf_dir):
+    from gaming_ai_analytics_spark.queries_ext import q_xml_csv_roundtrip
+
+    df = q_xml_csv_roundtrip(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = df.collect()
+    assert rows and all(r.key_roundtrip for r in rows)
