@@ -994,3 +994,37 @@ register(
     FROM lineitem GROUP BY 1
     """,
 )
+
+
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — the multiset variant the distinct set ops
+    (``set_except``) can't express: per-row multiplicities subtract
+    instead of collapsing.  Spark plans multiset difference as one
+    hash aggregate over a union of tagged counts — no join; the
+    grouped projection keeps the registered output small and
+    deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    all_prios = orders.select("o_orderpriority")
+    done_prios = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderpriority"
+    )
+    return (
+        all_prios.exceptAll(done_prios)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_remaining"))
+    )
+
+
+register(
+    "set_except_all",
+    q_set_except_all,
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_remaining
+    FROM (
+      SELECT o_orderpriority FROM orders
+      EXCEPT ALL
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    )
+    GROUP BY 1
+    """,
+)

@@ -14,6 +14,8 @@ modules (see queries_llm.py).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1109,5 +1111,110 @@ register(
            o_orderpriority AS priority,
            TRUE AS key_roundtrip
     FROM orders
+    """,
+)
+
+
+def q_agg_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDAF — the §2.10 surface between the
+    scalar Arrow UDF (``ai_score``) and the table function
+    (``doc_chunking_udtf``): a whole group's values arrive as ONE
+    pandas Series per key and reduce to a scalar (geometric mean of
+    order value).  Arrow-batched, partial-agg-free (grouped-agg UDAFs
+    gather each group to a single worker — acceptable here because the
+    reduced column is one double per group and the grouping key is
+    low-cardinality; for high-cardinality keys prefer the codegen'd
+    log-sum twin the oracle uses, which partial-aggregates map-side)."""
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def geomean(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.exp(np.log(v[v > 0]).mean()))
+
+    orders = load_table(spark, sf_dir, "orders")
+    # a grouped-agg pandas UDF cannot mix with JVM aggregates in one
+    # agg() (INVALID_PANDAS_UDF_PLACEMENT) — single-output aggregate
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(geomean("o_totalprice"), 2).alias("geomean_price"),
+    )
+
+
+register(
+    "agg_geomean_udaf",
+    q_agg_geomean_udaf,
+    """
+    SELECT o_orderstatus,
+           ROUND(EXP(AVG(LN(o_totalprice))), 2) AS geomean_price
+    FROM orders
+    WHERE o_totalprice > 0
+    GROUP BY 1
+    """,
+)
+
+
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``eqNullSafe`` / ``IS NOT DISTINCT FROM``):
+    NULL keys MATCH each other instead of dropping — the semantics a
+    plain equi-join silently gets wrong when dimension keys are
+    nullable.  Spark plans ``<=>`` as a hash join (null-safe equality
+    is still an equi-key), NOT a nested loop, so the scale shape is
+    identical to ``join_inner``; nulls hash to one key, which is the
+    usual skew caveat (salt if the null share is material)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "lang_key", F.nullif(F.col("lang"), F.lit("en"))
+    )
+    dim = (
+        docs.select("lang_key").distinct()
+        .withColumn(
+            "lang_label",
+            F.coalesce(F.upper("lang_key"), F.lit("DEFAULT")),
+        )
+    )
+    return (
+        docs.join(dim, docs.lang_key.eqNullSafe(dim.lang_key), "inner")
+        .groupBy("lang_label")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+register(
+    "join_null_safe",
+    q_join_null_safe,
+    """
+    WITH d AS (SELECT *, NULLIF(lang, 'en') AS lang_key FROM documents),
+    dim AS (SELECT DISTINCT lang_key,
+                   COALESCE(UPPER(lang_key), 'DEFAULT') AS lang_label
+            FROM d)
+    SELECT dim.lang_label, COUNT(*) AS n_docs
+    FROM d JOIN dim ON d.lang_key IS NOT DISTINCT FROM dim.lang_key
+    GROUP BY 1
+    """,
+)
+
+
+def q_string_agg_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (``string_agg`` / LISTAGG): the
+    distinct languages per source as one comma-joined, alphabetically
+    ordered string.  ``collect_set`` partial-aggregates map-side
+    (state bounded by per-source language NDV — tiny), ``array_sort``
+    + ``array_join`` make the order deterministic on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("lang")), ","
+        ).alias("langs"),
+        F.count_distinct(F.col("lang")).alias("n_langs"),
+    )
+
+
+register(
+    "string_agg_langs",
+    q_string_agg_langs,
+    """
+    SELECT source, STRING_AGG(DISTINCT lang, ',' ORDER BY lang) AS langs,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM documents GROUP BY 1
     """,
 )

@@ -490,3 +490,80 @@ def test_xml_csv_roundtrip_codegen_no_python(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     rows = df.collect()
     assert rows and all(r.key_roundtrip for r in rows)
+
+
+def test_geomean_udaf_matches_logsum_twin(spark, sf_dir):
+    from gaming_ai_analytics_spark.queries_ext import q_agg_geomean_udaf
+    from gaming_ai_analytics_spark.sources.star import load_table
+    from pyspark.sql import functions as F
+
+    got = {
+        r.o_orderstatus: r.geomean_price
+        for r in q_agg_geomean_udaf(spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 0
+    )
+    want = {
+        r.o_orderstatus: r.g
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.round(F.exp(F.avg(F.log("o_totalprice"))), 2).alias("g"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) <= 0.01
+
+
+def test_null_safe_join_keeps_null_keys(spark, sf_dir):
+    from gaming_ai_analytics_spark.queries_ext import q_join_null_safe
+    from gaming_ai_analytics_spark.sources.star import load_table
+    from pyspark.sql import functions as F
+
+    rows = {r.lang_label: r.n_docs for r in q_join_null_safe(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    n_en = docs.filter(F.col("lang") == "en").count()
+    # the NULLIF('en') rows ride the null key and must match DEFAULT
+    assert rows.get("DEFAULT", 0) == n_en
+    # nothing dropped: label counts partition the whole table
+    assert sum(rows.values()) == docs.count()
+
+
+def test_string_agg_sorted_and_consistent(spark, sf_dir):
+    from gaming_ai_analytics_spark.queries_ext import q_string_agg_langs
+
+    for r in q_string_agg_langs(spark, sf_dir).collect():
+        parts = r.langs.split(",")
+        assert parts == sorted(parts)
+        assert len(parts) == r.n_langs == len(set(parts))
+
+
+def test_except_all_multiset_arithmetic(spark, sf_dir):
+    from gaming_ai_analytics_spark.queries_core import q_set_except_all
+    from gaming_ai_analytics_spark.sources.star import load_table
+    from pyspark.sql import functions as F
+
+    got = {
+        r.o_orderpriority: r.n_remaining
+        for r in q_set_except_all(spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    totals = {
+        r.o_orderpriority: r.c
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    finished = {
+        r.o_orderpriority: r.c
+        for r in orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    want = {
+        k: totals[k] - finished.get(k, 0)
+        for k in totals
+        if totals[k] - finished.get(k, 0) > 0
+    }
+    assert got == want
