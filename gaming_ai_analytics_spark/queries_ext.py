@@ -1218,3 +1218,95 @@ register(
     FROM documents GROUP BY 1
     """,
 )
+
+
+def q_grouped_zscore_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas`` — the §2.10 whole-group Arrow
+    surface (full group arrives as ONE pandas DataFrame, arbitrary
+    reshaping allowed): per-event-type z-score normalization.  The
+    grouped map gathers each group onto one worker — correct for
+    bounded groups (event types here), and exactly the trade the
+    broadcast-stats twin ``anomaly_zscore`` (operators/analytics.py
+    ``zscore_outliers``) avoids for unbounded groups; that twin stays
+    the scale path and this query exercises the API tier."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("z", DoubleType()),
+        ]
+    )
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf["value"].mean()
+        s = pdf["value"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "z": ((pdf["value"] - m) / s).round(4),
+            }
+        )
+
+    from gaming_ai_analytics_spark.sources.star import load_events
+
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "value")
+    return ev.groupBy("event_type").applyInPandas(normalize, schema)
+
+
+register(
+    "grouped_zscore_applyinpandas",
+    q_grouped_zscore_applyinpandas,
+    """
+    SELECT event_id, event_type,
+           ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+                 / STDDEV_SAMP(value) OVER (PARTITION BY event_type),
+                 4) AS z
+    FROM events
+    """,
+)
+
+
+def q_mapinarrow_bytelen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the lowest-overhead Python surface: raw Arrow
+    ``RecordBatch`` in/out, no pandas conversion (the right tier when
+    the Python side is itself Arrow-native, e.g. tokenizers or
+    vectorized libs with Arrow bindings).  Computes UTF-8 byte lengths
+    batch-at-a-time via zero-copy Arrow compute kernels; partitioning
+    and batch sizing are Spark's, so the operator scales exactly like
+    any map stage."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def bytelen(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1)
+            n = pc.binary_length(pc.cast(texts, pa.binary()))
+            n = pc.fill_null(pc.cast(n, pa.int64()), 0)  # null text → 0
+            yield pa.RecordBatch.from_arrays(
+                [ids, n], ["doc_id", "n_bytes_utf8"]
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(bytelen, "doc_id BIGINT, n_bytes_utf8 BIGINT")
+
+
+register(
+    "mapinarrow_bytelen",
+    q_mapinarrow_bytelen,
+    """
+    SELECT doc_id,
+           CAST(COALESCE(octet_length(encode(text)), 0) AS BIGINT)
+               AS n_bytes_utf8
+    FROM documents
+    """,
+)

@@ -567,3 +567,40 @@ def test_except_all_multiset_arithmetic(spark, sf_dir):
         if totals[k] - finished.get(k, 0) > 0
     }
     assert got == want
+
+
+def test_grouped_zscore_mean_zero_within_group(spark, sf_dir):
+    from gaming_ai_analytics_spark.queries_ext import (
+        q_grouped_zscore_applyinpandas,
+    )
+    from pyspark.sql import functions as F
+
+    out = q_grouped_zscore_applyinpandas(spark, sf_dir)
+    stats = out.groupBy("event_type").agg(
+        F.avg("z").alias("m"), F.stddev_samp("z").alias("s")
+    )
+    for r in stats.collect():
+        assert abs(r.m) < 1e-3          # centered
+        assert abs(r.s - 1.0) < 1e-2    # unit variance (rounding slack)
+
+
+def test_mapinarrow_bytelen_null_and_unicode(spark, tmp_path):
+    """Byte length = UTF-8 octets (not chars), null text → 0 — on a
+    synthetic fixture with exactly those edge rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gaming_ai_analytics_spark.queries_ext import q_mapinarrow_bytelen
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["abc", "héllo", None], pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = {
+        r.doc_id: r.n_bytes_utf8
+        for r in q_mapinarrow_bytelen(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: 3, 2: 6, 3: 0}
