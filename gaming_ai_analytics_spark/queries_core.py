@@ -1028,3 +1028,117 @@ register(
     GROUP BY 1
     """,
 )
+
+
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection (min of per-side
+    multiplicities), same one-aggregate shape as ``set_except_all``."""
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select("o_orderstatus")
+    finished = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderstatus"
+    )
+    return (
+        urgent.intersectAll(finished)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
+register(
+    "set_intersect_all",
+    q_set_intersect_all,
+    """
+    SELECT o_orderstatus, COUNT(*) AS n_common
+    FROM (
+      SELECT o_orderstatus FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      INTERSECT ALL
+      SELECT o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+    )
+    GROUP BY 1
+    """,
+)
+
+
+def q_union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``unionByName(allowMissingColumns=True)`` — schema-evolution
+    union: batches with drifted column sets align by NAME (missing
+    columns null-fill) instead of silently matching by position — the
+    failure mode positional UNION has on reordered producer schemas.
+    Map-only; no shuffle beyond the downstream aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    old_batch = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    new_batch = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_orderpriority", F.col("o_totalprice").alias("price")
+    )
+    return (
+        old_batch.unionByName(new_batch, allowMissingColumns=True)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("price").alias("n_with_price"),
+            F.round(F.sum("price"), 2).alias("price_total"),
+        )
+    )
+
+
+register(
+    "union_by_name_evolution",
+    q_union_by_name_evolution,
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_rows,
+           COUNT(price) AS n_with_price,
+           ROUND(SUM(price), 2) AS price_total
+    FROM (
+      SELECT o_orderkey, o_orderpriority, NULL AS price
+      FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL BY NAME
+      SELECT o_orderkey, o_orderpriority, o_totalprice AS price
+      FROM orders WHERE o_orderstatus = 'O'
+    )
+    GROUP BY 1
+    """,
+)
+
+
+def q_try_arithmetic_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``try_divide`` / ``try_to_number`` — the error-safe ANSI surface:
+    division by a zero-able denominator and strict-format parsing
+    yield NULL instead of aborting a 100 TB job on one bad row.
+    Pure map pass; the aggregate proves the null semantics."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_disc = F.try_divide(F.col("l_extendedprice"), F.round("l_tax", 2))
+    return (
+        li.select(
+            "l_returnflag",
+            qty_disc.alias("price_per_tax"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("price_per_tax").alias("n_divisible"),
+            F.round(F.avg("price_per_tax"), 2).alias("avg_ratio"),
+        )
+    )
+
+
+register(
+    "try_arithmetic_safety",
+    q_try_arithmetic_safety,
+    """
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           COUNT(CASE WHEN ROUND(l_tax, 2) <> 0
+                      THEN l_extendedprice / ROUND(l_tax, 2) END)
+               AS n_divisible,
+           ROUND(AVG(CASE WHEN ROUND(l_tax, 2) <> 0
+                          THEN l_extendedprice / ROUND(l_tax, 2) END), 2)
+               AS avg_ratio
+    FROM lineitem
+    GROUP BY 1
+    """,
+)

@@ -185,3 +185,45 @@ def test_range_join_boundaries(spark):
     }
     # start inclusive, end exclusive; k=2 click at minute 10 outside
     assert got == {(1, 0, 0), (1, 29, 59)}
+
+
+def test_runtime_bloom_filter_prunes_fact_join(spark, sf_dir):
+    """Spark's runtime Bloom-filter injection (the row-level runtime
+    filter that makes selective fact⋈fact joins scan-cheap at 100 TB):
+    with a selective creation side and a sort-merge join, the probe
+    side's scan must gain a ``might_contain`` filter fed by a
+    ``bloom_filter_agg`` subquery. Default thresholds only fire at
+    real scale (creation ≤ 10 MB buildable, application ≥ 10 GB scan)
+    — tuned down here to prove the wiring on bench data."""
+    from pyspark.sql import functions as F
+
+    from gaming_ai_analytics_spark.sources.star import load_table
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "64KB",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
