@@ -49,6 +49,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # 10 MB (the default) was tuned for 1 GB executors a decade
+        # ago; with large-memory executors a mid-size build side is
+        # far cheaper to broadcast than to shuffle BOTH join inputs.
+        # Measured: the flagship's orders-with-dims side broadcasts at
+        # sf0.1 (0.86 s → 0.63 s) while sf1's larger side still
+        # correctly falls back to sort-merge. Size per executor memory
+        # when deploying (64 MB assumes multi-GB executors).
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
