@@ -541,3 +541,89 @@ register(
     ) t
     """,
 )
+
+
+def q_supplier_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: suppliers whose revenue exceeds a FRACTION of
+    the global total — the uncorrelated scalar-subquery surface
+    (HAVING ... > scalar).  The global total is a 1-row broadcast
+    (Catalyst plans the scalar subquery as a reusable subquery result,
+    not a rescan: the fact aggregates ONCE per branch and both
+    branches are partial-combine map-side); no driver-side constant
+    smuggling."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(revenue).alias("_value")
+    )
+    total = li.agg(F.sum(revenue).alias("_total"))
+    return (
+        per_supp.crossJoin(F.broadcast(total))
+        .filter(F.col("_value") > F.col("_total") * 0.001)
+        .select(
+            "l_suppkey",
+            F.round("_value", 2).alias("supp_value"),
+            F.round(F.col("_value") / F.col("_total"), 6).alias("value_share"),
+        )
+    )
+
+
+register(
+    "supplier_value_concentration",
+    q_supplier_value_concentration,
+    """
+    SELECT l_suppkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS supp_value,
+           ROUND(SUM(l_extendedprice * (1 - l_discount))
+                 / (SELECT SUM(l_extendedprice * (1 - l_discount))
+                    FROM lineitem), 6) AS value_share
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING SUM(l_extendedprice * (1 - l_discount))
+           > (SELECT SUM(l_extendedprice * (1 - l_discount))
+              FROM lineitem) * 0.001
+    """,
+)
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with NO
+    orders — scalar subquery (global average) + NOT EXISTS (anti
+    join).  The average is a 1-row broadcast; the anti join probes the
+    orders key set (left_anti — the same incremental-idempotence
+    primitive as J2); grouping by market segment keeps the report
+    small.  One fact-side shuffle total."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg")
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+    )
+    idle = rich.join(
+        orders.select("o_custkey"),
+        rich.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+    )
+
+
+register(
+    "idle_rich_customers",
+    q_idle_rich_customers,
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS total_balance
+    FROM customer c
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+)

@@ -247,3 +247,42 @@ def test_lateral_topk_equals_window_topk(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_supplier_value_concentration_threshold(spark, sf_dir):
+    from gaming_ai_analytics_spark.queries_warehouse import (
+        q_supplier_value_concentration,
+    )
+
+    rows = q_supplier_value_concentration(spark, sf_dir).collect()
+    assert rows
+    # every survivor clears the 0.1% share bar; shares are consistent
+    for r in rows:
+        assert r.value_share > 0.001
+    keys = [r.l_suppkey for r in rows]
+    assert len(keys) == len(set(keys))
+
+
+def test_idle_rich_customers_are_rich_and_idle(spark, sf_dir):
+    from gaming_ai_analytics_spark.queries_warehouse import (
+        q_idle_rich_customers,
+    )
+
+    out = q_idle_rich_customers(spark, sf_dir).collect()
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("a"))
+        .first()
+        .a
+    )
+    with_orders = {r.o_custkey for r in orders.select("o_custkey").collect()}
+    want = {}
+    for r in cust.collect():
+        if r.c_acctbal > avg_bal and r.c_custkey not in with_orders:
+            n, t = want.get(r.c_mktsegment, (0, 0.0))
+            want[r.c_mktsegment] = (n + 1, t + r.c_acctbal)
+    got = {r.c_mktsegment: (r.n_customers, round(r.total_balance, 2)) for r in out}
+    want = {k: (n, round(t, 2)) for k, (n, t) in want.items()}
+    assert got == want
