@@ -47,6 +47,9 @@ def main(argv: list[str] | None = None) -> int:
                 "fact_rows_appended": res.fact_rows_appended,
                 "quality_passed": res.quality_passed,
                 "metric_rows": res.metric_rows,
+                # observe()-collected run stats — same pass as the
+                # append, no extra profiling job
+                "fact_metrics": res.fact_metrics,
             }
         )
     )

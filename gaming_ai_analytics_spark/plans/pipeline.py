@@ -62,6 +62,10 @@ class PipelineResult:
     fact_rows_appended: int
     quality_passed: bool
     metric_rows: int
+    #: run statistics captured by ``DataFrame.observe`` on the fact
+    #: batch — collected DURING the append action, zero extra jobs
+    #: (empty when no rows were appended, so no action ran)
+    fact_metrics: dict = None  # type: ignore[assignment]
 
 
 # --------------------------------------------------------------------------
@@ -158,21 +162,55 @@ def fact_transform(docs: DataFrame) -> DataFrame:
     )
 
 
+class FactBuildResult(int):
+    """Rows-appended count (an ``int``, so every existing caller and
+    arithmetic keeps working) carrying the ``DataFrame.observe``
+    statistics from the SAME pass that materialized the batch — no
+    extra job."""
+
+    metrics: dict
+
+    def __new__(cls, appended: int, metrics: dict) -> "FactBuildResult":
+        out = super().__new__(cls, appended)
+        out.metrics = metrics
+        return out
+
+    @property
+    def appended(self) -> int:
+        return int(self)
+
+
 def build_fact(
     spark: SparkSession,
     store: TableStore,
     sf_dir: str,
     cfg: PipelineConfig | None = None,
-) -> int:
+) -> FactBuildResult:
     """reviews_fact.py flow: transform → anti-join vs existing fact
     (:151-153) → limit(batch) (:178,185) → append (:185-186).
-    Returns rows appended. Exactly-once across reruns."""
+    Exactly-once across reruns.
+
+    The batch carries a ``DataFrame.observe`` node: run statistics
+    (row count, score profile, negative share) are accumulated by the
+    tasks that materialize the batch anyway — the zero-cost
+    replacement for the separate profiling scan a naive pipeline runs
+    per batch (at 100 TB a redundant profiling pass IS the cost)."""
+    from pyspark.sql import Observation
+
     cfg = cfg or PipelineConfig()
     new = fact_transform(load_table(spark, sf_dir, "documents"))
     if store.exists(Layers.FACT, "reviews"):
         existing = store.load(Layers.FACT, "reviews")
         new = incremental_anti_join(new, existing, "review_id")
-    batch = new.limit(cfg.batch_size)
+    obs = Observation("fact_batch")
+    batch = new.limit(cfg.batch_size).observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.round(F.avg("weighted_score"), 4).alias("avg_weighted_score"),
+        F.sum(
+            F.when(F.col("sentiment_score") < 0, 1).otherwise(0)
+        ).alias("n_negative"),
+    )
     # Materialize the batch before counting so the append and the count
     # see the same rows (scores are deterministic here, but the remote
     # backend would not be — SURVEY §7.3.1).
@@ -181,9 +219,10 @@ def build_fact(
         appended = batch.count()
         if appended:
             store.save(Layers.FACT, "reviews", batch, mode="append")
+        metrics = dict(obs.get) if appended is not None else {}
     finally:
         batch.unpersist()
-    return appended
+    return FactBuildResult(appended=appended, metrics=metrics)
 
 
 # --------------------------------------------------------------------------
@@ -305,15 +344,16 @@ def run_pipeline(
         with ThreadPoolExecutor(max_workers=2) as pool:
             dims_f = pool.submit(build_dims, spark, store, sf_dir)
             fact_f = pool.submit(build_fact, spark, store, sf_dir, cfg)
-            dims, appended = dims_f.result(), fact_f.result()
+            dims, fact = dims_f.result(), fact_f.result()
     else:
         dims = build_dims(spark, store, sf_dir)
-        appended = build_fact(spark, store, sf_dir, cfg)
+        fact = build_fact(spark, store, sf_dir, cfg)
     run_quality(store)  # raises → blocks metric layer (ALL_SUCCESS)
     metrics = build_metric_layer(spark, store)
     return PipelineResult(
         dims_built=dims,
-        fact_rows_appended=appended,
+        fact_rows_appended=fact.appended,
         quality_passed=True,
         metric_rows=metrics.count(),
+        fact_metrics=fact.metrics,
     )

@@ -122,3 +122,27 @@ def test_cli_main_runs_pipeline(spark, tmp_path, capsys):
     assert sorted(out["dims_built"]) == [
         "dim_nation", "dim_part", "dim_supplier"
     ]
+
+
+def test_observe_metrics_ride_the_append_pass(spark, sf_dir, cfg):
+    """DataFrame.observe statistics arrive with the batch action —
+    no extra profiling job — and agree with a direct recomputation."""
+    from pyspark.sql import functions as F
+
+    store = TableStore(spark, cfg.warehouse_dir)
+    res = pl.build_fact(spark, store, sf_dir, cfg)
+    assert res > 0
+    m = res.metrics
+    assert m["rows"] == res.appended
+    fact = store.load(Layers.FACT, "reviews")
+    want = fact.agg(
+        F.round(F.avg("weighted_score"), 4).alias("a"),
+        F.sum(
+            F.when(F.col("sentiment_score") < 0, 1).otherwise(0)
+        ).alias("neg"),
+    ).first()
+    assert abs(m["avg_weighted_score"] - want.a) < 1e-9
+    assert m["n_negative"] == want.neg
+    # and the pipeline surfaces them
+    res2 = pl.run_pipeline(spark, sf_dir, cfg)
+    assert isinstance(res2.fact_metrics, dict)
