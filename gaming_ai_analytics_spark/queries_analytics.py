@@ -851,3 +851,105 @@ register(
       ON s.day = c.d
     """,
 )
+
+
+def q_window_value_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric RANGE frame — value-bounded window peers (all orders
+    within ±1000 of each row's total price, per status): the frame
+    Spark sizes by ORDER-BY VALUE distance, not row offsets — the
+    missing tier between ROWS frames (`window_running_sum`) and
+    time-RANGE frames (`window_rolling_7d`).  One status-keyed
+    shuffle + sort; the frame scan is the classic sliding two-pointer
+    over the sorted run, linear per partition."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    # Frame over INTEGER cents: double frame bounds are engine-
+    # formulation-sensitive at the edges ((v-x) <= b vs v <= x+b differ
+    # in the last ulp), so the ORDER BY value is exact cents and the
+    # band is ±25000 cents. DECIMAL sums keep the frame aggregate
+    # order-insensitive before the final double division. Frame
+    # population grows with data at a fixed band — at real scale
+    # pre-bucket the value axis (the `token_length_histogram` shape)
+    # instead of widening the band.
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(cents)
+        .rangeBetween(-25000, 25000)
+    )
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.count(F.lit(1)).over(w).alias("n_price_peers"),
+        # exact 2-decimal total (no division: a divided average can
+        # land on a .xx5 knife edge where the engines' ROUND-half
+        # conventions differ)
+        F.sum(dec).over(w).cast("double").alias("peer_price_total"),
+    )
+
+
+register(
+    "window_value_range_frame",
+    q_window_value_range_frame,
+    """
+    SELECT o_orderkey, o_orderstatus,
+           COUNT(*) OVER w AS n_price_peers,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+                AS DOUBLE) AS peer_price_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                 RANGE BETWEEN 25000 PRECEDING AND 25000 FOLLOWING)
+    """,
+)
+
+
+def q_order_aging_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function toolkit — ``months_between`` /
+    ``last_day`` / ``date_trunc('quarter')``: order aging against a
+    fixed as-of date, bucketed by quarter with month-end anchors.
+    All map-only codegen'd date arithmetic; one tiny-key aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    asof = F.to_timestamp(F.lit("2001-09-01"))
+    return (
+        orders.select(
+            F.to_date(
+                F.date_trunc("quarter", "o_orderdate")
+            ).alias("order_quarter"),
+            F.last_day("o_orderdate").alias("_month_end"),
+            F.round(
+                F.months_between(asof, F.col("o_orderdate")), 1
+            ).alias("_age_months"),
+        )
+        .groupBy("order_quarter")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("_age_months"), 2).alias("avg_age_months"),
+            F.count_distinct(F.col("_month_end")).alias("n_month_ends"),
+        )
+    )
+
+
+register(
+    "order_aging_report",
+    q_order_aging_report,
+    """
+    SELECT CAST(DATE_TRUNC('quarter', o_orderdate) AS DATE)
+               AS order_quarter,
+           COUNT(*) AS n_orders,
+           -- Spark months_between vs 2001-09-01 (day=1, midnight):
+           -- whole calendar months + (1 - day)/31, rounded to 1
+           ROUND(AVG(ROUND(
+               (2001 * 12 + 9)
+               - (EXTRACT(year FROM o_orderdate) * 12
+                  + EXTRACT(month FROM o_orderdate))
+               + (1 - EXTRACT(day FROM o_orderdate)) / 31.0, 1)), 2)
+               AS avg_age_months,
+           COUNT(DISTINCT LAST_DAY(CAST(o_orderdate AS DATE)))
+               AS n_month_ends
+    FROM orders
+    GROUP BY 1
+    """,
+)

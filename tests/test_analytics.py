@@ -662,3 +662,51 @@ def test_recursive_spine_covers_every_day_once(spark, sf_dir):
         F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
     ).first()
     assert (lo, hi) == (bounds.lo, bounds.hi)
+
+
+def test_value_range_frame_matches_bruteforce(spark, sf_dir):
+    from gaming_ai_analytics_spark.queries_analytics import (
+        q_window_value_range_frame,
+    )
+    from gaming_ai_analytics_spark.sources.star import load_table
+
+    rows = q_window_value_range_frame(spark, sf_dir).collect()
+    got = {r.o_orderkey: (r.n_price_peers, round(r.peer_price_total, 2)) for r in rows}
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).collect()
+    by_status = {}
+    for r in orders:
+        by_status.setdefault(r.o_orderstatus, []).append(r)
+    import decimal
+
+    for st, group in by_status.items():
+        for r in group:
+            c = round(r.o_totalprice * 100)
+            peers = [
+                g for g in group
+                if abs(round(g.o_totalprice * 100) - c) <= 25000
+            ]
+            total = sum(
+                decimal.Decimal(f"{g.o_totalprice:.2f}") for g in peers
+            )
+            assert got[r.o_orderkey] == (len(peers), round(float(total), 2))
+
+
+def test_order_aging_report_consistency(spark, sf_dir):
+    from gaming_ai_analytics_spark.queries_analytics import (
+        q_order_aging_report,
+    )
+    from gaming_ai_analytics_spark.sources.star import load_table
+
+    rows = q_order_aging_report(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders")
+    assert sum(r.n_orders for r in rows) == orders.count()
+    qs = [r.order_quarter for r in rows]
+    assert len(qs) == len(set(qs))
+    # ages strictly decrease for later quarters
+    by_q = sorted(rows, key=lambda r: r.order_quarter)
+    ages = [r.avg_age_months for r in by_q]
+    assert ages == sorted(ages, reverse=True)
+    # month-end NDV per quarter ≤ 3 (one per month)
+    assert all(1 <= r.n_month_ends <= 3 for r in rows)
