@@ -330,6 +330,44 @@ def stream_append_idempotent(
     q.stop()
 
 
+def stream_matview_upsert(
+    agg_stream: DataFrame,
+    store,
+    layer: str,
+    name: str,
+    key_cols: list[str],
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Streaming MATERIALIZED VIEW: a watermarked aggregation in
+    UPDATE output mode, each micro-batch's re-emitted (changed) rows
+    MERGEd into the serving table by key (``TableStore.upsert`` =
+    anti-join + union + atomic staged swap). Late data inside the
+    watermark updates its key in place — the continuously-maintained
+    summary table every serving layer wants, without recomputing the
+    view. Upserts are idempotent per (key, latest-value), so a replay
+    from a lost checkpoint converges to the same table — the same
+    recovery contract as :func:`stream_append_idempotent`, extended
+    from insert-only to update-in-place. Runs the bounded source to
+    completion (availableNow)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if store.exists(layer, name):
+            store.upsert(layer, name, batch_df, key_cols)
+        else:
+            store.save(layer, name, batch_df, mode="overwrite")
+
+    writer = (
+        agg_stream.writeStream.outputMode("update")
+        .foreachBatch(_sink)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.processAllAvailable()
+    q.stop()
+
+
 # --------------------------------------------------------------------------
 # streaming execution
 # --------------------------------------------------------------------------

@@ -227,3 +227,35 @@ def test_runtime_bloom_filter_prunes_fact_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Dynamic partition pruning — the partition-layout twin of the
+    Bloom-filter row filter: a selective dim predicate turns into a
+    runtime PartitionFilter on the fact scan, so only matching
+    partitions are read (at 100 TB this is the difference between
+    scanning one day and scanning the table)."""
+    from pyspark.sql import functions as F
+
+    from gaming_ai_analytics_spark.sources.star import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.001").withColumn(
+        "day", F.to_date("ts")
+    )
+    ev.write.partitionBy("day").parquet(str(tmp_path / "ev"))
+    ev.select("day").distinct().withColumn(
+        "tag", F.dayofweek("day")
+    ).write.parquet(str(tmp_path / "days"))
+    fact = spark.read.parquet(str(tmp_path / "ev"))
+    days = spark.read.parquet(str(tmp_path / "days")).filter(
+        F.col("tag") == 2
+    )
+    j = fact.join(days, "day").groupBy("day").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    # and the result is correct under the pruned scan
+    want_days = {r.day for r in days.select("day").collect()}
+    got = {r.day: r.n for r in j.collect()}
+    assert set(got) == want_days

@@ -301,3 +301,62 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
         .collect()
     }
     assert final == batch
+
+
+def test_stream_matview_upsert_equals_batch_aggregate(spark, tmp_path):
+    """The streaming materialized view (update-mode agg → keyed upsert
+    per micro-batch) must converge to exactly the batch aggregate of
+    the same input, and a full replay from a fresh checkpoint must
+    leave the serving table unchanged (idempotent merge)."""
+    from pyspark.sql import functions as F
+
+    from gaming_ai_analytics_spark.sources.io import TableStore
+    from gaming_ai_analytics_spark.streaming.events import (
+        stream_events,
+        stream_matview_upsert,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+
+    def totals(df):
+        return (
+            df.withWatermark("ts", "1 hour")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+        )
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    stream_matview_upsert(
+        totals(stream_events(spark, sf_dir)),
+        store,
+        "serve",
+        "user_totals",
+        ["user_id"],
+        checkpoint_dir=str(tmp_path / "ck1"),
+    )
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in store.load("serve", "user_totals").collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in totals(load_events(spark, sf_dir)).collect()
+    }
+    assert got == want
+    # replay with a FRESH checkpoint: upserts converge, nothing drifts
+    stream_matview_upsert(
+        totals(stream_events(spark, sf_dir)),
+        store,
+        "serve",
+        "user_totals",
+        ["user_id"],
+        checkpoint_dir=str(tmp_path / "ck2"),
+    )
+    again = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in store.load("serve", "user_totals").collect()
+    }
+    assert again == want
