@@ -1310,3 +1310,68 @@ register(
     FROM documents
     """,
 )
+
+
+def q_events_local_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-zone conversion (``convert_timezone``): UTC event times
+    rendered in a market's local wall clock, profiled by local hour ×
+    event type — the reporting shape every global product needs (UTC
+    storage, local presentation). IANA rules are evaluated engine-side
+    (both engines ship the tz database), map-only, then one 24×|types|
+    aggregate."""
+    from gaming_ai_analytics_spark.sources.star import load_events
+
+    ev = load_events(spark, sf_dir)
+    local = F.convert_timezone(
+        F.lit("UTC"), F.lit("America/New_York"), F.col("ts")
+    )
+    return (
+        ev.select(F.hour(local).alias("local_hour"), "event_type")
+        .groupBy("local_hour", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+register(
+    "events_local_hour_profile",
+    q_events_local_hour_profile,
+    """
+    SELECT EXTRACT(hour FROM (ts AT TIME ZONE 'UTC'
+                              AT TIME ZONE 'America/New_York'))
+               AS local_hour,
+           event_type, COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+
+
+def q_quantity_width_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width binning via the ``width_bucket`` built-in — the
+    feature-engineering / histogram primitive with under/overflow
+    buckets (0 and n+1). Bounds are chosen on exactly-representable
+    halves (0.5 + 5k) so no integer quantity ever sits on a bucket
+    edge — bucket assignment is FP-exact and the oracle's closed-form
+    replica agrees bit-for-bit. Map-only + one tiny aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = F.width_bucket(F.col("l_quantity"), F.lit(0.5), F.lit(50.5), F.lit(10))
+    return (
+        li.select(b.alias("qty_bucket"))
+        .groupBy("qty_bucket")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+register(
+    "quantity_width_buckets",
+    q_quantity_width_buckets,
+    """
+    SELECT CASE WHEN l_quantity < 0.5 THEN 0
+                WHEN l_quantity >= 50.5 THEN 11
+                ELSE CAST(FLOOR((l_quantity - 0.5) / 5.0) AS BIGINT) + 1
+           END AS qty_bucket,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
