@@ -11,16 +11,17 @@ queries — JIT still compiling, OS scheduling); the median is the
 steady-state answer. Both engines are measured the same way.
 Materialization is Arrow ``toPandas()`` — the like-for-like analog of
 the oracle's ``fetchall()`` (both sides pay full execution PLUS client
-result materialization). The previous noop-v2-write sink measured a
-write path that adds ~0.8 s of sink-side overhead to
-TypedImperativeAggregate plans (``percentile``'s value→count maps:
-collect 0.42 s vs noop-write 1.27 s for the identical plan at sf0.1,
-accumulator-verified as the SAME single pass over the rows — the
-delta is exchange/commit machinery in ``WriteToDataSourceV2``, not
-query work) while *understating* row-heavy queries DuckDB must
-materialize (``join_chain_left``: noop 0.15 s vs toPandas 0.26 s vs
-fetchall-style 0.77 s). Arrow client materialization is what a user
-of either engine actually pays.
+result materialization), and unlike the previous noop-v2-write sink it
+doesn't understate row-heavy queries DuckDB must materialize
+(``join_chain_left``: noop 0.15 s vs toPandas 0.26 s).
+
+Methodology note (r5): each run constructs a FRESH DataFrame.
+Re-running an action on a RETAINED DataFrame object lets the DAG
+scheduler skip its already-computed shuffle map stages (same lineage →
+same shuffle IDs), which measured ``agg_percentile`` at 0.42 s when
+its honest fresh-lineage cost is ~1.15 s — a 3× flattering artifact,
+not a plan property. Fresh construction per run is what a user's
+repeated query actually pays.
 
 ``value`` is the SEQUENTIAL warm total (comparable across rounds).
 Two extra measurements contextualize it (see BASELINE.md §3):
@@ -275,6 +276,10 @@ def main() -> None:
             if duck_sf1
             else None
         )
+    try:  # end-of-run load closes the contamination bracket
+        out["load_avg_end"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        out["load_avg_end"] = None
     print(json.dumps(out))
     # ALSO persist the full result next to the driver's BENCH_r{N}
     # capture: the driver keeps only the last 2000 chars of stdout,

@@ -30,7 +30,6 @@ from gaming_ai_analytics_spark.operators.joins import (
     incremental_anti_join,
     star_join,
 )
-from gaming_ai_analytics_spark.operators.parallelism import ensure_parallelism
 from gaming_ai_analytics_spark.registry import register
 from gaming_ai_analytics_spark.sources.star import load_table
 
@@ -456,15 +455,15 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver holds only O(|groups|·n/accuracy)).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    # Project to the three used columns, then widen: a bench-scale
-    # parquet file scans as ~3 splits, pinning the NDV-heavy map-side
-    # value→count build to 3 of 32 cores (measured 1.38 s at sf0.1 —
-    # slower than sf1's well-split scan). The projected round-robin
-    # shuffle is a few MB; at real scale the guard is a no-op.
-    proj = ensure_parallelism(
-        li.select("l_linestatus", "l_extendedprice", "l_quantity")
-    )
-    return proj.groupBy("l_linestatus").agg(
+    # No repartition widening here: fresh-lineage A/B at sf0.1 (the
+    # bench methodology — a new DataFrame per run, no shuffle-output
+    # reuse) measured plain 1.14 s vs widened 1.32 s. The map-side
+    # value→count build is NOT the bottleneck; the round-robin
+    # shuffle of 600k raw rows is pure overhead. (Earlier "0.45 s"
+    # readings reused one DataFrame object across actions — the DAG
+    # scheduler skips its computed shuffle stages, a measurement
+    # artifact, not a plan property.)
+    return li.groupBy("l_linestatus").agg(
         median_exact("l_extendedprice").alias("median_price"),
         median_exact("l_quantity").alias("median_qty"),
     )
