@@ -1375,3 +1375,49 @@ register(
     GROUP BY 1
     """,
 )
+
+
+def q_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource connector (Spark 4
+    ``pyspark.sql.datasource``): a pure-Python source class supplies
+    schema, partition planning, and per-partition reads; the engine
+    parallelizes the scan like any other (8 declared partitions here)
+    and the aggregate is ordinary Catalyst.  Rows are deterministic
+    integer arithmetic on the row id, so the oracle regenerates the
+    identical table with ``generate_series`` — a full differential
+    check of the connector's read path (``sources/pyds.py``)."""
+    from gaming_ai_analytics_spark.sources.pyds import (
+        register_python_datasource,
+    )
+
+    register_python_datasource(spark)
+    ev = (
+        spark.read.format("synthetic_events")
+        .option("n", 10000)
+        .option("parts", 8)
+        .load()
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+register(
+    "python_datasource_scan",
+    q_python_datasource_scan,
+    """
+    WITH ev AS (
+      SELECT i AS event_id, i % 97 AS user_id,
+             ['view','click','purchase','refund'][(i % 4) + 1]
+                 AS event_type,
+             ((i * 48271) % 100000) / 100.0 AS value
+      FROM (SELECT unnest(generate_series(0, 9999)) AS i)
+    )
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           ROUND(SUM(value), 2) AS total_value
+    FROM ev GROUP BY 1
+    """,
+)

@@ -1,0 +1,84 @@
+"""Custom connector on the Spark 4 Python DataSource API.
+
+The reference ingests from managed landing zones only; a real
+deployment always ends up needing one more source the engine lacks a
+native connector for (an internal service, a bespoke format). Spark 4's
+``pyspark.sql.datasource`` API makes that a pure-Python class — schema,
+partition planning, and per-partition reads — that the engine then
+treats like any scan: partitions run in parallel across executors, and
+the rest of the plan (pruning, aggregation) is ordinary Catalyst.
+
+The shipped example is a deterministic synthetic event generator
+(``synthetic_events``): rows are pure integer arithmetic on the row id,
+so an oracle can regenerate the identical table with SQL
+``generate_series`` — the connector's read path gets a full
+differential check, not a smoke test.
+
+Scale notes: ``partitions()`` splits the id range into ``parts`` even
+slices — reader parallelism is declared by the SOURCE, not inferred
+from file sizes, which is exactly the knob a service-backed connector
+needs (one partition per shard/page). Arrow batching applies to the
+Python iterator path; per-row Python cost is the price of a pure-Python
+connector — fine for control-plane-sized reads, wrong for a 100 TB
+fact table (use a native format there).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+__all__ = ["SyntheticEventsDataSource", "register_python_datasource"]
+
+_MULT = 48271  # MINSTD multiplier — keeps value derivation integral
+_TYPES = ("view", "click", "purchase", "refund")
+
+
+class _Range(InputPartition):
+    def __init__(self, start: int, end: int) -> None:
+        self.start = start
+        self.end = end
+
+
+class _SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.n = int(options.get("n", 1000))
+        self.parts = max(1, int(options.get("parts", 8)))
+
+    def partitions(self):
+        step = -(-self.n // self.parts)  # ceil-div: cover the range
+        return [
+            _Range(lo, min(lo + step, self.n))
+            for lo in range(0, self.n, step)
+        ]
+
+    def read(self, partition: _Range):
+        for i in range(partition.start, partition.end):
+            yield (
+                i,
+                i % 97,
+                _TYPES[i % 4],
+                ((i * _MULT) % 100000) / 100.0,
+            )
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``spark.read.format("synthetic_events").option("n", N)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return (
+            "event_id BIGINT, user_id BIGINT, "
+            "event_type STRING, value DOUBLE"
+        )
+
+    def reader(self, schema) -> _SyntheticEventsReader:
+        return _SyntheticEventsReader(self.options)
+
+
+def register_python_datasource(spark) -> None:
+    """Idempotent registration (re-registering the same name is fine —
+    latest registration wins, matching ``spark.udf.register``)."""
+    spark.dataSource.register(SyntheticEventsDataSource)

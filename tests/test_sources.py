@@ -604,3 +604,33 @@ def test_mapinarrow_bytelen_null_and_unicode(spark, tmp_path):
         for r in q_mapinarrow_bytelen(spark, str(tmp_path)).collect()
     }
     assert got == {1: 3, 2: 6, 3: 0}
+
+
+def test_python_datasource_partitions_and_determinism(spark):
+    from gaming_ai_analytics_spark.sources.pyds import (
+        register_python_datasource,
+    )
+
+    register_python_datasource(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n", 100)
+        .option("parts", 4)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = sorted(df.collect(), key=lambda r: r.event_id)
+    assert len(rows) == 100
+    assert [r.event_id for r in rows] == list(range(100))
+    r7 = rows[7]
+    assert (r7.user_id, r7.event_type, r7.value) == (
+        7, "refund", ((7 * 48271) % 100000) / 100.0
+    )
+    # uneven split covers the whole range (ceil-div partitioning)
+    df2 = (
+        spark.read.format("synthetic_events")
+        .option("n", 10)
+        .option("parts", 3)
+        .load()
+    )
+    assert df2.count() == 10
