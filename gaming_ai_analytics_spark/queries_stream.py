@@ -351,3 +351,56 @@ register(
     HAVING COUNT(*) >= 10
     """,
 )
+
+
+def q_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Python DataSource (Spark 4 `simpleStreamReader`):
+    offset-tracked micro-batch pulls over the deterministic synthetic
+    row space (`sources/pyds.py`), drained through a complete-mode
+    memory sink. Uses the default micro-batch trigger — the Python
+    stream reader does not implement availableNow, so the drain ends
+    when a pull returns an empty batch with an unchanged offset. The
+    oracle regenerates the same rows with generate_series, fully
+    checking the offset/replay read path."""
+    from gaming_ai_analytics_spark.sources.pyds import (
+        register_python_datasource,
+    )
+    from gaming_ai_analytics_spark.streaming.events import _sink_ids
+
+    register_python_datasource(spark)
+    sdf = (
+        spark.readStream.format("synthetic_events_stream")
+        .option("n", 10000)
+        .option("batch", 2500)
+        .load()
+    )
+    agg = sdf.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    name = f"__stream_sink_{next(_sink_ids)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+register(
+    "python_datasource_stream",
+    q_python_datasource_stream,
+    """
+    WITH ev AS (
+      SELECT i % 4 AS t, ((i * 48271) % 100000) / 100.0 AS value
+      FROM (SELECT unnest(generate_series(0, 9999)) AS i)
+    )
+    SELECT ['view','click','purchase','refund'][t + 1] AS event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM ev GROUP BY 1
+    """,
+)

@@ -25,9 +25,18 @@ fact table (use a native format there).
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
-__all__ = ["SyntheticEventsDataSource", "register_python_datasource"]
+__all__ = [
+    "SyntheticEventsDataSource",
+    "SyntheticEventsStreamDataSource",
+    "register_python_datasource",
+]
 
 _MULT = 48271  # MINSTD multiplier — keeps value derivation integral
 _TYPES = ("view", "click", "purchase", "refund")
@@ -82,3 +91,52 @@ def register_python_datasource(spark) -> None:
     """Idempotent registration (re-registering the same name is fine —
     latest registration wins, matching ``spark.udf.register``)."""
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(SyntheticEventsStreamDataSource)
+
+
+class _SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked micro-batch reads over the same deterministic
+    row space: ``{"pos": i}`` offsets advance ``batch`` ids per pull
+    and stop at ``n`` (an empty pull with an unchanged offset ends a
+    ``processAllAvailable`` drain). ``readBetweenOffsets`` replays any
+    committed range exactly — the recovery contract checkpointed
+    offsets rely on."""
+
+    def __init__(self, options) -> None:
+        self.n = int(options.get("n", 1000))
+        self.batch = max(1, int(options.get("batch", 250)))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        lo = start["pos"]
+        hi = min(lo + self.batch, self.n)
+        return iter([_row(i) for i in range(lo, hi)]), {"pos": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_row(i) for i in range(start["pos"], end["pos"])])
+
+
+def _row(i: int):
+    return (i, i % 97, _TYPES[i % 4], ((i * _MULT) % 100000) / 100.0)
+
+
+class SyntheticEventsStreamDataSource(DataSource):
+    """``spark.readStream.format("synthetic_events_stream")`` — the
+    STREAMING side of the Python DataSource API (micro-batch offsets,
+    replayable ranges), sharing the batch source's deterministic row
+    space so one oracle checks both."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events_stream"
+
+    def schema(self) -> str:
+        return (
+            "event_id BIGINT, user_id BIGINT, "
+            "event_type STRING, value DOUBLE"
+        )
+
+    def simpleStreamReader(self, schema) -> _SyntheticEventsStreamReader:
+        return _SyntheticEventsStreamReader(self.options)

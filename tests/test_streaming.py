@@ -360,3 +360,36 @@ def test_stream_matview_upsert_equals_batch_aggregate(spark, tmp_path):
         for r in store.load("serve", "user_totals").collect()
     }
     assert again == want
+
+
+def test_python_stream_source_drains_all_offsets(spark):
+    """The streaming Python DataSource must pull EVERY micro-batch
+    (regression: availableNow silently reads one batch on sources
+    that don't implement it) and agree with the batch twin."""
+    from pyspark.sql import functions as F
+
+    from gaming_ai_analytics_spark.queries_stream import (
+        q_python_datasource_stream,
+    )
+    from gaming_ai_analytics_spark.sources.pyds import (
+        register_python_datasource,
+    )
+
+    got = {
+        r.event_type: (r.n_events, r.total_value)
+        for r in q_python_datasource_stream(spark, "unused").collect()
+    }
+    register_python_datasource(spark)
+    batch = (
+        spark.read.format("synthetic_events")
+        .option("n", 10000)
+        .load()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    want = {r.event_type: (r.n_events, r.total_value) for r in batch.collect()}
+    assert got == want
+    assert sum(n for n, _ in got.values()) == 10000
