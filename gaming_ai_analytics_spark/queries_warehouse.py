@@ -627,3 +627,139 @@ register(
     GROUP BY 1
     """,
 )
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of one month's revenue carried by a
+    promo-class part — conditional numerator and denominator in ONE
+    aggregate over the part-joined fact (no second pass), part dim
+    broadcast, month filter pushed to the fact scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-03-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01")))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                * 100.0
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+register(
+    "promo_revenue_share",
+    q_promo_revenue_share,
+    """
+    SELECT ROUND(
+             SUM(CASE WHEN p_type = 'PROMO'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0 END) * 100.0
+             / SUM(l_extendedprice * (1 - l_discount)), 4)
+               AS promo_revenue_pct
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+)
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders far below a part's own
+    average quantity — the CORRELATED scalar subquery surface.
+    Catalyst decorrelates the per-part average into an aggregate
+    joined back on the key; expressed directly as that decorrelated
+    plan (aggregate below a broadcast join — one fact scan feeds both
+    sides via exchange reuse, no per-row subquery execution ever)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.avg("l_quantity") * 0.5).alias("_half_avg")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias(
+                "avg_yearly_loss"
+            )
+        )
+    )
+
+
+register(
+    "small_quantity_revenue",
+    q_small_quantity_revenue,
+    """
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly_loss
+    FROM lineitem l, part
+    WHERE l.l_partkey = p_partkey AND p_brand = 'Brand#23'
+      AND l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM lineitem
+                        WHERE l_partkey = l.l_partkey)
+    """,
+)
+
+
+def q_disjunctive_predicate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: a join whose residual is an OR of predicate
+    conjunctions mixing both sides — the optimizer must still extract
+    the common `l_partkey = p_partkey` equi-key (hash join, never a
+    nested loop) and push the single-side conjuncts
+    (`l_quantity`, `p_size` bounds) below the join.  Revenue from
+    the union of three bracket combinations in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b1 = (
+        (F.col("p_brand") == "Brand#12")
+        & (F.col("p_size") <= 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#23")
+        & (F.col("p_size") <= 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#34")
+        & (F.col("p_size") <= 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.filter(b1 | b2 | b3)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(rev), 2).alias("revenue"),
+        )
+    )
+
+
+register(
+    "disjunctive_predicate_join",
+    q_disjunctive_predicate_join,
+    """
+    SELECT p_brand, COUNT(*) AS n_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND ((p_brand = 'Brand#12' AND p_size <= 5
+            AND l_quantity BETWEEN 1 AND 11)
+        OR (p_brand = 'Brand#23' AND p_size <= 10
+            AND l_quantity BETWEEN 10 AND 20)
+        OR (p_brand = 'Brand#34' AND p_size <= 15
+            AND l_quantity BETWEEN 20 AND 30))
+    GROUP BY 1
+    """,
+)

@@ -286,3 +286,42 @@ def test_idle_rich_customers_are_rich_and_idle(spark, sf_dir):
     got = {r.c_mktsegment: (r.n_customers, round(r.total_balance, 2)) for r in out}
     want = {k: (n, round(t, 2)) for k, (n, t) in want.items()}
     assert got == want
+
+
+def test_promo_share_bounded_and_consistent(spark, sf_dir):
+    from gaming_ai_analytics_spark.queries_warehouse import (
+        q_promo_revenue_share,
+    )
+
+    row = q_promo_revenue_share(spark, sf_dir).first()
+    assert row.promo_revenue_pct is None or 0.0 <= row.promo_revenue_pct <= 100.0
+
+
+def test_small_quantity_revenue_decorrelated_no_rescan_blowup(spark, sf_dir):
+    from gaming_ai_analytics_spark.queries_warehouse import (
+        q_small_quantity_revenue,
+    )
+
+    df = q_small_quantity_revenue(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the per-part average must be a JOINED aggregate, not a per-row
+    # correlated subquery execution
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    df.collect()  # executes
+
+
+def test_disjunctive_join_stays_hash_join(spark, sf_dir):
+    from gaming_ai_analytics_spark.queries_warehouse import (
+        q_disjunctive_predicate_join,
+    )
+
+    df = q_disjunctive_predicate_join(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the OR residual must not defeat equi-key extraction
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoop" not in plan
+    rows = df.collect()
+    assert all(
+        r.p_brand in ("Brand#12", "Brand#23", "Brand#34") for r in rows
+    )
