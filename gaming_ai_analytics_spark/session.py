@@ -57,6 +57,9 @@ def get_spark(
         # correctly falls back to sort-merge. Size per executor memory
         # when deploying (64 MB assumes multi-GB executors).
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # let custom Python DataSources receive Catalyst predicates
+        # (sources/pyds.py turns them into generator-range pruning)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

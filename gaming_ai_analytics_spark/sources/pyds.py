@@ -49,15 +49,58 @@ class _Range(InputPartition):
 
 
 class _SyntheticEventsReader(DataSourceReader):
+    """Reader with NATIVE filter pushdown on the id column: range
+    predicates on ``event_id`` tighten the generated ``[lo, hi)``
+    interval BEFORE partition planning, so pruned work is never
+    scheduled — the connector-level analog of parquet min/max
+    pruning, and the shape a database/API-backed source uses to turn
+    Catalyst predicates into remote-side WHERE clauses."""
+
     def __init__(self, options) -> None:
         self.n = int(options.get("n", 1000))
         self.parts = max(1, int(options.get("parts", 8)))
+        self.lo = 0
+        self.hi = self.n
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            col = getattr(f, "attribute", ("",))
+            if tuple(col) != ("event_id",) or not isinstance(
+                getattr(f, "value", None), int
+            ):
+                yield f  # not ours — Spark evaluates it post-scan
+                continue
+            v = f.value
+            if isinstance(f, EqualTo):
+                self.lo = max(self.lo, v)
+                self.hi = min(self.hi, v + 1)
+            elif isinstance(f, GreaterThan):
+                self.lo = max(self.lo, v + 1)
+            elif isinstance(f, GreaterThanOrEqual):
+                self.lo = max(self.lo, v)
+            elif isinstance(f, LessThan):
+                self.hi = min(self.hi, v)
+            elif isinstance(f, LessThanOrEqual):
+                self.hi = min(self.hi, v + 1)
+            else:
+                yield f
 
     def partitions(self):
-        step = -(-self.n // self.parts)  # ceil-div: cover the range
+        lo, hi = self.lo, max(self.lo, self.hi)
+        count = hi - lo
+        if count == 0:
+            return [_Range(lo, lo)]
+        step = -(-count // self.parts)  # ceil-div: cover the range
         return [
-            _Range(lo, min(lo + step, self.n))
-            for lo in range(0, self.n, step)
+            _Range(s, min(s + step, hi)) for s in range(lo, hi, step)
         ]
 
     def read(self, partition: _Range):

@@ -634,3 +634,44 @@ def test_python_datasource_partitions_and_determinism(spark):
         .load()
     )
     assert df2.count() == 10
+
+
+def test_python_datasource_filter_pushdown_prunes_generation(spark):
+    """pushFilters must tighten the generated id range BEFORE
+    partition planning: a point lookup against a nominal 100M-row
+    source can only finish promptly if the reader generated ~1 row —
+    evaluating the predicate post-scan would take minutes of pure
+    Python. Unsupported predicates still evaluate post-scan."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from gaming_ai_analytics_spark.sources.pyds import (
+        register_python_datasource,
+    )
+
+    register_python_datasource(spark)
+    big = (
+        spark.read.format("synthetic_events")
+        .option("n", 100_000_000)
+        .option("parts", 4)
+        .load()
+    )
+    t0 = time.perf_counter()
+    rows = big.filter(F.col("event_id") == 12345).collect()
+    assert time.perf_counter() - t0 < 20
+    assert len(rows) == 1 and rows[0].user_id == 12345 % 97
+    # mixed: pushable range + residual predicate Spark evaluates
+    out = (
+        spark.read.format("synthetic_events")
+        .option("n", 100_000_000)
+        .load()
+        .filter(
+            (F.col("event_id") >= 100)
+            & (F.col("event_id") < 200)
+            & (F.col("event_type") == "view")
+        )
+        .collect()
+    )
+    assert {r.event_id % 4 for r in out} == {0}
+    assert len(out) == 25
