@@ -147,3 +147,41 @@ def test_topk_tournament_equals_single_window(spark, scored_rows):
     assert sorted(map(tuple, naive.collect())) == sorted(
         map(tuple, tourney.collect())
     )
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1023), st.integers(0, 1023)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_zorder_key_preserves_locality_order(spark, pts):
+    """Morton-key properties, checked against a pure-Python bit
+    interleave: (a) exact equality with the reference for every
+    point; (b) monotonicity along each axis when the other is 0 —
+    the property parquet min/max pruning relies on."""
+    from pyspark.sql import functions as F
+
+    from gaming_ai_analytics_spark.operators.layout import zorder_key
+
+    def ref(x, y, bits=16):
+        out = 0
+        for b in range(bits):
+            out |= ((x >> b) & 1) << (2 * b)
+            out |= ((y >> b) & 1) << (2 * b + 1)
+        return out
+
+    df = spark.createDataFrame(pts, "x INT, y INT").withColumn(
+        "z", zorder_key(F.col("x"), F.col("y"), bits=16)
+    )
+    for r in df.collect():
+        assert r.z == ref(r.x, r.y)
+    axis = spark.createDataFrame(
+        [(v, 0) for v, _ in pts], "x INT, y INT"
+    ).withColumn("z", zorder_key(F.col("x"), F.col("y"), bits=16))
+    got = [(r.x, r.z) for r in axis.collect()]
+    got.sort()
+    zs = [z for _, z in got]
+    assert zs == sorted(zs)
