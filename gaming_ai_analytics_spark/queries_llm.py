@@ -767,3 +767,45 @@ register(
     LIMIT 10
     """,
 )
+
+
+def q_content_hash_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic content manifest — ``sha2(·,256)`` + ``md5`` per
+    document plus corpus-level distinct counts: the provenance record
+    a dedup/audit pipeline ships with its outputs (exact-duplicate
+    detection across ingestion runs, tamper evidence, downstream
+    lineage joins). Map-only hashing (JVM-side, codegen'd), one tiny
+    aggregate; hex encodings match the oracle's byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("sha256_hex"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("md5_hex"),
+    )
+    return hashed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("sha256_hex").alias("n_distinct_sha"),
+        F.count_distinct("md5_hex").alias("n_distinct_md5"),
+        F.min("sha256_hex").alias("min_sha"),
+        F.max("md5_hex").alias("max_md5"),
+    )
+
+
+register(
+    "content_hash_manifest",
+    q_content_hash_manifest,
+    """
+    WITH h AS (
+      SELECT doc_id,
+             sha256(COALESCE(text, '')) AS sha256_hex,
+             md5(COALESCE(text, '')) AS md5_hex
+      FROM documents
+    )
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT sha256_hex) AS n_distinct_sha,
+           COUNT(DISTINCT md5_hex) AS n_distinct_md5,
+           MIN(sha256_hex) AS min_sha,
+           MAX(md5_hex) AS max_md5
+    FROM h
+    """,
+)
