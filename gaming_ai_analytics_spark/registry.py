@@ -86,6 +86,18 @@ def _load_all() -> None:
 #: ``tools/verify_local.py`` + pytest coverage and rotate back in
 #: round 6). Every name below carries a full oracle — zero rows-only
 #: checks in the window.
+#:
+#: ROUND-6 ROTATION QUEUE (in priority order): the ~30 late-r5
+#: additions with no driver row yet — COVERAGE.md marks each
+#: "r6 window candidate" (warehouse Q5/Q7/Q8/Q11/Q14/Q17/Q19/Q22
+#: analogs, grouping sets, LATERAL, recursive CTE, VARIANT,
+#: approx_top_k contract, xml/csv parsing, fuzzy match, regex
+#: mentions, UDAF/applyInPandas/mapInArrow ladder, null-safe join,
+#: string_agg, EXCEPT/INTERSECT ALL, union-by-name, try arithmetic,
+#: value-RANGE frame, calendar/timezone/width_bucket, Python
+#: DataSource batch+stream, content hashes, zorder, UDTF,
+#: stream-left-join + TTL dedup from early r5) — then the r4-green
+#: bench headliners, then oldest last-green.
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship first — the smoke-check query (join order reworked r5)
     "flagship_star_metrics",
