@@ -809,3 +809,93 @@ register(
     FROM h
     """,
 )
+
+
+def q_token_array_hof_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (`filter` / `exists` /
+    `aggregate` lambdas) — per-document token analytics WITHOUT
+    exploding: long-token count, short-token detection, and total
+    token characters fold inside one codegen'd map pass over the
+    split array, then a tiny per-language aggregate. At 100 TB the
+    non-explode formulation matters: explode multiplies the shuffle
+    by tokens-per-doc; lambdas keep it one row per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " +")
+    profiled = docs.filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    ).select(
+        "lang",
+        F.size(F.filter(toks, lambda t: F.length(t) >= 6)).alias("n_long"),
+        F.exists(toks, lambda t: F.length(t) <= 2).alias("has_short"),
+        F.aggregate(
+            toks, F.lit(0), lambda acc, t: acc + F.length(t)
+        ).alias("tok_chars"),
+    )
+    return profiled.groupBy("lang").agg(
+        F.sum("n_long").alias("total_long_tokens"),
+        F.sum(F.when(F.col("has_short"), 1).otherwise(0)).alias(
+            "docs_with_short"
+        ),
+        F.sum("tok_chars").alias("total_token_chars"),
+    )
+
+
+register(
+    "token_array_hof_profile",
+    q_token_array_hof_profile,
+    """
+    WITH t AS (
+      SELECT lang, string_split_regex(TRIM(text), ' +') AS toks
+      FROM documents
+      WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0
+    )
+    SELECT lang,
+           CAST(SUM(len(list_filter(toks, t -> LENGTH(t) >= 6)))
+                AS BIGINT) AS total_long_tokens,
+           CAST(SUM(CASE WHEN len(list_filter(toks, t -> LENGTH(t) <= 2)) > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_short,
+           CAST(SUM(list_aggregate(list_transform(toks, t -> LENGTH(t)),
+                                   'sum')) AS BIGINT) AS total_token_chars
+    FROM t GROUP BY 1
+    """,
+)
+
+
+def q_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-aggregate distinct counting (`bitmap_bit_position` →
+    `bitmap_construct_agg` → `bitmap_count`): EXACT distinct counts
+    with fixed-size mergeable state for dense integer domains — the
+    deterministic middle ground between exact count-distinct's
+    full-cardinality shuffle and HLL's approximation. Bitmaps OR
+    map-side like any partial aggregate; the oracle checks against
+    plain COUNT(DISTINCT)."""
+    from gaming_ai_analytics_spark.sources.star import load_events
+
+    ev = load_events(spark, sf_dir)
+    # canonical bucketed-bitmap shape: one 4 KB bitmap per
+    # (key, bucket-of-32768-ids), distinct = sum of per-bucket
+    # bitmap_count — a single flat bitmap silently collides ids
+    # ≥ one bucket apart (off-by-one caught by the oracle here)
+    per_bucket = ev.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("_b")
+    ).agg(
+        F.expr(
+            "bitmap_count(bitmap_construct_agg("
+            "bitmap_bit_position(user_id)))"
+        ).alias("_cnt"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum("_cnt").alias("n_users"), F.sum("_n").alias("n_events")
+    )
+
+
+register(
+    "bitmap_distinct_users",
+    q_bitmap_distinct_users,
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
