@@ -259,3 +259,58 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     want_days = {r.day for r in days.select("day").collect()}
     got = {r.day: r.n for r in j.collect()}
     assert set(got) == want_days
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's runtime skew-join split — the automatic complement to
+    the explicit salted join (operators/skew.py): a hot key whose
+    shuffle partition dwarfs the median is split into parallel
+    sub-reads at runtime, visible as SortMergeJoin(skew=true) over an
+    'AQEShuffleRead ... skewed' in the final adaptive plan.
+    Thresholds are tuned down to fire at test volume (defaults are
+    sized for real partitions); the payload is xxhash64 so shuffle
+    compression can't shrink the hot partition below the threshold."""
+    from pyspark.sql import functions as F
+
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    )
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB"
+        )
+        left = spark.range(0, 300000).select(
+            F.when(F.col("id") % 10 < 9, 0)
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.xxhash64("id").alias("v"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").agg(
+            F.avg("v").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        row = j.collect()[0]
+        # every left row has a match (hot key 0 and ids ≥ 1000 drop? no:
+        # right covers 0..999; left keys are 0 or id≥... keys are 0 or
+        # original id — only ids < 1000 with id%10==9 survive besides 0)
+        assert row.n > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        assert "skewed" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
