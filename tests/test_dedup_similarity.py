@@ -387,6 +387,7 @@ def test_fuzzy_pairs_blocked_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     rows = df.collect()
-    # symmetric-dedup contract: each unordered pair appears once
-    assert all(r.a_key < r.b_key for r in rows)
-    assert all(0 <= r.dist <= 3 for r in rows)
+    # symmetric-dedup contract: each unordered pair appears once;
+    # identical names never pair with themselves (strict <)
+    assert all(r.name_a < r.name_b for r in rows)
+    assert all(1 <= r.dist <= 3 for r in rows)
