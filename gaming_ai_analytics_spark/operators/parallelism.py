@@ -28,6 +28,14 @@ from pyspark.sql import DataFrame
 #: sequential fold and switches the 10×-up regime.
 ARROW_FANOUT_MIN_BYTES = 4 << 20
 
+#: Catalyst-estimated input bytes below which widening is skipped
+#: entirely: the round-robin shuffle ``ensure_parallelism`` inserts is
+#: then the single most expensive stage of the query (~one extra AQE
+#: stage for <1 MB of rows whose downstream per-row CPU totals a few
+#: ms). At real scale the input has many splits and widening is a
+#: no-op anyway; this floor only short-circuits the toy regime.
+WIDEN_MIN_BYTES = 1 << 20
+
 
 def est_bytes(df: DataFrame) -> int:
     """Catalyst's driver-side size estimate — metadata only, no job."""

@@ -175,6 +175,7 @@ def topk_similar_lsh(
     bands: int = 4,
     dim: int | None = None,
     arrow: bool | None = None,
+    probe_rows: list | None = None,
 ) -> DataFrame:
     """ANN top-k: compare a probe only against corpus vectors sharing
     at least one signature chunk (random-hyperplane LSH). Recall < 1
@@ -183,15 +184,43 @@ def topk_similar_lsh(
 
     Pass ``dim`` so plan construction stays action-free (else a
     one-row probe job runs); ``arrow`` picks the SRP signature kernel
-    (None = auto from size statistics)."""
+    (None = auto from size statistics).
+
+    ``probe_rows`` — optional pre-collected probe rows
+    ``[(probe_id, vector), ...]``. Supplying them (the same
+    small-probe-set contract :func:`topk_similar`'s Arrow tier uses)
+    switches candidate generation MAP-SIDE: each corpus row tests its
+    signature chunks against the literal probe chunks and emits only
+    colliding (probe, cosine) pairs. That removes the bands× explode,
+    the broadcast hash join, and the ``distinct`` (a probe can match a
+    corpus row at most once), leaving ONE shuffle — the ranking — in
+    the whole query; at 100 TB the candidate stage is embarrassingly
+    map-parallel with zero data movement. Without ``probe_rows`` the
+    join-based path runs (probes too large to collect, or plan
+    construction must stay action-free). Both paths produce the
+    IDENTICAL candidate set: chunk equality over the same signatures
+    (the driver-side probe fold reproduces the JVM sequential
+    double-fold bit-for-bit)."""
     if dim is None:  # fallback only — callers should pass the dim
         dim = len(corpus.select(vec_col).first()[0])
-    from gaming_ai_analytics_spark.operators.parallelism import ensure_parallelism
+    from gaming_ai_analytics_spark.operators.parallelism import (
+        WIDEN_MIN_BYTES,
+        ensure_parallelism,
+    )
 
-    corpus = ensure_parallelism(corpus)
+    if est_bytes(corpus) >= WIDEN_MIN_BYTES:
+        # below the threshold the signature work is trivial and the
+        # widening shuffle is the single most expensive stage
+        corpus = ensure_parallelism(corpus)
     planes = _hyperplanes(dim, n_planes)
     width = n_planes // bands
     mask = (1 << width) - 1
+
+    if probe_rows is not None:
+        return _topk_lsh_mapside(
+            corpus, probe_rows, k, id_col, vec_col,
+            planes, bands, width, mask, arrow,
+        )
 
     def chunked(df: DataFrame, ident: str) -> DataFrame:
         from gaming_ai_analytics_spark.operators.dedup import _let, _rhp_sig_auto
@@ -233,6 +262,92 @@ def topk_similar_lsh(
             sim.alias("cosine"),
         )
         .distinct()
+    )
+    return _topk_per_probe(cand, k, size_hint=corpus)
+
+
+def _topk_lsh_mapside(
+    corpus: DataFrame,
+    probe_rows: list,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    planes: np.ndarray,
+    bands: int,
+    width: int,
+    mask: int,
+    arrow: bool | None,
+) -> DataFrame:
+    """Map-side LSH candidate generation against a literal probe set.
+
+    Probe signatures are computed on the driver with the exact
+    sequential float64 left fold the JVM expression kernel uses
+    (cast-to-double multiply, left-to-right add) so chunk equality is
+    bit-identical to the join path. Per corpus row the plan evaluates
+    one signature, ``bands`` shifts, and a |probes|-element filter —
+    then explodes only the colliding probe indices. No join, no
+    ``distinct``: the only shuffle in the final query is the ranking
+    in :func:`_topk_per_probe`."""
+    from functools import reduce
+    from operator import or_
+
+    from gaming_ai_analytics_spark.functions.vectors import (
+        long_array_lit,
+        matrix_lit,
+    )
+    from gaming_ai_analytics_spark.operators.dedup import _let, _rhp_sig_auto
+
+    pids: list[int] = []
+    pvecs: list[list[float]] = []
+    psigs: list[int] = []
+    for row in probe_rows:
+        pid, pv = row[0], [float(x) for x in row[1]]
+        sig = 0
+        for i, plane in enumerate(planes):
+            acc = 0.0  # sequential fold — parity with the JVM kernel
+            for a, b in zip(pv, plane):
+                acc += a * float(b)
+            if acc > 0:
+                sig |= 1 << i
+        pids.append(pid)
+        pvecs.append(pv)
+        psigs.append(sig)
+    n_probes = len(pids)
+    if n_probes == 0:
+        raise ValueError("probe_rows is empty")
+    pid_arr = long_array_lit(pids)
+    pvec_mat = matrix_lit(np.asarray(pvecs, dtype=np.float64))
+    chunk_arrs = [
+        long_array_lit(((s >> (b * width)) & mask) for s in psigs)
+        for b in range(bands)
+    ]
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv")
+    )
+    matched = _let(
+        _rhp_sig_auto(c, "_cv", planes, arrow),
+        lambda s: F.filter(
+            F.sequence(F.lit(0), F.lit(n_probes - 1)),
+            lambda i: reduce(
+                or_,
+                [
+                    F.element_at(chunk_arrs[b], i + 1)
+                    == F.shiftrightunsigned(s, b * width).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(bands)
+                ],
+            )
+            & (F.element_at(pid_arr, i + 1) != F.col("vec_id")),
+        ),
+    )
+    cand = c.select("vec_id", "_cv", F.explode(matched).alias("_pi")).select(
+        F.element_at(pid_arr, F.col("_pi") + 1).alias("probe_id"),
+        "vec_id",
+        F.round(
+            dot(F.col("_cv"), F.element_at(pvec_mat, F.col("_pi") + 1)), 6
+        ).alias("cosine"),
     )
     return _topk_per_probe(cand, k, size_hint=corpus)
 

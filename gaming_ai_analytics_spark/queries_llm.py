@@ -275,12 +275,27 @@ register(
 )
 
 
+def _probe_rows(spark: SparkSession, sf_dir: str) -> list:
+    """Driver-collected probe rows for the map-side LSH tier — the
+    probe set is tiny by contract (``_N_PROBES`` rows), so collecting
+    it is one sub-ms job and buys a join-free, distinct-free plan."""
+    return [
+        (r.probe_id, list(r.embedding))
+        for r in _probes(spark, sf_dir).collect()
+    ]
+
+
 def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN top-5 (scale tier; rows-only — recall vs the
-    exact tier asserted in tests)."""
+    exact tier asserted in tests). Probes ride map-side as literals:
+    the whole query has exactly one shuffle (the ranking)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return topk_similar_lsh(
-        emb, _probes(spark, sf_dir), k=_TOPK_K, dim=EMBEDDING_DIM
+        emb,
+        _probes(spark, sf_dir),
+        k=_TOPK_K,
+        dim=EMBEDDING_DIM,
+        probe_rows=_probe_rows(spark, sf_dir),
     )
 
 
@@ -414,7 +429,13 @@ def q_similarity_topk_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = _probes(spark, sf_dir)
     return _ann_recall_summary(
         topk_similar(emb, probes, k=_TOPK_K),
-        topk_similar_lsh(emb, probes, k=_TOPK_K, dim=EMBEDDING_DIM),
+        topk_similar_lsh(
+            emb,
+            probes,
+            k=_TOPK_K,
+            dim=EMBEDDING_DIM,
+            probe_rows=_probe_rows(spark, sf_dir),
+        ),
         floor=0.25,
     )
 

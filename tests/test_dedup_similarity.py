@@ -77,6 +77,24 @@ def test_embedding_lsh_recall(spark):
     assert lsh == exact  # high-cosine pairs collide in some band at 4×4 bits
 
 
+def test_topk_lsh_mapside_matches_join_path(spark):
+    """The map-side probe-literal tier (``probe_rows`` supplied) must
+    return the IDENTICAL result set as the join-based path: same
+    signature chunks (the driver-side sequential fold reproduces the
+    JVM kernel bit-for-bit), same candidates, same ranking. Guards the
+    one-shuffle rewrite against any drift in either path."""
+    emb = load_table(spark, SF, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    join_path = topk_similar_lsh(emb, probes, k=5, dim=64)
+    prows = [(r.probe_id, list(r.embedding)) for r in probes.collect()]
+    mapside = topk_similar_lsh(emb, probes, k=5, dim=64, probe_rows=prows)
+    assert sorted(map(tuple, join_path.collect())) == sorted(
+        map(tuple, mapside.collect())
+    )
+
+
 def test_topk_lsh_recall_vs_exact(spark):
     emb = load_table(spark, SF, "embeddings")
     probes = emb.filter(F.col("vec_id") < 5).select(
