@@ -75,7 +75,12 @@ class MetricView:
         missing = {spec.source, *(j.name for j in spec.joins)} - set(tables)
         if missing:
             raise ValueError(f"metric view references unknown tables: {missing}")
-        self.spark = spark
+        # temp views registered below live in the TABLES' session —
+        # which may be the static-execution child load_table picked —
+        # so compiled SQL must resolve there, not on the caller handle
+        self.spark = (
+            next(iter(tables.values())).sparkSession if tables else spark
+        )
         self.spec = spec
         self.name = name
         MetricView._seq += 1

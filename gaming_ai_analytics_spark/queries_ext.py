@@ -109,11 +109,14 @@ def q_sql_ai_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_sql_functions,
     )
 
-    register_sql_functions(spark)
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
-        "documents_v"
-    )
-    return spark.sql(
+    docs = load_table(spark, sf_dir, "documents")
+    # temp views and SQL UDF registrations are per-session — bind both
+    # to the session load_table chose (static-execution child at toy
+    # scale), else the SQL text below cannot resolve them
+    s = docs.sparkSession
+    register_sql_functions(s)
+    docs.createOrReplaceTempView("documents_v")
+    return s.sql(
         """
         SELECT doc_id,
                ai_score(text) AS sentiment_score,

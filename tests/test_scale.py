@@ -199,20 +199,23 @@ def test_runtime_bloom_filter_prunes_fact_join(spark, sf_dir):
 
     from gaming_ai_analytics_spark.sources.star import load_table
 
+    li = load_table(spark, sf_dir, "lineitem")
+    # tune the EXECUTION session — load_table may have picked the
+    # static-plan child, and runtime-filter confs are per-session
+    exec_spark = li.sparkSession
     saved = {
-        k: spark.conf.get(k)
+        k: exec_spark.conf.get(k)
         for k in (
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             "spark.sql.autoBroadcastJoinThreshold",
         )
     }
     try:
-        spark.conf.set(
+        exec_spark.conf.set(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             "64KB",
         )
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        li = load_table(spark, sf_dir, "lineitem")
+        exec_spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         orders = load_table(spark, sf_dir, "orders").filter(
             F.col("o_orderpriority") == "1-URGENT"
         )
@@ -226,7 +229,7 @@ def test_runtime_bloom_filter_prunes_fact_join(spark, sf_dir):
         assert "bloom_filter_agg" in plan
     finally:
         for k, v in saved.items():
-            spark.conf.set(k, v)
+            exec_spark.conf.set(k, v)
 
 
 def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):

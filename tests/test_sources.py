@@ -123,8 +123,8 @@ def test_discover_sources(tmp_path):
 
 
 def test_register_views_sql_path(spark, sf_dir):
-    register_views(spark, sf_dir)
-    n = spark.sql("SELECT count(*) AS n FROM region").first()["n"]
+    s = register_views(spark, sf_dir)
+    n = s.sql("SELECT count(*) AS n FROM region").first()["n"]
     assert n == 5
 
 
