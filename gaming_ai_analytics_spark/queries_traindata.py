@@ -930,9 +930,12 @@ def q_doc_chunking_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield doc_id, i, " ".join(toks[i * 24 : i * 24 + 32])
 
     docs = _docs(spark, sf_dir)
-    spark.udtf.register("gaa_chunk_docs", ChunkDocs)
+    # UDTF registration and temp views are per-session — bind both to
+    # the session load_table chose for this scale factor
+    s = docs.sparkSession
+    s.udtf.register("gaa_chunk_docs", ChunkDocs)
     docs.select("doc_id", "text").createOrReplaceTempView("__udtf_docs_in")
-    return spark.sql(
+    return s.sql(
         "SELECT c.doc_id, c.chunk_no, c.chunk "
         "FROM __udtf_docs_in, LATERAL gaa_chunk_docs(doc_id, text) c"
     )
@@ -941,3 +944,48 @@ def q_doc_chunking_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 from gaming_ai_analytics_spark.registry import oracle_for as _oracle_for  # noqa: E402
 
 register("doc_chunking_udtf", q_doc_chunking_udtf, _oracle_for("doc_chunking"))
+
+
+def q_dataset_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by multiplicative key hash —
+    the assignment every training pipeline needs to be STABLE across
+    reruns and engines (a ``rand()`` split is neither). The bucket is
+    pure int64 arithmetic (``(doc_id * 1103515245 + 12345) mod 10000``,
+    overflow-free for any realistic id range), so the same document
+    lands in the same split on any engine — the oracle recomputes it
+    verbatim. Map-only assignment; the summary aggregates on a 3-value
+    key. At 100 TB the split column doubles as a partition column for
+    the shard writer (``export_shards``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(F.col("doc_id") * 1103515245 + 12345, F.lit(10000))
+    split = (
+        F.when(bucket < 9000, "train")
+        .when(bucket < 9500, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+register(
+    "dataset_hash_split",
+    q_dataset_hash_split,
+    """
+    SELECT CASE WHEN (doc_id * 1103515245 + 12345) % 10000 < 9000
+                THEN 'train'
+                WHEN (doc_id * 1103515245 + 12345) % 10000 < 9500
+                THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1 ORDER BY split
+    """,
+)

@@ -763,3 +763,486 @@ register(
     GROUP BY 1
     """,
 )
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the supplier(s) offering each qualifying part
+    at its MINIMUM price — the correlated-min-subquery surface. The
+    schema has no partsupp table, so the part-supplier offer relation
+    derives from lineitem (avg unit price per (part, supplier) —
+    exactly the aggregation a 100 TB catalog build would
+    materialize). The correlated ``= (SELECT MIN ...)`` decorrelates
+    into a per-part min-aggregate joined back on the key: one
+    (part, supplier) shuffle feeds both branches via exchange reuse,
+    the part filter broadcasts, and supplier/nation are broadcast
+    dims. No per-row subquery execution ever."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4)
+        .alias("offer_price")
+    )
+    min_offer = offers.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.min("offer_price").alias("_min_price")
+    )
+    return (
+        offers.join(F.broadcast(part), offers.l_partkey == part.p_partkey)
+        .join(
+            min_offer,
+            (offers.l_partkey == F.col("_pk"))
+            & (offers.offer_price == F.col("_min_price")),
+        )
+        .join(F.broadcast(supp), offers.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("p_partkey", "s_name", "n_name", "offer_price")
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+register(
+    "min_cost_supplier",
+    q_min_cost_supplier,
+    """
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             ROUND(AVG(l_extendedprice / l_quantity), 4) AS offer_price
+      FROM lineitem GROUP BY 1, 2)
+    SELECT p.p_partkey, s.s_name, n.n_name, o.offer_price
+    FROM offers o
+    JOIN part p ON o.l_partkey = p_partkey
+    JOIN supplier s ON o.l_suppkey = s_suppkey
+    JOIN nation n ON s.s_nationkey = n_nationkey
+    WHERE p_size = 15 AND p_type = 'LARGE'
+      AND o.offer_price = (SELECT MIN(o2.offer_price) FROM offers o2
+                           WHERE o2.l_partkey = o.l_partkey)
+    ORDER BY p_partkey, s_name
+    """,
+)
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: top-10 unshipped orders by revenue for one market
+    segment. Customer filter broadcasts into orders, the date
+    predicates push to both fact scans, revenue aggregates on the
+    order key (one fact shuffle), and the top-10 finishes as
+    TakeOrderedAndProject — never a global sort."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-03-15"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-03-15"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(
+            F.col("revenue").desc(), "o_orderdate", "l_orderkey"
+        )
+        .limit(10)
+    )
+
+
+register(
+    "shipping_priority",
+    q_shipping_priority,
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+
+
+def q_forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter-and-sum forecast — the canonical
+    predicate-pushdown probe. Every predicate (date range, discount
+    band, quantity cap) reaches the parquet scan as a PushedFilter;
+    the aggregate is a zero-group map-side fold to a single row."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+        .alias("revenue_delta"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+register(
+    "forecast_revenue_delta",
+    q_forecast_revenue_delta,
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_delta,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+
+
+def q_product_profit_by_nation_year(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q9 shape: profit on a product line by supplier nation and
+    ship year. The LIKE filter prunes the part dim BEFORE broadcast
+    (a 100 TB part table would instead semi-join), supplier/nation
+    broadcast, and the aggregate shuffles once on the tiny
+    (nation, year) key. No partsupp/supplycost in this schema, so
+    profit is discounted revenue."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name", F.year("l_shipdate").alias("o_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("profit")
+        )
+        .orderBy("n_name", F.col("o_year").desc())
+    )
+
+
+register(
+    "product_profit_by_nation_year",
+    q_product_profit_by_nation_year,
+    """
+    SELECT n_name, EXTRACT(year FROM l_shipdate) AS o_year,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2 ORDER BY n_name, o_year DESC
+    """,
+)
+
+
+def q_customer_order_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13: the distribution of order counts per customer,
+    INCLUDING zero-order customers — the left-outer-join-then-
+    regroup surface. The join condition carries a non-key predicate
+    (priority filter) so it cannot be pushed below the outer join;
+    ``F.count(col)`` counts only matched rows, preserving the
+    zero bucket. Two shuffles: customer-key count, then the tiny
+    count-of-counts."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+register(
+    "customer_order_distribution",
+    q_customer_order_distribution,
+    """
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) with maximum quarterly revenue —
+    the view-plus-scalar-max surface. The revenue aggregate is
+    computed ONCE (exchange reuse feeds both the max branch and the
+    equality probe); the 1-row max broadcasts; supplier is a
+    broadcast dim. Revenue rounds BEFORE the max comparison on both
+    engines, so the equality is ulp-stable."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01")))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("_max"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("_max"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+register(
+    "top_supplier_revenue",
+    q_top_supplier_revenue,
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY 1)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+
+
+def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: supplier variety per part category, excluding
+    a brand, a type, and a supplier denylist — the NOT-IN-subquery
+    surface. The part-supplier relation derives from lineitem
+    (distinct pairs — one map-side-combined shuffle); the denylist
+    (negative-balance suppliers) is a broadcast LEFT ANTI join (the
+    keys are non-null, so NOT IN ≡ anti join); the distinct-count
+    aggregate shuffles on the small (brand, type, size) key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#12")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    deny = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    partsupp = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        partsupp.join(
+            F.broadcast(deny),
+            partsupp.l_suppkey == deny.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+register(
+    "supplier_part_variety",
+    q_supplier_part_variety,
+    """
+    WITH partsupp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM partsupp JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#12' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers behind the largest-volume orders — the
+    IN-over-HAVING-subquery surface. The quantity aggregate both
+    FILTERS (the HAVING) and SUPPLIES the output column, so the plan
+    aggregates lineitem once on the order key, filters, and joins the
+    survivors (a tiny set) to orders and the customer dim — broadcast
+    both ways. Top-20 via TakeOrderedAndProject on a unique sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 280)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+register(
+    "large_volume_customers",
+    q_large_volume_customers,
+    """
+    WITH big AS (
+      SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+      FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 280)
+    SELECT c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+    FROM big JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+
+
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding a dominant share of some
+    product line's volume — the nested-correlated-aggregate surface
+    (share of a per-part total). Both aggregates ride ONE
+    (part, supplier) shuffle (the per-part total is a second
+    aggregation of the first's output — no rescan); the name-filtered
+    part dim broadcasts; supplier/nation broadcast for labeling."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part_qty = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    tot = part_qty.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("supp_qty").alias("total_qty")
+    )
+    return (
+        part_qty.join(tot, part_qty.l_partkey == F.col("_pk"))
+        .join(F.broadcast(part), part_qty.l_partkey == part.p_partkey)
+        .filter(F.col("supp_qty") > F.col("total_qty") * 0.12)
+        .join(F.broadcast(supp), part_qty.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
+        .orderBy(F.col("n_dominated_parts").desc(), "s_name")
+        .limit(10)
+    )
+
+
+register(
+    "dominant_part_suppliers",
+    q_dominant_part_suppliers,
+    """
+    WITH part_qty AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS supp_qty
+      FROM lineitem GROUP BY 1, 2),
+    tot AS (SELECT l_partkey, SUM(supp_qty) AS total_qty
+            FROM part_qty GROUP BY 1)
+    SELECT s_name, n_name, COUNT(*) AS n_dominated_parts
+    FROM part_qty pq
+    JOIN tot USING (l_partkey)
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON pq.l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%' AND pq.supp_qty > 0.12 * tot.total_qty
+    GROUP BY 1, 2
+    ORDER BY n_dominated_parts DESC, s_name
+    LIMIT 10
+    """,
+)
+
+
+def q_sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY supplier with
+    returned lines on a multi-supplier finalized order — the
+    EXISTS + NOT EXISTS double-correlation surface. Instead of two
+    correlated self-joins (two extra fact shuffles), the plan
+    aggregates per-order supplier statistics ONCE —
+    ``n_supp`` distinct suppliers, ``n_ret_supp`` distinct suppliers
+    with returns — and the pair (n_supp > 1, n_ret_supp = 1) is
+    EXACTLY the EXISTS/NOT-EXISTS conjunction for a returned line's
+    supplier. One lineitem shuffle on the order key replaces both
+    correlated probes; the oracle keeps the textbook EXISTS form to
+    pin the equivalence."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    per_order = li.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    returned = li.filter(F.col("l_returnflag") == "R")
+    return (
+        returned.join(orders, returned.l_orderkey == orders.o_orderkey)
+        .join(per_order, returned.l_orderkey == F.col("_ok"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
+        .join(F.broadcast(supp), returned.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+register(
+    "sole_return_suppliers",
+    q_sole_return_suppliers,
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
