@@ -96,8 +96,15 @@ def _load_all() -> None:
 #: string_agg, EXCEPT/INTERSECT ALL, union-by-name, try arithmetic,
 #: value-RANGE frame, calendar/timezone/width_bucket, Python
 #: DataSource batch+stream, content hashes, zorder, UDTF,
-#: stream-left-join + TTL dedup from early r5) — then the r4-green
-#: bench headliners, then oldest last-green.
+#: stream-left-join + TTL dedup from early r5, and the late-r5
+#: TPC-H completion sweep — Q2/Q3/Q6/Q9/Q13/Q15/Q16/Q18/Q20/Q21
+#: analogs `min_cost_supplier` `shipping_priority`
+#: `forecast_revenue_delta` `product_profit_by_nation_year`
+#: `customer_order_distribution` `top_supplier_revenue`
+#: `supplier_part_variety` `large_volume_customers`
+#: `dominant_part_suppliers` `sole_return_suppliers` plus
+#: `dataset_hash_split`) — then the r4-green bench headliners, then
+#: oldest last-green.
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship first — the smoke-check query (join order reworked r5)
     "flagship_star_metrics",
