@@ -14,50 +14,18 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "execution_session", "ADAPTIVE_MIN_INPUT_BYTES"]
+__all__ = ["get_spark"]
 
-#: Total scanned-input bytes below which a query executes on the
-#: static-plan child session (adaptive execution off). AQE's unit of
-#: work is the shuffle-stage barrier: materialize the map side, ship
-#: stats to the driver, re-optimize, resubmit — a fixed ~50-160 ms per
-#: query measured on this 32-thread node at bench scale. Its payoffs
-#: (partition coalescing, skew-join splitting, dynamic join-strategy
-#: changes) are proportional to shuffle SIZE, so below ~a GB of input
-#: the barrier can never pay for itself: every shuffle already fits in
-#: a handful of partitions and the static planner's size estimates are
-#: exact enough (file-backed scans). At or above the threshold —
-#: including every real deployment this engine targets — AQE stays on.
-#: This is the same shape of cost-based choice as
-#: ``autoBroadcastJoinThreshold``: pick the physical strategy from
-#: driver-side size metadata, no job.
-ADAPTIVE_MIN_INPUT_BYTES = 1 << 30
-
-_STATIC_SESSIONS: dict[str, SparkSession] = {}
-
-
-def execution_session(
-    spark: SparkSession, input_bytes: int | None
-) -> SparkSession:
-    """Pick the execution session for a query whose total scanned
-    input is ``input_bytes`` (driver-side file metadata — no job).
-
-    Returns ``spark`` unchanged (adaptive execution, the scale
-    default) when the input meets ``ADAPTIVE_MIN_INPUT_BYTES`` or is
-    unknown; otherwise a per-context child session (``newSession`` —
-    same SparkContext, same UTC/shuffle/Arrow conf, isolated SQLConf)
-    with AQE disabled. Child and parent DataFrames interoperate freely
-    (joins, stream-static joins — one JVM, one context); only session
-    STATE (temp views, registered UDFs) is per-session, so SQL-text
-    consumers must resolve views against ``df.sparkSession``."""
-    if input_bytes is None or input_bytes >= ADAPTIVE_MIN_INPUT_BYTES:
-        return spark
-    app_id = spark.sparkContext.applicationId
-    child = _STATIC_SESSIONS.get(app_id)
-    if child is None or child is spark:
-        child = spark.newSession()
-        child.conf.set("spark.sql.adaptive.enabled", "false")
-        _STATIC_SESSIONS[app_id] = child
-    return child
+# A cost-based "static plan below N bytes" adaptive-execution gate
+# (sub-GB inputs on a newSession child with AQE off) was built and
+# MEASURED here in round 5, and rejected: the full-headliner bench ran
+# 8.15 s gated vs 6.13 s with AQE always-on at sf0.1 (two gated runs,
+# reproducible). AQE's per-shuffle barrier is real (~tens of ms) but
+# its runtime partition coalescing saves MORE even on KB-size shuffles
+# — 32 scheduled reduce tasks per exchange cost more than the barrier.
+# An earlier same-session on/off toggle A/B that suggested otherwise
+# was order-confounded (the second arm ran JIT-warm). See BASELINE.md
+# §floor analysis. AQE stays on unconditionally.
 
 
 def get_spark(

@@ -28,38 +28,7 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
-_SF_DIR_BYTES: dict[str, int] = {}
-
-
-def _sf_dir_bytes(sf_dir: str) -> int:
-    """Total parquet footprint of a fixture directory — driver-side
-    ``os.stat`` metadata, cached, no job. Feeds the cost-based
-    adaptive-execution gate in :func:`load_table`."""
-    n = _SF_DIR_BYTES.get(sf_dir)
-    if n is None:
-        try:
-            n = sum(
-                e.stat().st_size
-                for e in os.scandir(sf_dir)
-                if e.name.endswith(".parquet")
-            )
-        except OSError:
-            n = None
-        _SF_DIR_BYTES[sf_dir] = n
-    return n
-
-
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read a fixture table, choosing the execution session by input
-    size (``session.execution_session``): sub-GB directories run on
-    the static-plan child session — AQE's per-shuffle barrier cannot
-    pay for itself there — while at-scale inputs keep adaptive
-    execution. The choice is per ``sf_dir``, so every table of a query
-    lands on the SAME session and session-state consumers
-    (views/UDFs) can resolve against ``df.sparkSession``."""
-    from gaming_ai_analytics_spark.session import execution_session
-
-    spark = execution_session(spark, _sf_dir_bytes(sf_dir))
     key = (spark.sparkContext.applicationId, sf_dir, name)
     df = _TABLE_CACHE.get(key)
     if df is None:
