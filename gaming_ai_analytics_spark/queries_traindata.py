@@ -989,3 +989,39 @@ register(
     GROUP BY 1 ORDER BY split
     """,
 )
+
+
+def q_sample_exact_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sampling — the quota
+    counterpart of rate-based ``sample_stratified``: each language
+    contributes its k=10 lowest multiplicative-hash documents, so the
+    pick is stable across reruns and engines (no ``rand()``, no
+    reservoir nondeterminism). One |strata|-keyed ranking shuffle; at
+    100 TB with few strata, swap the plain window for the two-level
+    per-bucket tournament (`operators/similarity._topk_per_probe`
+    shape) so no stratum funnels through one reducer — with the
+    hash as the order key both forms pick identical rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    hkey = F.pmod(F.col("doc_id") * 2654435761, F.lit(1 << 32))
+    w = Window.partitionBy("lang").orderBy(hkey.asc(), F.col("doc_id"))
+    return (
+        docs.withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= 10)
+        .select("lang", "pick_rank", "doc_id", "n_chars")
+    )
+
+
+register(
+    "sample_exact_k_per_group",
+    q_sample_exact_k_per_group,
+    """
+    SELECT lang, pick_rank, doc_id, n_chars
+    FROM (SELECT lang, doc_id, n_chars,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY (doc_id * 2654435761) % 4294967296, doc_id)
+                   AS pick_rank
+          FROM documents)
+    WHERE pick_rank <= 10
+    """,
+)

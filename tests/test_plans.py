@@ -375,3 +375,47 @@ def test_scale_sketches_has_no_expand(spark, sf_dir):
 
     plan = _plan(q_agg_scale_sketches(spark, sf_dir))
     assert "Expand" not in plan
+
+
+def test_tpch_sweep_plan_shapes(spark, sf_dir):
+    """Plan pins for the late-r5 TPC-H completion sweep: the
+    correlated shapes must decorrelate into aggregate-joins (no
+    nested-loop anywhere), dims must broadcast, and Q21's
+    EXISTS/NOT-EXISTS rewrite must shuffle lineitem on the order key
+    exactly once for the statistics side (no correlated self-join
+    probes)."""
+    from gaming_ai_analytics_spark.queries_warehouse import (
+        q_customer_order_distribution,
+        q_min_cost_supplier,
+        q_sole_return_suppliers,
+        q_supplier_part_variety,
+        q_top_supplier_revenue,
+    )
+
+    # Q2: correlated-min decorrelated — hash joins only, part broadcast
+    p = _plan(q_min_cost_supplier(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+    # Q15: scalar max rides a 1-row broadcast, not a rescan nested loop
+    p = _plan(q_top_supplier_revenue(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p
+
+    # Q16: NOT IN over non-null keys must be a broadcast anti join
+    p = _plan(q_supplier_part_variety(spark, sf_dir))
+    assert "LeftAnti" in p and "BroadcastHashJoin" in p
+
+    # Q13: outer join preserved (zero bucket) + two-level regroup
+    p = _plan(q_customer_order_distribution(spark, sf_dir))
+    assert "LeftOuter" in p
+
+    # Q21 rewrite: no self-join probe pair — the only joins are the
+    # orders filter join, the per-order stats join, and the broadcast
+    # supplier label join; lineitem scans appear exactly twice
+    # (returned lines + the stats aggregate), never three times as the
+    # textbook double-EXISTS plan would
+    p = _plan(q_sole_return_suppliers(spark, sf_dir))
+    assert p.count("lineitem.parquet") == 2, p
+    assert "BroadcastNestedLoopJoin" not in p
