@@ -139,10 +139,36 @@ def _sf1_dir() -> str | None:
     return out
 
 
+def _settle_host(ceiling: float = 1.0, max_wait_s: int = 120) -> float:
+    """Wait (bounded) for the 1-min load average to drop below
+    ``ceiling`` before measuring. Round 5 showed ±40% on BOTH engines'
+    totals from carryover load (a test suite finishing seconds before
+    the bench starts); a short settle loop makes round-over-round
+    numbers comparable. Returns seconds waited (recorded in the JSON).
+    Opt out with SPARK_GRAFT_SETTLE=0."""
+    if os.environ.get("SPARK_GRAFT_SETTLE", "1") == "0":
+        return 0.0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < max_wait_s:
+        try:
+            if os.getloadavg()[0] < ceiling:
+                break
+        except OSError:
+            break
+        time.sleep(5)
+    return round(time.perf_counter() - t0, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from gaming_ai_analytics_spark.session import get_spark
     from gaming_ai_analytics_spark import registry
+
+    settle_wait_s = _settle_host()
+    try:
+        load_after_settle = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_after_settle = None
 
     at_default_sf = sf_dir.rstrip("/").endswith("sf0.1")
     sf1_dir = _sf1_dir() if at_default_sf else None
@@ -252,6 +278,8 @@ def main() -> None:
         # contamination tell: a loaded box inflates both engines ~2×
         # (measured r4: 13.5 s vs 7.1 s total with concurrent suites).
         "load_avg_start": _LOAD_AT_START,
+        "load_after_settle": load_after_settle,
+        "settle_wait_s": settle_wait_s,
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
