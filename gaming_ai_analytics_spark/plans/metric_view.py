@@ -76,8 +76,8 @@ class MetricView:
         if missing:
             raise ValueError(f"metric view references unknown tables: {missing}")
         # temp views registered below live in the TABLES' session —
-        # which may be the static-execution child load_table picked —
-        # so compiled SQL must resolve there, not on the caller handle
+        # resolve compiled SQL there, not on the caller handle, so the
+        # binding stays correct however the tables were loaded
         self.spark = (
             next(iter(tables.values())).sparkSession if tables else spark
         )

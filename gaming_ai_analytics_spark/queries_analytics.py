@@ -820,8 +820,8 @@ def q_recursive_cte_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     view = f"_spine_events_{abs(hash(sf_dir)) % 10**8}"
     ev.select(F.to_date("ts").alias("d")).createOrReplaceTempView(view)
-    # resolve against the view's OWN session: load_table may have
-    # picked the static-execution child, and temp views are per-session
+    # resolve against the view's OWN session — temp views are
+    # per-session, so bind the SQL to the DataFrame's session
     return ev.sparkSession.sql(
         f"""
         WITH RECURSIVE spine(day, dmax) AS (

@@ -110,9 +110,9 @@ def q_sql_ai_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    # temp views and SQL UDF registrations are per-session — bind both
-    # to the session load_table chose (static-execution child at toy
-    # scale), else the SQL text below cannot resolve them
+    # temp views and SQL UDF registrations are per-session — bind
+    # both to the DataFrame's own session so the SQL text resolves
+    # them regardless of which session loaded the table
     s = docs.sparkSession
     register_sql_functions(s)
     docs.createOrReplaceTempView("documents_v")
@@ -1431,5 +1431,70 @@ register(
            COUNT(DISTINCT user_id) AS n_users,
            ROUND(SUM(value), 2) AS total_value
     FROM ev GROUP BY 1
+    """,
+)
+
+
+def q_group_by_all_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``GROUP BY ALL`` SQL surface: the engine infers the
+    grouping keys from the non-aggregate select items. Tables bind via
+    ``parquet.`path``` scans (no temp-view session state); the plan is
+    the ordinary partial-agg + small-key exchange. DuckDB supports the
+    identical syntax, so the oracle runs it verbatim — a true
+    SQL-dialect parity check, not just a result check."""
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_lines,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM parquet.`{sf_dir}/lineitem.parquet`
+        GROUP BY ALL
+        """
+    )
+
+
+register(
+    "group_by_all_sql",
+    q_group_by_all_sql,
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    GROUP BY ALL
+    """,
+)
+
+
+def q_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (Spark 4 ``:marker`` binding via
+    ``spark.sql(sql, args=...)``) — the injection-safe surface for
+    templated warehouse reports. Parameters bind as typed literals at
+    parse time, so Catalyst constant-folds them and the price bound
+    still pushes into the parquet scan exactly like a hand-written
+    literal (pinned in tests/test_plans.py)."""
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(AVG(o_totalprice), 2) AS avg_price
+        FROM parquet.`{sf_dir}/orders.parquet`
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 250000.0, "status": "F"},
+    )
+
+
+register(
+    "parameterized_sql",
+    q_parameterized_sql,
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(AVG(o_totalprice), 2) AS avg_price
+    FROM orders
+    WHERE o_totalprice > 250000.0 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
     """,
 )

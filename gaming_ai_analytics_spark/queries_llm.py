@@ -920,3 +920,59 @@ register(
     FROM events GROUP BY 1
     """,
 )
+
+
+def q_corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between two corpus snapshots — the
+    check a training pipeline runs before accepting a new ingest
+    batch (language-mix shift silently changes the training mixture).
+    The two "snapshots" are the even/odd doc_id halves; the output is
+    per-language (p, q, pointwise KL term) plus the term's sign
+    telling which direction the language drifted. Pure aggregations:
+    one lang-keyed shuffle computes both distributions (conditional
+    counts — no second scan), KL terms are per-row arithmetic on the
+    tiny result. No nulls by construction (every lang appears in both
+    halves at the fixtures' sizes; a production gate would add
+    epsilon-smoothing, which is a one-line `+ lit(eps)`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    by_lang = docs.groupBy("lang").agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0)).alias("n_new"),
+    )
+    tot = by_lang.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_new").alias("t_new")
+    )
+    p = F.col("n_ref") / F.col("t_ref")
+    q = F.col("n_new") / F.col("t_new")
+    return (
+        by_lang.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.round(p, 6).alias("p_ref"),
+            F.round(q, 6).alias("p_new"),
+            F.round(p * F.log(p / q), 6).alias("kl_term"),
+        )
+        .orderBy("lang")
+    )
+
+
+register(
+    "corpus_drift_kl",
+    q_corpus_drift_kl,
+    """
+    WITH by_lang AS (
+      SELECT lang,
+             SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_ref,
+             SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS n_new
+      FROM documents GROUP BY 1),
+    tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_new) AS t_new FROM by_lang)
+    SELECT lang,
+           ROUND(n_ref * 1.0 / t_ref, 6) AS p_ref,
+           ROUND(n_new * 1.0 / t_new, 6) AS p_new,
+           ROUND((n_ref * 1.0 / t_ref)
+                 * LN((n_ref * 1.0 / t_ref) / (n_new * 1.0 / t_new)), 6)
+             AS kl_term
+    FROM by_lang, tot
+    ORDER BY lang
+    """,
+)

@@ -85,10 +85,8 @@ def register_views(
 ) -> SparkSession:
     """Register all fixture tables as temp views for the SQL API.
 
-    Returns the session that HOLDS the views — the execution session
-    ``load_table`` chose (the static-plan child at toy scale) — since
-    temp views are per-session; run SQL text against the returned
-    handle."""
+    Returns the session that HOLDS the views (temp views are
+    per-session); run SQL text against the returned handle."""
     star = load_star(spark, sf_dir)
     for name, df in star.items():
         df.createOrReplaceTempView(name)

@@ -419,3 +419,16 @@ def test_tpch_sweep_plan_shapes(spark, sf_dir):
     p = _plan(q_sole_return_suppliers(spark, sf_dir))
     assert p.count("lineitem.parquet") == 2, p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_parameterized_sql_binds_and_pushes_down(spark, sf_dir):
+    """Named SQL parameters must bind as typed literals at parse time
+    so the bound predicate constant-folds into a parquet PushedFilter
+    — a parameter that survives as a placeholder would disable scan
+    pruning entirely."""
+    from gaming_ai_analytics_spark.queries_ext import q_parameterized_sql
+
+    plan = _formatted(q_parameterized_sql(spark, sf_dir))
+    assert "PushedFilters:" in plan
+    assert "GreaterThan(o_totalprice,250000.0)" in plan
+    assert "EqualTo(o_orderstatus,F)" in plan
