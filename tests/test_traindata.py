@@ -364,3 +364,46 @@ def test_embedding_norm_profile_bounds(spark, sf_dir):
 
     for r in q_embedding_norm_profile(spark, sf_dir).collect():
         assert 0 < r.min_norm <= r.avg_norm <= r.max_norm
+
+
+def test_dataset_hash_split_partitions_and_proportions(spark, sf_dir):
+    """The 3-way hash split must PARTITION the corpus (every doc in
+    exactly one split — counts sum to the table count) and land near
+    the 90/5/5 design fractions; and the assignment must be stable
+    across runs (pure arithmetic, no rand())."""
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_dataset_hash_split,
+    )
+    from gaming_ai_analytics_spark.sources.star import load_table
+
+    rows = {r.split: r for r in q_dataset_hash_split(spark, sf_dir).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows.values()) == total
+    train_frac = rows["train"].n_docs / total
+    assert 0.85 <= train_frac <= 0.95
+    again = {r.split: r.n_docs for r in q_dataset_hash_split(spark, sf_dir).collect()}
+    assert again == {k: v.n_docs for k, v in rows.items()}
+
+
+def test_sample_exact_k_per_group_quota_and_determinism(spark, sf_dir):
+    """Exactly-k sampling: ≤10 rows per language (== 10 when the
+    stratum has ≥10 docs), ranks are contiguous 1..n, and reruns pick
+    the identical doc set (hash ranking, no nondeterminism)."""
+    from collections import defaultdict
+
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_sample_exact_k_per_group,
+    )
+
+    rows = q_sample_exact_k_per_group(spark, sf_dir).collect()
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r.lang].append(r)
+    for lang, picks in by_lang.items():
+        assert len(picks) <= 10
+        assert sorted(p.pick_rank for p in picks) == list(
+            range(1, len(picks) + 1)
+        )
+    again = {(r.lang, r.doc_id) for r in q_sample_exact_k_per_group(spark, sf_dir).collect()}
+    assert again == {(r.lang, r.doc_id) for r in rows}
