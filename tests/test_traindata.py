@@ -407,3 +407,17 @@ def test_sample_exact_k_per_group_quota_and_determinism(spark, sf_dir):
         )
     again = {(r.lang, r.doc_id) for r in q_sample_exact_k_per_group(spark, sf_dir).collect()}
     assert again == {(r.lang, r.doc_id) for r in rows}
+
+
+def test_corpus_drift_halves_nonempty_per_lang(spark, sf_dir):
+    """corpus_drift_kl's KL terms assume every language appears in
+    BOTH doc_id-parity halves (else p/q divides by zero and the two
+    engines disagree on Infinity handling). Assert the fixture
+    invariant here so a future fixture change fails THIS test, not as
+    a driver hash mismatch; the operator docstring documents the
+    epsilon-smoothing one-liner a production gate would add."""
+    from gaming_ai_analytics_spark.queries_llm import q_corpus_drift_kl
+
+    for r in q_corpus_drift_kl(spark, sf_dir).collect():
+        assert r.p_ref > 0 and r.p_new > 0, r
+        assert r.kl_term is not None and abs(r.kl_term) < 10
