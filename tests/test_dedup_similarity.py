@@ -409,3 +409,27 @@ def test_fuzzy_pairs_blocked_no_cartesian(spark, sf_dir):
     # identical names never pair with themselves (strict <)
     assert all(r.name_a < r.name_b for r in rows)
     assert all(1 <= r.dist <= 3 for r in rows)
+
+
+def test_embedding_lsh_subset_of_exact_two_sfs(spark):
+    """Precision invariant behind the dedup_embedding_lsh recall
+    contract: LSH candidates are exact-cosine-verified, so the
+    emitted pair set must be a SUBSET of the exact tier's at every
+    scale factor — including sf0.1, whose all-borderline corpus is
+    where recall (deliberately) drops and where a banding bug that
+    ADMITS false pairs would otherwise hide."""
+    from gaming_ai_analytics_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        embedding_cosine_pairs_lsh,
+    )
+
+    for sf in (SF, "/root/testdata/sf0.1"):
+        emb = load_table(spark, sf, "embeddings")
+        exact = _pairs(embedding_cosine_pairs(emb, "vec_id", "embedding", 0.5))
+        lsh = _pairs(
+            embedding_cosine_pairs_lsh(
+                emb, "vec_id", "embedding", 0.5, dim=64
+            )
+        )
+        assert set(lsh) <= set(exact), sf
+        assert len(lsh) >= 0.4 * len(exact), sf
