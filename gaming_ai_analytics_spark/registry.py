@@ -103,8 +103,12 @@ def _load_all() -> None:
 #: `customer_order_distribution` `top_supplier_revenue`
 #: `supplier_part_variety` `large_volume_customers`
 #: `dominant_part_suppliers` `sole_return_suppliers` plus
-#: `dataset_hash_split`) — then the r4-green bench headliners, then
-#: oldest last-green.
+#: `dataset_hash_split` `sample_exact_k_per_group` `corpus_drift_kl`
+#: `group_by_all_sql` `parameterized_sql`, and the RESHAPED
+#: `dedup_embedding_lsh` — its oracle changed to the scale-stable
+#: recall contract late r5, so it needs a fresh driver row even
+#: though the r1-r3 rows were green) — then the r4-green bench
+#: headliners, then oldest last-green.
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship first — the smoke-check query (join order reworked r5)
     "flagship_star_metrics",
