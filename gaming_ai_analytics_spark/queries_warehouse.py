@@ -19,7 +19,7 @@ shuffle when both tables are bucketed by orderkey.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gaming_ai_analytics_spark.registry import register
@@ -546,20 +546,29 @@ register(
 def q_supplier_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: suppliers whose revenue exceeds a FRACTION of
     the global total — the uncorrelated scalar-subquery surface
-    (HAVING ... > scalar).  The global total is a 1-row broadcast
-    (Catalyst plans the scalar subquery as a reusable subquery result,
-    not a rescan: the fact aggregates ONCE per branch and both
-    branches are partial-combine map-side); no driver-side constant
-    smuggling."""
+    (HAVING ... > scalar).  The fact aggregates ONCE (map-side
+    partial combine); the global total then derives from the compact
+    per-supplier relation via an empty-partition window, so the plan
+    scans the fact exactly once BY CONSTRUCTION (plan-pinned). No
+    driver-side constant smuggling."""
     li = load_table(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     per_supp = li.groupBy("l_suppkey").agg(
         F.sum(revenue).alias("_value")
     )
-    total = li.agg(F.sum(revenue).alias("_total"))
+    # the global total derives from the ALREADY-AGGREGATED per-supplier
+    # relation via an empty-partition window (|suppliers| rows through
+    # one reducer — trivial), NOT from a second aggregation over the
+    # fact: referencing the fact twice relies on cross-branch exchange
+    # reuse, which proved fragile (late-r5 plan audit: an unrelated
+    # broadcast join above the pattern defeats canonical matching and
+    # the executed plan scans the fact TWICE). This shape scans it
+    # once STRUCTURALLY.
+    per = per_supp.withColumn(
+        "_total", F.sum("_value").over(Window.partitionBy())
+    )
     return (
-        per_supp.crossJoin(F.broadcast(total))
-        .filter(F.col("_value") > F.col("_total") * 0.001)
+        per.filter(F.col("_value") > F.col("_total") * 0.001)
         .select(
             "l_suppkey",
             F.round("_value", 2).alias("supp_value"),
@@ -676,8 +685,11 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     average quantity — the CORRELATED scalar subquery surface.
     Catalyst decorrelates the per-part average into an aggregate
     joined back on the key; expressed directly as that decorrelated
-    plan (aggregate below a broadcast join — one fact scan feeds both
-    sides via exchange reuse, no per-row subquery execution ever)."""
+    plan (aggregate below a broadcast join; the fact is read once
+    per branch — scan twice, but each branch's shuffle is the compact
+    aggregate, never the raw fact; a windowed per-part average would
+    instead shuffle the ENTIRE fact by part key, strictly worse at
+    scale — no per-row subquery execution ever)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_brand") == "Brand#23"
@@ -772,10 +784,11 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     derives from lineitem (avg unit price per (part, supplier) —
     exactly the aggregation a 100 TB catalog build would
     materialize). The correlated ``= (SELECT MIN ...)`` decorrelates
-    into a per-part min-aggregate joined back on the key: one
-    (part, supplier) shuffle feeds both branches via exchange reuse,
-    the part filter broadcasts, and supplier/nation are broadcast
-    dims. No per-row subquery execution ever."""
+    into a per-part MIN WINDOW over the aggregated (part, supplier)
+    offers relation — one fact scan by construction (plan-pinned),
+    the window shuffles only the compact offers; the part filter
+    broadcasts, and supplier/nation are broadcast dims. No per-row
+    subquery execution ever."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
@@ -786,17 +799,18 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4)
         .alias("offer_price")
     )
-    min_offer = offers.groupBy(F.col("l_partkey").alias("_pk")).agg(
-        F.min("offer_price").alias("_min_price")
-    )
+    # per-part min via a window over the aggregated offers relation —
+    # one fact scan structurally (the aggregate-and-join-back form
+    # referenced `offers` twice and depended on exchange reuse, which
+    # the late-r5 plan audit showed the surrounding broadcast joins
+    # defeat: the executed plan scanned lineitem twice)
+    best = offers.withColumn(
+        "_min_price",
+        F.min("offer_price").over(Window.partitionBy("l_partkey")),
+    ).filter(F.col("offer_price") == F.col("_min_price"))
     return (
-        offers.join(F.broadcast(part), offers.l_partkey == part.p_partkey)
-        .join(
-            min_offer,
-            (offers.l_partkey == F.col("_pk"))
-            & (offers.offer_price == F.col("_min_price")),
-        )
-        .join(F.broadcast(supp), offers.l_suppkey == supp.s_suppkey)
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select("p_partkey", "s_name", "n_name", "offer_price")
         .orderBy("p_partkey", "s_name")
@@ -997,10 +1011,11 @@ register(
 def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: the supplier(s) with maximum quarterly revenue —
     the view-plus-scalar-max surface. The revenue aggregate is
-    computed ONCE (exchange reuse feeds both the max branch and the
-    equality probe); the 1-row max broadcasts; supplier is a
-    broadcast dim. Revenue rounds BEFORE the max comparison on both
-    engines, so the equality is ulp-stable."""
+    computed ONCE and the scalar max derives from it via an
+    empty-partition window (|suppliers| rows through one reducer), so
+    the fact is scanned exactly once by construction (plan-pinned);
+    supplier is a broadcast dim. Revenue rounds BEFORE the max
+    comparison on both engines, so the equality is ulp-stable."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
         & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01")))
@@ -1011,11 +1026,17 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("total_revenue")
     )
-    max_rev = revenue.agg(F.max("total_revenue").alias("_max"))
+    # scalar max via an empty-partition window over the aggregated
+    # |suppliers|-row relation — one fact scan structurally. (The
+    # previous agg-and-broadcast-back form referenced `revenue` in two
+    # branches and DEPENDED on exchange reuse, which the late-r5 plan
+    # audit showed silently breaks once the supplier broadcast join
+    # sits above it: the executed plan scanned lineitem twice.)
+    top = revenue.withColumn(
+        "_max", F.max("total_revenue").over(Window.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("_max"))
     return (
-        revenue.crossJoin(F.broadcast(max_rev))
-        .filter(F.col("total_revenue") == F.col("_max"))
-        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        top.join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -1138,10 +1159,11 @@ register(
 def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: suppliers holding a dominant share of some
     product line's volume — the nested-correlated-aggregate surface
-    (share of a per-part total). Both aggregates ride ONE
-    (part, supplier) shuffle (the per-part total is a second
-    aggregation of the first's output — no rescan); the name-filtered
-    part dim broadcasts; supplier/nation broadcast for labeling."""
+    (share of a per-part total). The (part, supplier) aggregate is
+    computed once; per-part totals come from a window over that
+    compact relation, so the fact is scanned exactly once by
+    construction (plan-pinned); the name-filtered part dim
+    broadcasts; supplier/nation broadcast for labeling."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_name").like("%red%")
@@ -1151,14 +1173,17 @@ def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_qty = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum("l_quantity").alias("supp_qty")
     )
-    tot = part_qty.groupBy(F.col("l_partkey").alias("_pk")).agg(
-        F.sum("supp_qty").alias("total_qty")
+    # per-part totals via a window over the aggregated (part, supplier)
+    # relation — one fact scan structurally (see q_min_cost_supplier
+    # for the exchange-reuse fragility this avoids)
+    pq = part_qty.withColumn(
+        "total_qty",
+        F.sum("supp_qty").over(Window.partitionBy("l_partkey")),
     )
     return (
-        part_qty.join(tot, part_qty.l_partkey == F.col("_pk"))
-        .join(F.broadcast(part), part_qty.l_partkey == part.p_partkey)
+        pq.join(F.broadcast(part), pq.l_partkey == part.p_partkey)
         .filter(F.col("supp_qty") > F.col("total_qty") * 0.12)
-        .join(F.broadcast(supp), part_qty.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(supp), pq.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("s_name", "n_name")
         .agg(F.count(F.lit(1)).alias("n_dominated_parts"))

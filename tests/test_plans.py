@@ -392,16 +392,20 @@ def test_tpch_sweep_plan_shapes(spark, sf_dir):
         q_top_supplier_revenue,
     )
 
-    # Q2: correlated-min decorrelated — hash joins only, part broadcast
+    # Q2: correlated-min via window over the aggregated offers — hash
+    # joins only, part broadcast, fact scanned EXACTLY ONCE (the
+    # aggregate-and-join-back form silently double-scanned: exchange
+    # reuse breaks once unrelated broadcast joins sit above it)
     p = _plan(q_min_cost_supplier(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+    assert p.count("lineitem.parquet") == 1, p
 
-    # Q15: scalar max rides a 1-row broadcast, not a rescan nested loop
+    # Q15: scalar max via empty-partition window — one fact scan
     p = _plan(q_top_supplier_revenue(spark, sf_dir))
     assert "CartesianProduct" not in p
-    assert "BroadcastExchange" in p
+    assert p.count("lineitem.parquet") == 1, p
 
     # Q16: NOT IN over non-null keys must be a broadcast anti join
     p = _plan(q_supplier_part_variety(spark, sf_dir))
@@ -419,6 +423,16 @@ def test_tpch_sweep_plan_shapes(spark, sf_dir):
     p = _plan(q_sole_return_suppliers(spark, sf_dir))
     assert p.count("lineitem.parquet") == 2, p
     assert "BroadcastNestedLoopJoin" not in p
+
+    # Q11 / Q20: scalar-share patterns — fact scanned exactly once
+    from gaming_ai_analytics_spark.queries_warehouse import (
+        q_dominant_part_suppliers,
+        q_supplier_value_concentration,
+    )
+
+    for fn in (q_supplier_value_concentration, q_dominant_part_suppliers):
+        p = _plan(fn(spark, sf_dir))
+        assert p.count("lineitem.parquet") == 1, (fn.__name__, p)
 
 
 def test_parameterized_sql_binds_and_pushes_down(spark, sf_dir):
