@@ -869,12 +869,18 @@ def q_skew_top_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     salting (``operators/skew.py``). Partial-agg shuffle on the key,
     TakeOrderedAndProject for the top slice; the total rides a 1-row
     broadcast, not a driver action."""
-    from gaming_ai_analytics_spark.operators.skew import top_keys
     from gaming_ai_analytics_spark.sources.star import load_events
 
     ev = load_events(spark, sf_dir)
-    top = top_keys(ev, "user_id", n=10)
-    tot = ev.agg(F.count(F.lit(1)).alias("n_tot"))
+    # per-key counts computed ONCE; the global total is a second
+    # aggregation of that compact relation (|keys| rows, map-side
+    # combined to 1), and the top slice re-ranks the same relation —
+    # never a second fact scan. (A direct ev.agg(count) total scanned
+    # the events fact twice: cross-branch exchange reuse is not
+    # guaranteed — late-r5 plan audit.)
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("rows"))
+    tot = per_key.agg(F.sum("rows").alias("n_tot"))
+    top = per_key.orderBy(F.desc("rows"), "user_id").limit(10)
     return top.crossJoin(F.broadcast(tot)).select(
         "user_id",
         "rows",
@@ -1041,27 +1047,37 @@ def q_approx_topk_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("tk").alias("e"))
         .select(F.col("e.item").alias("item"), F.col("e.count").alias("est"))
     )
-    exact = (
-        li.groupBy("l_suppkey")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.col("cnt").desc(), "l_suppkey")
-        .limit(k)
-    )
-    exact_mass = exact.agg(
-        F.sum("cnt").alias("_mass"), F.count(F.lit(1)).alias("_k")
+    # ONE exact per-key counts relation, referenced ONCE: a global
+    # rank attaches via window (single reducer over |keys| — fine for
+    # this CONTRACT query; the sketch is the scale path, and an exact
+    # top-k at scale would use TakeOrdered/tournament instead), a
+    # full-outer join lines the estimates up against the truth, and a
+    # single final aggregation derives every invariant — top-k mass
+    # included — from the joined rows. The previous form aggregated
+    # lineitem once per branch (THREE fact scans; cross-branch
+    # exchange reuse is not guaranteed under broadcast subtrees —
+    # late-r5 plan audit); this one scans it twice: sketch + counts.
+    from pyspark.sql import Window
+
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = counts.withColumn(
+        "_rank",
+        F.row_number().over(
+            Window.partitionBy().orderBy(F.col("cnt").desc(), "l_suppkey")
+        ),
     )
     joined = est.join(
-        li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("true_cnt")),
-        est.item == F.col("l_suppkey"),
-        "left",
+        ranked, est.item == F.col("l_suppkey"), "full_outer"
     )
     return joined.agg(
-        F.count(F.lit(1)).alias("n_items"),
+        F.count("item").alias("n_items"),
         F.sum(
-            F.when(F.col("est") == F.col("true_cnt"), 1).otherwise(0)
+            F.when(F.col("est") == F.col("cnt"), 1).otherwise(0)
         ).alias("n_exact_counts"),
         F.sum("est").alias("est_mass"),
-    ).crossJoin(F.broadcast(exact_mass)).select(
+        F.sum(F.when(F.col("_rank") <= k, F.col("cnt"))).alias("_mass"),
+        F.sum(F.when(F.col("_rank") <= k, 1).otherwise(0)).alias("_k"),
+    ).select(
         "n_items",
         "n_exact_counts",
         (F.col("est_mass") == F.col("_mass")).alias("mass_matches"),

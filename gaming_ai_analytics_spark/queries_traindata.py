@@ -743,15 +743,24 @@ def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate is per-row arithmetic riding the scan."""
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
-    tot = docs.agg(
-        F.count(F.lit(1)).alias("n_tot"),
-        F.countDistinct("source").alias("n_sources"),
-    )
-    rates = counts.crossJoin(F.broadcast(tot)).select(
+    # corpus totals via an empty-partition window over the compact
+    # per-source relation (tens of rows through one reducer — trivial;
+    # sum of per-source counts == total, window count == distinct
+    # sources). A second docs.agg() — or even a counts.agg() branch —
+    # is NOT used: cross-branch exchange reuse is not guaranteed once
+    # the rates subtree sits under the output's broadcast join
+    # (late-r5 plan audit measured the statistics side scanning the
+    # corpus twice), while the single-reference window form scans it
+    # once BY CONSTRUCTION. The output filter pass is the intrinsic
+    # second scan.
+    w_all = Window.partitionBy()
+    rates = counts.select(
         "source",
         F.least(
             F.lit(1.0),
-            F.col("n_tot") / F.col("n_sources") / F.col("n_src"),
+            F.sum("n_src").over(w_all)
+            / F.count(F.lit(1)).over(w_all)
+            / F.col("n_src"),
         ).alias("rate"),
     )
     kept = (F.col("doc_id") * F.lit(2654435761)) % 10_000 < F.floor(

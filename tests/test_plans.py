@@ -446,3 +446,35 @@ def test_parameterized_sql_binds_and_pushes_down(spark, sf_dir):
     assert "PushedFilters:" in plan
     assert "GreaterThan(o_totalprice,250000.0)" in plan
     assert "EqualTo(o_orderstatus,F)" in plan
+
+
+def test_fact_scan_counts_in_scalar_stat_queries(spark, sf_dir):
+    """Every query that derives a global statistic from its own fact
+    must scan that fact only its intrinsic number of times (AQE off so
+    the executed-plan text counts real scans, not reprinted reused
+    subtrees). Cross-branch exchange reuse proved unreliable under
+    broadcast subtrees (late-r5 audit), so these shapes are
+    single-reference by construction — this pin catches any future
+    edit that silently reintroduces a double scan."""
+    from gaming_ai_analytics_spark.queries_ext import (
+        q_approx_topk_contract,
+        q_skew_top_keys,
+    )
+    from gaming_ai_analytics_spark.queries_llm import q_corpus_drift_kl
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_mixture_rebalance,
+    )
+
+    cases = [
+        (q_skew_top_keys, "events.parquet", 1),
+        (q_corpus_drift_kl, "documents.parquet", 1),
+        (q_approx_topk_contract, "lineitem.parquet", 2),  # sketch+counts
+        (q_mixture_rebalance, "documents.parquet", 2),  # stats+output
+    ]
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for fn, tbl, want in cases:
+            plan = _plan(fn(spark, sf_dir))
+            assert plan.count(tbl) == want, (fn.__name__, plan)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
