@@ -119,7 +119,16 @@ def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_freq) come from aggregations, never a driver action — N is a
     1-row aggregate broadcast into the weight projection. Output is
     restricted to doc_id < 100 to keep the checked result compact;
-    the statistics still cover the whole corpus."""
+    the statistics still cover the whole corpus.
+
+    The MULTI-BRANCH shape (each statistic its own pass over the
+    token relation) is deliberate, unlike the single-reference
+    rewrites of the scalar-over-self queries (late-r5 audit): every
+    branch here shuffles only a COMPACT aggregate, and the window
+    alternative would shuffle the full (doc, term) relation twice and
+    funnel it through one reducer for N — strictly worse at corpus
+    scale. Multi-pass is intrinsic to corpus-statistic weighting;
+    a production pipeline materializes the stats tables once."""
     docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
