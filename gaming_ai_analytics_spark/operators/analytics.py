@@ -185,18 +185,28 @@ def gap_fill_daily_counts(
     chart/forecast consumers need (a groupBy alone silently drops
     empty days).
 
-    The spine is built engine-side: a 1-row min/max bounds aggregate
-    cross-joined (broadcast) onto the distinct categories, then
-    ``sequence()`` exploded — no driver action, no collected bounds.
-    Spine size is |categories|·|days| (calendar-bounded, tiny); the
-    left join broadcasts nothing big.
+    The spine is built engine-side from ONE pass over the input:
+    per-category date bounds aggregate (map-side combined), global
+    bounds via an empty-partition window over that |categories|-row
+    relation, then ``sequence()`` exploded — no driver action, no
+    collected bounds, and no separate bounds/categories branches (the
+    late-r5 audit showed such branches scanning the input once EACH —
+    cross-branch exchange reuse is not guaranteed). Spine size is
+    |categories|·|days| (calendar-bounded, tiny); the filtered daily
+    counts are the intrinsic second pass.
     """
+    from pyspark.sql import Window
+
     d = F.to_date(F.col(ts_col))
-    bounds = df.agg(F.min(d).alias("_lo"), F.max(d).alias("_hi"))
+    w_all = Window.partitionBy()
     spine = (
-        df.select(cat_col)
-        .distinct()
-        .join(F.broadcast(bounds))
+        df.groupBy(cat_col)
+        .agg(F.min(d).alias("_lo_c"), F.max(d).alias("_hi_c"))
+        .select(  # window first: a generator can't host a window expr
+            cat_col,
+            F.min("_lo_c").over(w_all).alias("_lo"),
+            F.max("_hi_c").over(w_all).alias("_hi"),
+        )
         .select(
             cat_col, F.explode(F.sequence("_lo", "_hi")).alias("day")
         )

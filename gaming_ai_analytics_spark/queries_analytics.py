@@ -700,26 +700,36 @@ def q_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ev.select(
         F.to_date("ts").alias("day"), "user_id"
     ).distinct()
-    spine = pairs.select("day").distinct()
+    # single-reference shape (late-r5 audit: the previous
+    # spine/dau/wau branches referenced `pairs` three times and the
+    # plan scanned events three times — cross-branch exchange reuse is
+    # not guaranteed): keep the ORIGIN day through the expansion, then
+    # ONE grouped pass derives DAU (distinct users whose origin day IS
+    # the report day), WAU (all distinct users supporting the day),
+    # and the spine membership (a day reports only if some pair
+    # originated on it) together.
     expanded = pairs.select(
+        "day",
         F.explode(
             F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
         ).alias("day_w"),
         "user_id",
     )
-    wau = (
-        expanded.join(
-            F.broadcast(spine.withColumnRenamed("day", "day_w")),
-            "day_w",
-            "left_semi",
+    # pairs is distinct per (day, user), so DAU is a PLAIN conditional
+    # sum — only WAU needs a distinct, keeping the aggregate on the
+    # no-Expand single-distinct path (see agg_scale_sketches for why
+    # multi-distinct Expand is poison at scale)
+    return (
+        expanded.groupBy("day_w")
+        .agg(
+            F.sum(
+                F.when(F.col("day") == F.col("day_w"), 1).otherwise(0)
+            ).alias("dau"),
+            F.countDistinct("user_id").alias("wau"),
         )
-        .groupBy("day_w")
-        .agg(F.countDistinct("user_id").alias("wau"))
+        .filter(F.col("dau") > 0)
+        .select(F.col("day_w").alias("day"), "dau", "wau")
     )
-    dau = pairs.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
-    return dau.join(
-        wau.withColumnRenamed("day_w", "day"), "day"
-    ).select("day", "dau", "wau")
 
 
 register(

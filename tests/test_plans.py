@@ -478,3 +478,26 @@ def test_fact_scan_counts_in_scalar_stat_queries(spark, sf_dir):
             assert plan.count(tbl) == want, (fn.__name__, plan)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_activity_queries_single_reference_fact(spark, sf_dir):
+    """weekly_active_users derives DAU, WAU, and the day spine from
+    ONE grouped pass (events scanned once; DAU is a plain conditional
+    sum over the already-distinct pairs, so the aggregate stays on the
+    no-Expand single-distinct path); timeseries_gap_fill builds its
+    spine from the per-category bounds of one pass plus the intrinsic
+    filtered-counts pass (two scans)."""
+    from gaming_ai_analytics_spark.queries_analytics import (
+        q_timeseries_gap_fill,
+        q_weekly_active_users,
+    )
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = _plan(q_weekly_active_users(spark, sf_dir))
+        assert p.count("events.parquet") == 1, p
+        assert "Expand" not in p, p
+        p = _plan(q_timeseries_gap_fill(spark, sf_dir))
+        assert p.count("events.parquet") == 2, p
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
