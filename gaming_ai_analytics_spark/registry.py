@@ -104,11 +104,17 @@ def _load_all() -> None:
 #: `supplier_part_variety` `large_volume_customers`
 #: `dominant_part_suppliers` `sole_return_suppliers` plus
 #: `dataset_hash_split` `sample_exact_k_per_group` `corpus_drift_kl`
-#: `group_by_all_sql` `parameterized_sql`, and the RESHAPED
+#: `group_by_all_sql` `parameterized_sql`; the RESHAPED
 #: `dedup_embedding_lsh` — its oracle changed to the scale-stable
 #: recall contract late r5, so it needs a fresh driver row even
-#: though the r1-r3 rows were green) — then the r4-green bench
-#: headliners, then oldest last-green.
+#: though the r1-r3 rows were green; and the queries whose PLANS were
+#: rewritten by the late-r5 one-scan audit — `min_cost_supplier`
+#: `supplier_value_concentration` `top_supplier_revenue`
+#: `dominant_part_suppliers` `skew_top_keys` `approx_topk_contract`
+#: `mixture_rebalance` `weekly_active_users` `timeseries_gap_fill` —
+#: results verified identical locally, but a changed plan deserves a
+#: fresh driver row) — then the r4-green bench headliners, then
+#: oldest last-green.
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship first — the smoke-check query (join order reworked r5)
     "flagship_star_metrics",
