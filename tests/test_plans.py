@@ -501,3 +501,28 @@ def test_activity_queries_single_reference_fact(spark, sf_dir):
         assert p.count("events.parquet") == 2, p
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """User-facing join-strategy hints (the escape hatch when the
+    cost model guesses wrong on a real cluster): BROADCAST must force
+    a broadcast join even where sizes wouldn't pick it, MERGE must
+    force sort-merge even for a broadcastable side, and the AQE
+    REBALANCE hint must insert a rebalance-mode exchange."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    p = _plan(
+        li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+    )
+    assert "SortMergeJoin" in p, p
+
+    p = _plan(
+        li.join(
+            orders.hint("broadcast"), li.l_orderkey == orders.o_orderkey
+        )
+    )
+    assert "BroadcastHashJoin" in p, p
+
+    p = li.hint("rebalance")._jdf.queryExecution().optimizedPlan().toString()
+    assert "rebalance" in p.lower(), p
