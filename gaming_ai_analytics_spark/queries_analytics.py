@@ -12,7 +12,7 @@ hash-min label propagation (``operators/graph.py``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from pyspark.sql import functions as F
 
@@ -963,5 +963,119 @@ register(
                AS n_month_ends
     FROM orders
     GROUP BY 1
+    """,
+)
+
+
+def q_pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (cumulative-concentration) report: suppliers ranked by
+    revenue with each one's running share of the total — the
+    "which 20% carry 80%" analysis. One fact aggregation (map-side
+    combined), then rank + running sum + total all from a SINGLE
+    ordered window pass over the compact |suppliers|-row relation
+    (same sort satisfies the rank and the cumulative frame; the total
+    is the unbounded frame of the same partition — Catalyst plans one
+    Window operator, no second scan, per the one-scan audit). Top-20
+    emitted; the shares still reflect the WHOLE population."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "_rev"
+        )
+    )
+    w_ord = Window.orderBy(F.col("_rev").desc(), "l_suppkey")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        F.row_number().over(w_ord).alias("rank"),
+        "l_suppkey",
+        F.round("_rev", 2).alias("revenue"),
+        F.round(
+            F.sum("_rev").over(w_cum) / F.sum("_rev").over(w_all), 6
+        ).alias("cum_share"),
+    )
+    return ranked.filter(F.col("rank") <= 20)
+
+
+register(
+    "pareto_revenue_share",
+    q_pareto_revenue_share,
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(l_extendedprice * (1 - l_discount)) AS _rev
+      FROM lineitem GROUP BY 1)
+    SELECT rank, l_suppkey, revenue, cum_share
+    FROM (
+      SELECT ROW_NUMBER() OVER (ORDER BY _rev DESC, l_suppkey) AS rank,
+             l_suppkey, ROUND(_rev, 2) AS revenue,
+             ROUND(SUM(_rev) OVER (ORDER BY _rev DESC, l_suppkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   / SUM(_rev) OVER (), 6) AS cum_share
+      FROM rev)
+    WHERE rank <= 20
+    """,
+)
+
+
+def q_chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen between two corpus dimensions
+    (language × source) — the statistical QA a training-mix owner
+    runs to detect coupled ingest (a source that only contributes one
+    language skews the mixture solver). Observed counts from one
+    grouped pass; row totals, column totals, and the grand total all
+    attach via THREE window frames over the same compact contingency
+    relation (|langs|·|sources| rows — no second corpus scan, per the
+    one-scan audit); the statistic is the plain Pearson sum. Output
+    is the statistic plus the table's degrees of freedom — the
+    consumer compares against their chosen critical value."""
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_lang = Window.partitionBy("lang")
+    w_src = Window.partitionBy("source")
+    w_all = Window.partitionBy()
+    cells = obs.select(
+        "lang",
+        "source",
+        "n",
+        (
+            F.sum("n").over(w_lang)
+            * F.sum("n").over(w_src)
+            / F.sum("n").over(w_all)
+        ).alias("_exp"),
+        F.count(F.lit(1)).over(w_lang).alias("_nc"),
+        F.count(F.lit(1)).over(w_src).alias("_nr"),
+    )
+    return cells.agg(
+        F.round(
+            F.sum(F.pow(F.col("n") - F.col("_exp"), 2) / F.col("_exp")), 4
+        ).alias("chi2"),
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            (F.countDistinct("lang") - 1)
+            * (F.countDistinct("source") - 1)
+        ).alias("dof"),
+    )
+
+
+register(
+    "chisq_lang_source",
+    q_chisq_lang_source,
+    """
+    WITH obs AS (
+      SELECT lang, source, COUNT(*) AS n
+      FROM documents GROUP BY 1, 2),
+    cells AS (
+      SELECT lang, source, n,
+             SUM(n) OVER (PARTITION BY lang)
+               * SUM(n) OVER (PARTITION BY source)
+               * 1.0 / SUM(n) OVER () AS _exp
+      FROM obs)
+    SELECT ROUND(SUM(POW(n - _exp, 2) / _exp), 4) AS chi2,
+           COUNT(*) AS n_cells,
+           (COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1) AS dof
+    FROM cells
     """,
 )
