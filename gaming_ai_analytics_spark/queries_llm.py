@@ -998,3 +998,81 @@ register(
     ORDER BY lang
     """,
 )
+
+
+def q_doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rarity: the mean self-information of the doc's
+    distinct 3-word shingles, idf = ln(N / df) — the quality signal
+    that separates boilerplate/template text (common shingles, score
+    → 0) from novel content. One corpus scan: the exploded shingle
+    relation feeds BOTH the document-frequency index (shingle-keyed
+    shuffle, map-side combined — the same scale shape as the Jaccard
+    dedup tier) and the per-doc sizes; N (docs with ≥1 shingle)
+    attaches to the compact |docs|-row sizes relation via an
+    empty-partition window. Mean log-idf is algebraically
+    ln(N) − Σln(df)/n, so the per-doc aggregation needs only the
+    postings join, no per-shingle N."""
+    docs = _nonempty_docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("s")
+    )
+    # document frequency per shingle — one shuffle, map-side combined
+    df_rel = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # N (docs with ≥1 shingle) from the same exploded relation via an
+    # aggregation of the compact per-doc sizes — no second corpus scan
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy())
+    sized = sizes.select("doc_id", "n_sh", n_docs.alias("n_docs"))
+    return (
+        sh.join(df_rel, "s")
+        .groupBy("doc_id")
+        .agg(F.sum(F.log(F.col("df").cast("double"))).alias("_sum_log_df"))
+        .join(sized, "doc_id")
+        .select(
+            "doc_id",
+            "n_sh",
+            F.round(
+                F.log(F.col("n_docs").cast("double"))
+                - F.col("_sum_log_df") / F.col("n_sh"),
+                4,
+            ).alias("rarity"),
+        )
+    )
+
+
+from pyspark.sql import Window  # noqa: E402
+
+from gaming_ai_analytics_spark.functions.text import word_shingles  # noqa: E402
+from gaming_ai_analytics_spark.queries_traindata import (  # noqa: E402
+    _docs as _nonempty_docs,
+)
+
+register(
+    "doc_rarity_score",
+    q_doc_rarity_score,
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(TRIM(text), ' +') AS t
+      FROM documents
+      WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0
+    ),
+    pos AS (
+      SELECT doc_id, unnest(generate_series(1, len(t) - 2)) AS i, t
+      FROM toks WHERE len(t) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM pos
+    ),
+    dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM sizes)
+    SELECT sh.doc_id, sizes.n_sh,
+           ROUND(LN(n.n_docs) - SUM(LN(dfreq.df)) / sizes.n_sh, 4)
+             AS rarity
+    FROM sh
+    JOIN dfreq USING (s)
+    JOIN sizes ON sh.doc_id = sizes.doc_id, n
+    GROUP BY sh.doc_id, sizes.n_sh, n.n_docs
+    """,
+)
