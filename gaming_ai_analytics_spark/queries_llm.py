@@ -1016,27 +1016,30 @@ def q_doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("s")
     )
-    # document frequency per shingle — one shuffle, map-side combined
-    df_rel = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    # N (docs with ≥1 shingle) from the same exploded relation via an
-    # aggregation of the compact per-doc sizes — no second corpus scan
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # SINGLE-REFERENCE postings relation (the audit tool caught the
+    # first draft of this query scanning the corpus three times —
+    # df-index, sizes, and the postings join were separate branches):
+    # document frequency attaches via a shingle-keyed window (same
+    # data movement as the groupBy index, minus the join-back
+    # shuffle), then ONE per-doc aggregation yields sizes and the
+    # log-idf mass together; N attaches to the compact |docs|-row
+    # result via an empty-partition window.
+    with_df = sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("s"))
+    )
+    per_doc = with_df.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        F.sum(F.log(F.col("df").cast("double"))).alias("_sum_log_df"),
+    )
     n_docs = F.count(F.lit(1)).over(Window.partitionBy())
-    sized = sizes.select("doc_id", "n_sh", n_docs.alias("n_docs"))
-    return (
-        sh.join(df_rel, "s")
-        .groupBy("doc_id")
-        .agg(F.sum(F.log(F.col("df").cast("double"))).alias("_sum_log_df"))
-        .join(sized, "doc_id")
-        .select(
-            "doc_id",
-            "n_sh",
-            F.round(
-                F.log(F.col("n_docs").cast("double"))
-                - F.col("_sum_log_df") / F.col("n_sh"),
-                4,
-            ).alias("rarity"),
-        )
+    return per_doc.select(
+        "doc_id",
+        "n_sh",
+        F.round(
+            F.log(n_docs.cast("double"))
+            - F.col("_sum_log_df") / F.col("n_sh"),
+            4,
+        ).alias("rarity"),
     )
 
 
