@@ -1079,3 +1079,90 @@ register(
     GROUP BY sh.doc_id, sizes.n_sh, n.n_docs
     """,
 )
+
+
+def q_embedding_quantization_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scalar int8 quantization error profile — the QA a vector store
+    runs before committing to 4× compression: each vector quantizes
+    per its OWN [min, max] range to 256 levels (the scheme most
+    engines ship as 'SQ8'), dequantizes, and reports reconstruction
+    MSE. All arithmetic is deterministic higher-order lambdas over
+    the array column (map-only, no Python), aggregated to per-label
+    stats: worst-case and average MSE next to the theoretical uniform
+    bound (range²/12·levels² for comparison — a reconstruction MUCH
+    worse than the bound means a quantizer bug, not data). The oracle
+    replicates the identical arithmetic in DuckDB list lambdas."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    lo = F.array_min(v).cast("double")
+    hi = F.array_max(v).cast("double")
+    scale = (hi - lo) / 255.0
+    # quantize→dequantize in one transform: q = round((x-lo)/scale),
+    # x' = lo + q*scale; guard the flat-vector case (scale=0 → exact)
+    err2 = F.aggregate(
+        F.transform(
+            v,
+            lambda x: F.when(scale == 0, F.lit(0.0)).otherwise(
+                F.pow(
+                    x.cast("double")
+                    - (
+                        lo
+                        + F.round((x.cast("double") - lo) / scale, 0) * scale
+                    ),
+                    2,
+                )
+            ),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    per_vec = emb.select(
+        "label",
+        (err2 / F.size(v)).alias("_mse"),
+        (F.pow(hi - lo, 2) / (12.0 * 255.0 * 255.0)).alias("_bound"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("_mse") * 1e6, 4).alias("avg_mse_ppm"),
+            F.round(F.max("_mse") * 1e6, 4).alias("max_mse_ppm"),
+            F.round(F.avg("_bound") * 1e6, 4).alias("uniform_bound_ppm"),
+        )
+        .orderBy("label")
+    )
+
+
+register(
+    "embedding_quantization_profile",
+    q_embedding_quantization_profile,
+    """
+    WITH per_vec AS (
+      SELECT label,
+             list_sum(list_transform(embedding, x ->
+               CASE WHEN (list_max(embedding) - list_min(embedding)) = 0
+                    THEN 0.0
+                    ELSE POW(CAST(x AS DOUBLE)
+                      - (CAST(list_min(embedding) AS DOUBLE)
+                         + ROUND((CAST(x AS DOUBLE)
+                                  - CAST(list_min(embedding) AS DOUBLE))
+                                 / ((CAST(list_max(embedding) AS DOUBLE)
+                                     - CAST(list_min(embedding) AS DOUBLE))
+                                    / 255.0), 0)
+                           * ((CAST(list_max(embedding) AS DOUBLE)
+                               - CAST(list_min(embedding) AS DOUBLE))
+                              / 255.0)), 2) END))
+               / len(embedding) AS _mse,
+             POW(CAST(list_max(embedding) AS DOUBLE)
+                 - CAST(list_min(embedding) AS DOUBLE), 2)
+               / (12.0 * 255.0 * 255.0) AS _bound
+      FROM embeddings)
+    SELECT label, COUNT(*) AS n_vectors,
+           ROUND(AVG(_mse) * 1e6, 4) AS avg_mse_ppm,
+           ROUND(MAX(_mse) * 1e6, 4) AS max_mse_ppm,
+           ROUND(AVG(_bound) * 1e6, 4) AS uniform_bound_ppm
+    FROM per_vec GROUP BY 1 ORDER BY label
+    """,
+)
