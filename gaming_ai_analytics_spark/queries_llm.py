@@ -1166,3 +1166,62 @@ register(
     FROM per_vec GROUP BY 1 ORDER BY label
     """,
 )
+
+
+def q_binaryfile_ingest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal INGEST path: Spark's ``binaryFile`` source —
+    how image/audio/video assets actually enter a pipeline (one file
+    per asset → rows of ``(path, modificationTime, length,
+    content)``). The fixture's asset payloads are landed as real
+    files once per scale factor (DISTRIBUTED write via
+    ``foreachPartition`` — executors write their own partitions'
+    files; no driver-side loop), then scanned back through the
+    binaryFile reader; the asset id recovers from the file NAME
+    (the X7 filename-parsing surface) and the content is
+    checksummed engine-side. A lossless ingest hashes identically to
+    the oracle recomputing ``sha256(encode(text))`` from the parquet
+    fixture — proving the read path end to end, not just the write.
+    At 100 TB the same reader fans out over an object-store listing;
+    ``pathGlobFilter``/``recursiveFileLookup`` handle layout."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"gaa_binfiles_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+
+    def write_part(rows):
+        for r in rows:
+            with open(
+                os.path.join(path, f"asset_{r['doc_id']}.bin"), "wb"
+            ) as fh:
+                fh.write(r["text"].encode("utf-8"))
+
+    docs.select("doc_id", "text").foreachPartition(write_part)
+    binf = spark.read.format("binaryFile").load(path)
+    return binf.select(
+        F.regexp_extract(F.col("path"), r"asset_(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("asset_id"),
+        F.col("length").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )
+
+
+register(
+    "binaryfile_ingest_scan",
+    q_binaryfile_ingest_scan,
+    """
+    SELECT doc_id AS asset_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS content_sha256
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
