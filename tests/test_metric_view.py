@@ -175,3 +175,35 @@ def test_consumer_sql_checks_declared_view_name(spark, sf_dir):
     assert len(ok) > 0
     with _pytest.raises(ValueError, match="order_metrics"):
         named.sql("SELECT MEASURE(order_count) FROM other_view")
+
+
+def test_consumer_sql_equals_query_for_every_subset(mv):
+    """Exhaustive equivalence sweep: for EVERY non-empty subset of
+    declared dimensions × measures, the consumer-SQL path
+    (``sql("SELECT d, MEASURE(m) FROM v GROUP BY d")``) must return
+    the identical result as the programmatic ``query(dims,
+    measures)`` path — the two consumer surfaces can never drift.
+    (The earlier tests pin individual shapes; this pins the whole
+    contract space of the spec, 2^2-1 × 2^3-1 = 21 combinations.)"""
+    from itertools import combinations
+
+    dims_all = list(mv.spec.dimensions)
+    meas_all = list(mv.spec.measures)
+    for dn in range(1, len(dims_all) + 1):
+        for dims in combinations(dims_all, dn):
+            for mn in range(1, len(meas_all) + 1):
+                for meas in combinations(meas_all, mn):
+                    select = ", ".join(dims) + ", " + ", ".join(
+                        f"MEASURE({m})" for m in meas
+                    )
+                    text = (
+                        f"SELECT {select} FROM metrics_view "
+                        f"GROUP BY {', '.join(dims)}"
+                    )
+                    via_sql = sorted(
+                        map(tuple, mv.sql(text).collect())
+                    )
+                    via_api = sorted(
+                        map(tuple, mv.query(list(dims), list(meas)).collect())
+                    )
+                    assert via_sql == via_api, (dims, meas)
