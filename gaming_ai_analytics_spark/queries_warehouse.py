@@ -1271,3 +1271,58 @@ register(
     LIMIT 10
     """,
 )
+
+
+def q_fulfillment_latency_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-to-first-ship latency distribution by priority — the
+    operations dashboard for SLA tracking. Per-order first ship date
+    is one order-key aggregation of the fact (map-side combined); the
+    day-difference joins the orders side (AQE picks the strategy) and
+    the profile aggregates on the 5-value priority key. The exact
+    median's aggregation state is a value→count map over day-diffs —
+    cardinality-bounded (a few hundred distinct day values), the same
+    bounded-percentile argument as the flagship's quantity median."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("_first_ship")
+    )
+    lat = first_ship.join(
+        orders, first_ship.l_orderkey == orders.o_orderkey
+    ).select(
+        "o_orderpriority",
+        F.datediff("_first_ship", "o_orderdate").alias("_days"),
+    )
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("_days"), 4).alias("avg_days"),
+            F.round(F.expr("percentile(_days, 0.5D)"), 2).alias(
+                "median_days"
+            ),
+            F.max("_days").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+register(
+    "fulfillment_latency_profile",
+    q_fulfillment_latency_profile,
+    """
+    WITH lat AS (
+      SELECT o_orderpriority,
+             date_diff('day', o_orderdate, fs) AS _days
+      FROM (SELECT l_orderkey, MIN(l_shipdate) AS fs
+            FROM lineitem GROUP BY 1) f
+      JOIN orders ON l_orderkey = o_orderkey)
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(AVG(_days), 4) AS avg_days,
+           ROUND(quantile_cont(_days, 0.5), 2) AS median_days,
+           MAX(_days) AS max_days
+    FROM lat GROUP BY 1 ORDER BY o_orderpriority
+    """,
+)
