@@ -77,9 +77,17 @@ class MetricView:
             raise ValueError(f"metric view references unknown tables: {missing}")
         # temp views registered below live in the TABLES' session —
         # resolve compiled SQL there, not on the caller handle, so the
-        # binding stays correct however the tables were loaded
+        # binding stays correct however the tables were loaded. Mixed
+        # sessions would scatter the views across sessions the SQL
+        # never queries — reject that up front.
+        sessions = {id(df.sparkSession): df.sparkSession for df in tables.values()}
+        if len(sessions) > 1:
+            raise ValueError(
+                "metric view tables must share one SparkSession; got "
+                f"{len(sessions)} distinct sessions across {sorted(tables)}"
+            )
         self.spark = (
-            next(iter(tables.values())).sparkSession if tables else spark
+            next(iter(sessions.values())) if sessions else spark
         )
         self.spec = spec
         self.name = name

@@ -1023,36 +1023,50 @@ def q_chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     (language × source) — the statistical QA a training-mix owner
     runs to detect coupled ingest (a source that only contributes one
     language skews the mixture solver). Observed counts from one
-    grouped pass; row totals, column totals, and the grand total all
-    attach via THREE window frames over the same compact contingency
-    relation (|langs|·|sources| rows — no second corpus scan, per the
-    one-scan audit); the statistic is the plain Pearson sum. Output
-    is the statistic plus the table's degrees of freedom — the
+    grouped pass; the contingency table is then DENSIFIED — the
+    |langs|×|sources| cross of the marginal relations — so an absent
+    (lang, source) cell contributes its full (0−E)²/E = E mass to the
+    Pearson sum (summing observed cells only understates χ² exactly
+    when the table is sparse, the regime where independence breaks).
+    Both marginals and the cross product are aggregate-sized; the
+    corpus is scanned once. Output is the statistic, the dense and
+    observed cell counts, and the table's degrees of freedom — the
     consumer compares against their chosen critical value."""
     docs = load_table(spark, sf_dir, "documents")
     obs = docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n")
     )
-    w_lang = Window.partitionBy("lang")
-    w_src = Window.partitionBy("source")
-    w_all = Window.partitionBy()
-    cells = obs.select(
+    lt = obs.groupBy("lang").agg(F.sum("n").alias("_lt"))
+    st = obs.groupBy("source").agg(F.sum("n").alias("_st"))
+    # dense grid = marginal × marginal (both |dim|-sized); observed
+    # counts re-attach null-safely (a NULL lang is a real category)
+    dense = lt.crossJoin(F.broadcast(st))
+    # rename the observed side — dense and obs share lineage, so a
+    # direct self-join on the natural names is ambiguous
+    obs_r = obs.select(
+        F.col("lang").alias("_ol"), F.col("source").alias("_os"), "n"
+    )
+    cells = dense.join(
+        obs_r,
+        F.col("lang").eqNullSafe(F.col("_ol"))
+        & F.col("source").eqNullSafe(F.col("_os")),
+        "left",
+    ).select(
         "lang",
         "source",
-        "n",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
         (
-            F.sum("n").over(w_lang)
-            * F.sum("n").over(w_src)
-            / F.sum("n").over(w_all)
+            F.col("_lt")
+            * F.col("_st")
+            / F.sum("_lt").over(Window.partitionBy("source"))
         ).alias("_exp"),
-        F.count(F.lit(1)).over(w_lang).alias("_nc"),
-        F.count(F.lit(1)).over(w_src).alias("_nr"),
     )
     return cells.agg(
         F.round(
             F.sum(F.pow(F.col("n") - F.col("_exp"), 2) / F.col("_exp")), 4
         ).alias("chi2"),
         F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.when(F.col("n") > 0, 1).otherwise(0)).alias("n_obs_cells"),
         (
             (F.countDistinct("lang") - 1)
             * (F.countDistinct("source") - 1)
@@ -1067,14 +1081,20 @@ register(
     WITH obs AS (
       SELECT lang, source, COUNT(*) AS n
       FROM documents GROUP BY 1, 2),
+    lt AS (SELECT lang, SUM(n) AS _lt FROM obs GROUP BY 1),
+    st AS (SELECT source, SUM(n) AS _st FROM obs GROUP BY 1),
+    gt AS (SELECT SUM(n) AS _gt FROM obs),
     cells AS (
-      SELECT lang, source, n,
-             SUM(n) OVER (PARTITION BY lang)
-               * SUM(n) OVER (PARTITION BY source)
-               * 1.0 / SUM(n) OVER () AS _exp
-      FROM obs)
+      SELECT lt.lang, st.source, COALESCE(o.n, 0) AS n,
+             _lt * _st * 1.0 / _gt AS _exp
+      FROM lt CROSS JOIN st CROSS JOIN gt
+      LEFT JOIN obs o
+        ON lt.lang IS NOT DISTINCT FROM o.lang
+       AND st.source IS NOT DISTINCT FROM o.source)
     SELECT ROUND(SUM(POW(n - _exp, 2) / _exp), 4) AS chi2,
            COUNT(*) AS n_cells,
+           CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_obs_cells,
            (COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1) AS dof
     FROM cells
     """,

@@ -1182,20 +1182,21 @@ def q_binaryfile_ingest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle recomputing ``sha256(encode(text))`` from the parquet
     fixture — proving the read path end to end, not just the write.
     At 100 TB the same reader fans out over an object-store listing;
-    ``pathGlobFilter``/``recursiveFileLookup`` handle layout."""
+    ``pathGlobFilter``/``recursiveFileLookup`` handle layout.
+
+    The landing directory is a per-invocation ``mkdtemp`` — two
+    concurrent invocations never share a path. The local-FS landing
+    zone assumes executors and driver see one filesystem (true in
+    local mode and on any shared mount); on a real cluster the path
+    would be an object-store URI, which the same ``foreachPartition``
+    write and ``binaryFile`` read handle unchanged."""
     import os
-    import shutil
     import tempfile
 
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"gaa_binfiles_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path, exist_ok=True)
+    path = tempfile.mkdtemp(prefix="gaa_binfiles_")
 
     def write_part(rows):
         for r in rows:

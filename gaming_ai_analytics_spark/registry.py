@@ -72,120 +72,151 @@ def _load_all() -> None:
 #: checked window.  So the window is pinned EXPLICITLY: these names are
 #: moved to the front (in this order) after all modules register.
 #:
-#: Round-5 composition (VERDICT r4 asks #2 and #7): flagship, the
-#: never-driver-checked ``dedup_cluster_assign_star`` (now the
-#: ``dedup_clusters`` default), every query whose implementation or
-#: oracle changed in round 5 (the reworked exact top-k + its two
-#: recall contracts with the parameterized oracle, the two CC
-#: consumers riding the rewritten star scheme, the reordered
-#: flagship, metric-view), the two round-5 additions (ORC round-trip,
-#: per-domain cap — never driver-checked), and ALL 40 queries whose
-#: last driver row is round 2 — the staleness cap (no entry older
-#: than two rounds) binds exactly 40+10 = 50 slots, so the r4-green
-#: bench headliners sit this round out (they keep
-#: ``tools/verify_local.py`` + pytest coverage and rotate back in
-#: round 6). Every name below carries a full oracle — zero rows-only
-#: checks in the window.
-#:
-#: ROUND-6 ROTATION QUEUE (in priority order): the ~30 late-r5
-#: additions with no driver row yet — COVERAGE.md marks each
-#: "r6 window candidate" (warehouse Q5/Q7/Q8/Q11/Q14/Q17/Q19/Q22
-#: analogs, grouping sets, LATERAL, recursive CTE, VARIANT,
-#: approx_top_k contract, xml/csv parsing, fuzzy match, regex
-#: mentions, UDAF/applyInPandas/mapInArrow ladder, null-safe join,
-#: string_agg, EXCEPT/INTERSECT ALL, union-by-name, try arithmetic,
-#: value-RANGE frame, calendar/timezone/width_bucket, Python
-#: DataSource batch+stream, content hashes, zorder, UDTF,
-#: stream-left-join + TTL dedup from early r5, and the late-r5
-#: TPC-H completion sweep — Q2/Q3/Q6/Q9/Q13/Q15/Q16/Q18/Q20/Q21
-#: analogs `min_cost_supplier` `shipping_priority`
-#: `forecast_revenue_delta` `product_profit_by_nation_year`
-#: `customer_order_distribution` `top_supplier_revenue`
-#: `supplier_part_variety` `large_volume_customers`
-#: `dominant_part_suppliers` `sole_return_suppliers` plus
-#: `dataset_hash_split` `sample_exact_k_per_group` `corpus_drift_kl`
-#: `group_by_all_sql` `parameterized_sql`; the RESHAPED
-#: `dedup_embedding_lsh` — its oracle changed to the scale-stable
-#: recall contract late r5, so it needs a fresh driver row even
-#: though the r1-r3 rows were green; and the queries whose PLANS were
-#: rewritten by the late-r5 one-scan audit — `min_cost_supplier`
-#: `supplier_value_concentration` `top_supplier_revenue`
-#: `dominant_part_suppliers` `skew_top_keys` `approx_topk_contract`
-#: `mixture_rebalance` `weekly_active_users` `timeseries_gap_fill` —
-#: results verified identical locally, but a changed plan deserves a
-#: fresh driver row) — then the r4-green bench headliners, then
-#: oldest last-green.
+#: ROUND-6 COMPOSITION (VERDICT r5 ask #1 — drain the driver-evidence
+#: backlog, highest-risk first): every slot goes to a query with NO
+#: prior driver row or a CHANGED plan/oracle — the window is disjoint
+#: from the 50 r5-green names by construction (a slot spent re-proving
+#: last round's rows is a slot wasted; ``tests/test_registry_window``
+#: pins that invariant).  Priority order:
+#:   1. changed-ORACLE: ``dedup_embedding_lsh`` (reshaped late r5 to
+#:      the scale-stable recall contract — r1-r3 rows predate it);
+#:   2. changed-PLAN (late-r5 one-scan audit rewrites, locally
+#:      verified identical but deserving fresh driver rows):
+#:      ``skew_top_keys`` ``mixture_rebalance`` ``weekly_active_users``
+#:      ``timeseries_gap_fill`` ``min_cost_supplier``
+#:      ``supplier_value_concentration`` ``top_supplier_revenue``
+#:      ``dominant_part_suppliers`` ``approx_topk_contract``;
+#:   3. the never-driver-checked late-r5 surfaces, complex operators
+#:      before simple language surfaces: the TPC-H completion sweep,
+#:      the analytics/warehouse reports, the full Python-eval ladder
+#:      (UDAF / applyInPandas / mapInArrow / UDTF) + Python
+#:      DataSource batch+stream, the traindata/LLM additions
+#:      (fuzzy match, drift-KL, samplers, rarity, quantization,
+#:      binaryFile, bitmap), and the riskiest SQL surfaces
+#:      (recursive CTE, VARIANT, XML, Z-order, GROUP BY ALL,
+#:      parameterized SQL).
+#: Every name carries a full oracle — zero rows-only checks in the
+#: window.  What does NOT fit (16 never-checked low-risk simple
+#: surfaces + the two rows-only pure-ANN queries + the 30 r3-stale
+#: entries) is enumerated in ``ROTATION_BACKLOG`` below, in r7
+#: priority order — the staleness test asserts nothing stale has
+#: fallen off both lists.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # flagship first — the smoke-check query (join order reworked r5)
-    "flagship_star_metrics",
-    # the dedup_clusters default CC scheme: first-ever driver row,
-    # plus the consumer riding the r5 convergence rewrite (hash-min's
-    # own query is unchanged this round — r3-green, rotates back r6)
-    "dedup_cluster_assign_star",
-    "dedup_survivors",
-    "global_quality_rank",
-    # exact top-k reworked r5 (Arrow fan-out) + recall contracts
-    # whose oracle was parameterized r5
-    "similarity_topk",
-    "similarity_topk_lsh_recall",
-    "similarity_topk_ivf_recall",
-    # metric-view consumer-SQL hardening landed r5
-    "metric_view_region",
-    # round-5 additions — first driver rows (these outrank keeping
-    # r4-green bench headliners fresh; the headliners rotate back r6)
-    "orc_roundtrip_scan",
-    "domain_cap_sample",
-    # --- the 40 round-2-stale entries (last driver row r2) ---
-    # filters / projections / scalars
-    "filter_numeric_conjunction",
-    "filter_boolean_algebra",
-    "filter_isin",
-    "filter_null_guard",
-    "project_rename",
-    "derived_columns",
-    "scalar_string_functions",
-    "case_when_banding",
-    # joins
-    "join_flatten_dim",
-    "join_anti_incremental",
-    "join_inner",
-    "join_semi",
-    # aggregations
-    "agg_count_by_group",
-    "agg_avg_by_group",
-    "agg_conditional_ratio",
-    "agg_distinct",
-    "agg_global_counts",
-    "agg_uniqueness_check",
-    "agg_cube",
-    # sort-limit
-    "topk_orders",
-    # windows
-    "window_running_sum",
-    "window_lag_delta",
-    "window_ntile_pctrank",
-    "window_value_functions",
-    # set ops
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    # event-time batch
-    "events_daily_rollup",
-    "events_asof_enrich",
-    "events_range_join",
-    "events_json_props",
-    # stats / data quality
-    "stat_correlation",
-    "dq_range_violations",
-    "dq_uniqueness_violations",
-    # UDF surface + metric-view consumer variant
-    "translate_dim_names",
-    "metric_view_two_dims_where",
-    # sources + reshapes + SCD
-    "csv_roundtrip_scan",
-    "jsonl_roundtrip_scan",
-    "unpivot_measures",
-    "scd2_customer_segment",
+    # -- 1. changed oracle ------------------------------------------
+    "dedup_embedding_lsh",
+    # -- 2. changed plans (one-scan audit) --------------------------
+    "skew_top_keys",
+    "mixture_rebalance",
+    "weekly_active_users",
+    "timeseries_gap_fill",
+    "min_cost_supplier",
+    "supplier_value_concentration",
+    "top_supplier_revenue",
+    "dominant_part_suppliers",
+    "approx_topk_contract",
+    # -- 3a. TPC-H completion sweep (never checked) -----------------
+    "shipping_priority",
+    "forecast_revenue_delta",
+    "product_profit_by_nation_year",
+    "customer_order_distribution",
+    "supplier_part_variety",
+    "large_volume_customers",
+    "sole_return_suppliers",
+    # -- 3b. analytics / warehouse reports (never checked) ----------
+    "order_aging_report",
+    "pareto_revenue_share",
+    "chisq_lang_source",
+    "regional_supplier_volume",
+    "nation_trade_flows",
+    "market_share",
+    "idle_rich_customers",
+    "promo_revenue_share",
+    "small_quantity_revenue",
+    "disjunctive_predicate_join",
+    "fulfillment_latency_profile",
+    "lateral_topk_suppliers",
+    "agg_grouping_sets",
+    # -- 3c. Python-eval ladder + Python DataSource (never checked) -
+    "agg_geomean_udaf",
+    "grouped_zscore_applyinpandas",
+    "mapinarrow_bytelen",
+    "doc_chunking_udtf",
+    "python_datasource_scan",
+    "python_datasource_stream",
+    # -- 3d. traindata / LLM additions (never checked) --------------
+    "fuzzy_part_name_pairs",
+    "corpus_drift_kl",
+    "dataset_hash_split",
+    "sample_exact_k_per_group",
+    "doc_rarity_score",
+    "embedding_quantization_profile",
+    "binaryfile_ingest_scan",
+    "bitmap_distinct_users",
+    # -- 3e. SQL-language surfaces (never checked, riskiest first) --
+    "recursive_cte_spine",
+    "events_props_variant",
+    "xml_csv_roundtrip",
+    "zorder_key_events",
+    "group_by_all_sql",
+    "parameterized_sql",
+)
+
+#: Everything still owed a (fresh) driver row AFTER this round's
+#: window, in r7 priority order.  Layers: (a) the 14 never-checked
+#: low-risk simple surfaces + the 2 rows-only pure-ANN queries that
+#: lost the slot lottery this round; (b) the 30 entries whose last
+#: green driver row is round 3 (two-round staleness cap); the 44
+#: r4-green entries follow once CORRECTNESS_r06 lands (computed by
+#: the staleness test from committed history, not listed here).
+ROTATION_BACKLOG: tuple[str, ...] = (
+    # (a) never-checked, deferred this round
+    "window_value_range_frame",
+    "join_null_safe",
+    "events_stream_stream_left_join",
+    "events_streaming_dedupe_ttl",
+    "set_except_all",
+    "set_intersect_all",
+    "union_by_name_evolution",
+    "try_arithmetic_safety",
+    "string_agg_langs",
+    "quantity_width_buckets",
+    "events_local_hour_profile",
+    "regex_token_mentions",
+    "token_array_hof_profile",
+    "content_hash_manifest",
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    # (b) r3-stale
+    "agg_rollup",
+    "agg_scale_sketches",
+    "sql_ai_functions",
+    "pivot_lang_counts",
+    "dedup_exact_canonical",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "multimodal_frame_sample",
+    "doc_chunking",
+    "vocab_top_terms",
+    "tf_idf",
+    "sample_stratified",
+    "pii_redact",
+    "quality_repetition",
+    "decontaminate_eval_overlap",
+    "export_shards",
+    "traindata_curation_pipeline",
+    "events_tumbling_hourly",
+    "events_sliding_window",
+    "events_streaming_stateful_totals",
+    "events_streaming_dedupe",
+    "events_streaming_static_join",
+    "funnel_conversion",
+    "retention_cohorts",
+    "anomaly_zscore",
+    "agg_incremental_merge",
+    "latest_event_per_user",
+    "window_forward_fill",
+    "agg_sketch_rollup",
+    "dedup_cluster_assign",
 )
 
 

@@ -465,19 +465,25 @@ def test_fact_scan_counts_in_scalar_stat_queries(spark, sf_dir):
         q_mixture_rebalance,
     )
 
+    from gaming_ai_analytics_spark.sources.star import load_table
+
     cases = [
         (q_skew_top_keys, "events.parquet", 1),
         (q_corpus_drift_kl, "documents.parquet", 1),
         (q_approx_topk_contract, "lineitem.parquet", 2),  # sketch+counts
         (q_mixture_rebalance, "documents.parquet", 2),  # stats+output
     ]
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # toggle AQE on the session the cached tables EXECUTE in (load_table
+    # may hand back a DataFrame bound to a child session), mirroring
+    # test_runtime_bloom_filter_prunes_fact_join
+    exec_spark = load_table(spark, sf_dir, "events").sparkSession
+    exec_spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for fn, tbl, want in cases:
             plan = _plan(fn(spark, sf_dir))
             assert plan.count(tbl) == want, (fn.__name__, plan)
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        exec_spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
 def test_activity_queries_single_reference_fact(spark, sf_dir):
@@ -491,8 +497,10 @@ def test_activity_queries_single_reference_fact(spark, sf_dir):
         q_timeseries_gap_fill,
         q_weekly_active_users,
     )
+    from gaming_ai_analytics_spark.sources.star import load_table
 
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    exec_spark = load_table(spark, sf_dir, "events").sparkSession
+    exec_spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         p = _plan(q_weekly_active_users(spark, sf_dir))
         assert p.count("events.parquet") == 1, p
@@ -500,7 +508,7 @@ def test_activity_queries_single_reference_fact(spark, sf_dir):
         p = _plan(q_timeseries_gap_fill(spark, sf_dir))
         assert p.count("events.parquet") == 2, p
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        exec_spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
 def test_join_strategy_hints_are_honored(spark, sf_dir):

@@ -6,92 +6,88 @@ The driver's correctness pass checks only the FIRST 50 entries of
 Round 2 lost all driver evidence for 40 queries because new
 registrations silently shifted that prefix.  These tests pin the
 window so any future registration drift fails loudly in CI instead of
-silently in the next round's driver run.
+silently in the next round's driver run — and, from round 6, enforce
+the rotation discipline itself against the committed CORRECTNESS
+history (VERDICT r5 ask #7): a red ``test_stale_queries_all_scheduled
+_or_queued`` at round start means "rotate DRIVER_WINDOW before doing
+anything else".
 """
 
 from __future__ import annotations
 
+import json
+import pathlib
+
 from gaming_ai_analytics_spark import registry
 
-#: Round-5 window rationale: the never-driver-checked star-CC default,
-#: every query whose implementation or oracle changed in round 5, and
-#: the staleness cap — every query whose last driver row is round 2
-#: must re-prove this round (no registry entry may go more than two
-#: rounds without driver evidence). The whole point of the explicit
-#: window is that these get driver evidence.
-_MUST_BE_IN_WINDOW = {
-    # dedup_clusters default CC scheme — never driver-checked — plus
-    # the consumer re-proving the round-5 convergence rewrite
-    "dedup_cluster_assign_star",
-    "dedup_survivors",
-    # implementation / oracle changed in round 5
-    "flagship_star_metrics",
-    "similarity_topk",
-    "similarity_topk_lsh_recall",
-    "similarity_topk_ivf_recall",
-    "metric_view_region",
-    # added in round 5 — never driver-checked
-    "orc_roundtrip_scan",
-    "domain_cap_sample",
-    "global_quality_rank",
-    # round-2-stale (last driver row r2) — the staleness cap
-    "filter_numeric_conjunction",
-    "filter_boolean_algebra",
-    "filter_isin",
-    "filter_null_guard",
-    "project_rename",
-    "derived_columns",
-    "scalar_string_functions",
-    "case_when_banding",
-    "join_flatten_dim",
-    "join_anti_incremental",
-    "join_inner",
-    "join_semi",
-    "agg_count_by_group",
-    "agg_avg_by_group",
-    "agg_conditional_ratio",
-    "agg_distinct",
-    "agg_global_counts",
-    "agg_uniqueness_check",
-    "agg_cube",
-    "topk_orders",
-    "window_running_sum",
-    "window_lag_delta",
-    "window_ntile_pctrank",
-    "window_value_functions",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "events_daily_rollup",
-    "events_asof_enrich",
-    "events_range_join",
-    "events_json_props",
-    "stat_correlation",
-    "dq_range_violations",
-    "dq_uniqueness_violations",
-    "translate_dim_names",
-    "metric_view_two_dims_where",
-    "csv_roundtrip_scan",
-    "jsonl_roundtrip_scan",
-    "unpivot_measures",
-    "scd2_customer_segment",
-}
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def _green_history() -> tuple[int, dict[str, int]]:
+    """(latest committed round, query -> last round its driver row was
+    green).  Green = rows+schema match and the value hash matched when
+    one was recorded (rows-only entries have no hash signal)."""
+    last: dict[str, int] = {}
+    latest = 0
+    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rnd = int(f.stem.split("_r")[1])
+        latest = max(latest, rnd)
+        for name, row in json.loads(f.read_text()).items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") in (True, None)
+            ):
+                last[name] = rnd
+    return latest, last
 
 
 def test_driver_window_is_first_50():
     names = list(registry.queries())
     assert len(registry.DRIVER_WINDOW) == 50
+    assert len(set(registry.DRIVER_WINDOW)) == 50
     assert tuple(names[:50]) == registry.DRIVER_WINDOW
 
 
-def test_never_checked_queries_inside_window():
-    window = set(registry.DRIVER_WINDOW)
-    missing = _MUST_BE_IN_WINDOW - window
-    assert not missing, f"queries lacking driver evidence left outside: {missing}"
+def test_window_and_backlog_are_registered_and_disjoint():
+    qs = set(registry.queries())
+    assert set(registry.DRIVER_WINDOW) <= qs
+    assert set(registry.ROTATION_BACKLOG) <= qs
+    assert not set(registry.DRIVER_WINDOW) & set(registry.ROTATION_BACKLOG)
 
 
-def test_flagship_first():
-    assert next(iter(registry.queries())) == "flagship_star_metrics"
+def test_window_spends_no_slot_on_fresh_rows():
+    """Every window slot must buy NEW evidence: no name that already
+    has a green driver row from the latest committed round (those are
+    as fresh as evidence gets) may occupy one of the 50 slots."""
+    latest, last = _green_history()
+    fresh = {q for q, r in last.items() if r == latest}
+    wasted = set(registry.DRIVER_WINDOW) & fresh
+    assert not wasted, f"window slots wasted on latest-round-green: {wasted}"
+
+
+def test_stale_queries_all_scheduled_or_queued():
+    """The two-round staleness cap, enforced against committed history:
+    every registered query whose last green driver row is more than two
+    rounds behind the latest committed round (or that has never had
+    one) must be either in this round's DRIVER_WINDOW or explicitly
+    queued in ROTATION_BACKLOG.  Nothing goes stale silently.
+
+    When a new CORRECTNESS_r{N}.json lands this test recomputes — a
+    failure at round start is the designed signal to rotate the window
+    first (newly-stale names move into DRIVER_WINDOW or onto the
+    backlog, freshly-green names rotate out)."""
+    latest, last = _green_history()
+    stale = {
+        q for q in registry.queries() if last.get(q, 0) <= latest - 2
+    }
+    uncovered = (
+        stale - set(registry.DRIVER_WINDOW) - set(registry.ROTATION_BACKLOG)
+    )
+    assert not uncovered, (
+        f"stale queries fell off both the window and the backlog: "
+        f"{sorted(uncovered)}"
+    )
 
 
 def test_every_query_callable_and_oracle_keys_subset():
@@ -102,16 +98,19 @@ def test_every_query_callable_and_oracle_keys_subset():
         assert callable(fn)
 
 
+def test_window_entries_all_carry_full_oracles():
+    """Zero rows-only checks in the checked window — a slot without a
+    value-hash oracle is a weaker signal than every alternative name
+    on the backlog that has one."""
+    oracles = registry.oracle_sql()
+    weak = [n for n in registry.DRIVER_WINDOW if n not in oracles]
+    assert not weak, f"rows-only entries occupy window slots: {weak}"
+
+
 def test_every_registered_query_documented_in_coverage():
     """COVERAGE.md is the judge's §2 map — a registered query missing
     from it is invisible coverage. Every registry name must appear
     verbatim somewhere in the file."""
-    import pathlib
-
-    from gaming_ai_analytics_spark import registry
-
-    text = pathlib.Path(__file__).resolve().parent.parent.joinpath(
-        "COVERAGE.md"
-    ).read_text()
+    text = (REPO / "COVERAGE.md").read_text()
     missing = [n for n in registry.queries() if f"`{n}`" not in text]
     assert not missing, f"queries absent from COVERAGE.md: {missing}"
