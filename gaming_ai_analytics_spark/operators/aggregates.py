@@ -283,6 +283,169 @@ def exact_percentiles_scalable(
     )
 
 
+def bracket_exact_percentile(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_name: str,
+    p: float = 0.5,
+    accuracy: int = 10_000,
+    ndigits: int = 2,
+    companion_aggs: list[Column] | None = None,
+) -> DataFrame:
+    """EXACT interpolated percentile of ONE high-NDV column in two
+    full scans, with NDV-bounded companion aggregates riding the first
+    scan for free.
+
+    The registered-query specialization of
+    :func:`exact_percentiles_scalable`'s bracket strategy: that
+    function spends separate passes on an NDV probe, exact counts, and
+    the sketch because it must choose a strategy per column.  When the
+    caller already KNOWS the column is high-NDV (e.g. a price column
+    where NDV ≈ row count — the regime where the built-in
+    ``percentile``'s value→count partial state degenerates into the
+    raw column per group), those three collapse into one aggregation:
+
+    - **pass 1**: per group, the exact non-null count, a
+      ``percentile_approx`` bracket ``[p−ε, p+ε]`` (rank error ≤
+      n/accuracy, so the bracket provably contains the target ranks),
+      and every ``companion_aggs`` expression (built-in aggregates
+      whose state is fine — a low-NDV median, counts, sums).
+    - **pass 2**: join the broadcast brackets back, count values below
+      the bracket (exact rank offset) and collect the sorted
+      in-bracket slice — O(n/accuracy) values per group — then select
+      and interpolate exactly driver-side.  If the sketch bound is
+      ever violated the bracket widens and retries (one extra scan,
+      not expected).
+
+    Driver state: O(|groups| · n/accuracy) values, never a full group;
+    both passes are map-side-combinable aggregations.  Result column
+    is rounded ENGINE-side (Python ``round`` is banker's; Spark/DuckDB
+    ROUND is half-up — driver-side rounding is a knife-edge parity
+    bug).
+    """
+    spark = df.sparkSession
+    gcols = list(group_cols)
+    companions = list(companion_aggs or [])
+
+    margin = 4.0 / accuracy  # 4× the sketch's rank-error bound
+    results: dict[tuple, float | None] = {}
+    comp_rows: dict[tuple, tuple] = {}
+    comp_fields: list[T.StructField] = []
+    unresolved: set[tuple] = set()
+
+    for attempt in range(2):
+        eps = margin * (2**attempt * 2 - 1)  # widen on retry
+        p_lo, p_hi = max(0.0, p - eps), min(1.0, p + eps)
+        first = df.groupBy(*gcols).agg(
+            F.count(value_col).alias("_n"),
+            F.percentile_approx(
+                value_col, F.array(F.lit(p_lo), F.lit(p_hi)), F.lit(accuracy)
+            ).alias("_br"),
+            *(companions if attempt == 0 else []),
+        )
+        if attempt == 0:
+            comp_fields = [
+                first.schema[f]
+                for f in first.columns[len(gcols) + 2 :]
+            ]
+        rows = first.collect()
+        if attempt == 0:
+            counts = {tuple(r[g] for g in gcols): r["_n"] for r in rows}
+            comp_rows = {
+                tuple(r[g] for g in gcols): tuple(
+                    r[f.name] for f in comp_fields
+                )
+                for r in rows
+            }
+        keys = (
+            list(counts)
+            if attempt == 0
+            else [k for k in unresolved]
+        )
+        brackets = {
+            tuple(r[g] for g in gcols): (
+                (float(r["_br"][0]), float(r["_br"][1]))
+                if r["_br"] is not None
+                else (None, None)
+            )
+            for r in rows
+        }
+        todo = [k for k in keys if counts[k] > 0]
+        if not todo:
+            break
+        b_schema = T.StructType(
+            [df.schema[g] for g in gcols]
+            + [
+                T.StructField("_lo", T.DoubleType()),
+                T.StructField("_hi", T.DoubleType()),
+            ]
+        )
+        bdf = F.broadcast(
+            spark.createDataFrame(
+                [(*k, *brackets[k]) for k in todo], b_schema
+            )
+        )
+        slice_rows = (
+            df.join(bdf, gcols)
+            .groupBy(*gcols)
+            .agg(
+                F.sum(
+                    F.when(F.col(value_col) < F.col("_lo"), 1).otherwise(0)
+                ).alias("_below"),
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col(value_col).between(
+                                F.col("_lo"), F.col("_hi")
+                            ),
+                            F.col(value_col).cast("double"),
+                        )
+                    )
+                ).alias("_slice"),
+            )
+            .collect()
+        )
+        unresolved = set()
+        for r in slice_rows:
+            key = tuple(r[g] for g in gcols)
+            n = counts[key]
+            rk = 1.0 + (n - 1) * p
+            lo_r, hi_r = int(rk), int(-(-rk // 1))
+            below, sl = r["_below"], r["_slice"]
+            i_lo, i_hi = lo_r - below - 1, hi_r - below - 1
+            if 0 <= i_lo and i_hi < len(sl):
+                vlo, vhi = sl[i_lo], sl[i_hi]
+                results[key] = vlo + (vhi - vlo) * (rk - lo_r)
+            else:  # sketch bound violated — widen & retry this group
+                unresolved.add(key)
+        if not unresolved:
+            break
+    for key in unresolved:  # still unresolved: safe gathering fallback
+        results[key] = (
+            df.groupBy(*gcols)
+            .agg(F.percentile(value_col, F.lit(p)).alias("_v"))
+            .where(
+                F.struct(*gcols).eqNullSafe(F.struct(*[F.lit(v) for v in key]))
+            )
+            .collect()[0]["_v"]
+        )
+
+    out_rows = [
+        (*key, results.get(key), *comp_rows[key]) for key in sorted(counts)
+    ]
+    out_schema = T.StructType(
+        [df.schema[g] for g in gcols]
+        + [T.StructField(out_name, T.DoubleType())]
+        + comp_fields
+    )
+    return spark.createDataFrame(out_rows, out_schema).select(
+        *gcols,
+        F.round(out_name, ndigits).alias(out_name),
+        *[f.name for f in comp_fields],
+    )
+
+
 def merge_partial_aggs(
     stored: DataFrame,
     fresh: DataFrame,

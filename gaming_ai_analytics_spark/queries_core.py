@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gaming_ai_analytics_spark.operators.aggregates import (
+    bracket_exact_percentile,
     conditional_pct,
     duplicate_keys,
     median_exact,
@@ -441,31 +442,43 @@ register(
 
 
 def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 (semantic_layer.sql:91-93): exact median with interpolation.
+    """A4 (semantic_layer.sql:91-93): exact median with interpolation,
+    strategy chosen per column by NDV regime.
 
-    Built-in ``percentile``: partial aggregation state is a bounded
-    value→count map (NDV-bounded, map-side combined), NOT the raw
-    group — the previous ``median_exact_arrow`` funneled all of
-    ``lineitem`` through |l_linestatus| = 2 reducers (20 s at sf1,
-    75× DuckDB, round-3's one scale-killer; 1.4 s now, and measured
-    faster than both that kernel and the multi-pass
-    :func:`exact_percentiles_scalable` at sf0.1 AND sf1). At 100 TB
-    with very-high-NDV value columns prefer ``median_approx``
-    (mergeable sketch) or ``exact_percentiles_scalable`` (exact,
-    driver holds only O(|groups|·n/accuracy)).
+    ``l_extendedprice`` has NDV ≈ row count, so the built-in
+    ``percentile``'s value→count partial state degenerates into the
+    raw column per group — fine at bench scale, the raw 100 TB column
+    on the reducers at cluster scale. It therefore routes through
+    :func:`bracket_exact_percentile` (sketch-bracket + exact slice,
+    two scans, driver holds O(|groups|·n/accuracy) values).
+    ``l_quantity`` (NDV = 50) keeps the built-in — its bounded
+    value→count map IS the right state — riding pass 1 of the same
+    aggregation as a companion, so the strategy split costs no extra
+    scan.
+
+    Measured state per strategy (sf0.1: 600k rows, NDV 583k; the
+    sf1 scale-up replicates values, so NDV = rows/10): the built-in
+    carries the per-group value→count map — ~583k entries ≈ 10 MB at
+    sf0.1, and at 100 TB with NDV ~ 1e9 a ~16 GB reducer-side map =
+    OOM. The bracket path's engine state is the O(accuracy) KLL
+    sketch; the driver holds counts + bounds + the in-bracket slice
+    (measured 4.8k values/group at sf1, accuracy 1000). Wall-clock
+    (fresh-lineage A/B, min of 4): sf0.1 1.18 s vs 1.15 s built-in —
+    parity; sf1 1.43 s vs 0.84 s — the +0.6 s is the second full
+    scan (bare scan+agg floor 0.31 s) plus one extra job round-trip,
+    the price of bounded state (decomposition in BASELINE.md §3).
+    ``accuracy`` trades sketch state for slice size (slice ≈ 8n/acc
+    rows): 1000 fits this fixture; scale it with n/group so the
+    collected slice stays within driver budget.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    # No repartition widening here: fresh-lineage A/B at sf0.1 (the
-    # bench methodology — a new DataFrame per run, no shuffle-output
-    # reuse) measured plain 1.14 s vs widened 1.32 s. The map-side
-    # value→count build is NOT the bottleneck; the round-robin
-    # shuffle of 600k raw rows is pure overhead. (Earlier "0.45 s"
-    # readings reused one DataFrame object across actions — the DAG
-    # scheduler skips its computed shuffle stages, a measurement
-    # artifact, not a plan property.)
-    return li.groupBy("l_linestatus").agg(
-        median_exact("l_extendedprice").alias("median_price"),
-        median_exact("l_quantity").alias("median_qty"),
+    return bracket_exact_percentile(
+        li,
+        ["l_linestatus"],
+        "l_extendedprice",
+        "median_price",
+        accuracy=1000,
+        companion_aggs=[median_exact("l_quantity").alias("median_qty")],
     )
 
 

@@ -85,7 +85,9 @@ def _load_all() -> None:
 #:      ``skew_top_keys`` ``mixture_rebalance`` ``weekly_active_users``
 #:      ``timeseries_gap_fill`` ``min_cost_supplier``
 #:      ``supplier_value_concentration`` ``top_supplier_revenue``
-#:      ``dominant_part_suppliers`` ``approx_topk_contract``;
+#:      ``dominant_part_suppliers`` ``approx_topk_contract``, plus
+#:      ``agg_percentile`` whose high-NDV median was rerouted through
+#:      the sketch-bracket strategy THIS round (r5 ask #2);
 #:   3. the never-driver-checked late-r5 surfaces, complex operators
 #:      before simple language surfaces: the TPC-H completion sweep,
 #:      the analytics/warehouse reports, the full Python-eval ladder
@@ -93,8 +95,9 @@ def _load_all() -> None:
 #:      DataSource batch+stream, the traindata/LLM additions
 #:      (fuzzy match, drift-KL, samplers, rarity, quantization,
 #:      binaryFile, bitmap), and the riskiest SQL surfaces
-#:      (recursive CTE, VARIANT, XML, Z-order, GROUP BY ALL,
-#:      parameterized SQL).
+#:      (recursive CTE, VARIANT, XML, GROUP BY ALL, parameterized
+#:      SQL; Z-order lost its slot to the agg_percentile rework and
+#:      heads the backlog).
 #: Every name carries a full oracle — zero rows-only checks in the
 #: window.  What does NOT fit (16 never-checked low-risk simple
 #: surfaces + the two rows-only pure-ANN queries + the 30 r3-stale
@@ -114,6 +117,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "top_supplier_revenue",
     "dominant_part_suppliers",
     "approx_topk_contract",
+    # high-NDV median rerouted through the sketch-bracket strategy
+    # this round (VERDICT r5 ask #2) — changed plan, fresh row now
+    "agg_percentile",
     # -- 3a. TPC-H completion sweep (never checked) -----------------
     "shipping_priority",
     "forecast_revenue_delta",
@@ -156,7 +162,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "recursive_cte_spine",
     "events_props_variant",
     "xml_csv_roundtrip",
-    "zorder_key_events",
     "group_by_all_sql",
     "parameterized_sql",
 )
@@ -170,6 +175,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: the staleness test from committed history, not listed here).
 ROTATION_BACKLOG: tuple[str, ...] = (
     # (a) never-checked, deferred this round
+    "zorder_key_events",
     "window_value_range_frame",
     "join_null_safe",
     "events_stream_stream_left_join",

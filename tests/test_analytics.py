@@ -353,6 +353,65 @@ def test_exact_percentiles_scalable_bracket_path_nulls(spark):
     assert got == {"a": 4.0, "b": None}
 
 
+def test_bracket_exact_percentile_matches_builtin_with_companion(spark):
+    """The two-scan high-NDV specialization == the built-in on the
+    fixture, with the low-NDV companion median riding pass 1; column
+    order and engine-side rounding preserved."""
+    from gaming_ai_analytics_spark.operators.aggregates import (
+        bracket_exact_percentile,
+        median_exact,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    want = {
+        r.l_linestatus: (r.mp, r.mq)
+        for r in li.groupBy("l_linestatus")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("mp"),
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 2).alias("mq"),
+        )
+        .collect()
+    }
+    out = bracket_exact_percentile(
+        li,
+        ["l_linestatus"],
+        "l_extendedprice",
+        "median_price",
+        companion_aggs=[median_exact("l_quantity").alias("median_qty")],
+    )
+    assert out.columns == ["l_linestatus", "median_price", "median_qty"]
+    got = {
+        r.l_linestatus: (r.median_price, r.median_qty)
+        for r in out.collect()
+    }
+    assert got == want
+
+
+def test_bracket_exact_percentile_nulls_ties_and_tiny_accuracy(spark):
+    """Ranks over non-null values only; an all-null group surfaces as
+    NULL; a deliberately coarse sketch (accuracy=2, rank error 1/2)
+    exercises the widen-and-retry path without changing the answer."""
+    from gaming_ai_analytics_spark.operators.aggregates import (
+        bracket_exact_percentile,
+    )
+
+    rows = (
+        [("a", v) for v in [1.0, 1.0, 1.0, 2.0, 2.0, 5.0, None, None]]
+        + [("b", None)] * 3
+        + [("c", 7.0)]
+    )
+    df = spark.createDataFrame(rows, ["g", "v"])
+    for accuracy in (10_000, 2):
+        got = {
+            r.g: r.med
+            for r in bracket_exact_percentile(
+                df, ["g"], "v", "med", accuracy=accuracy
+            ).collect()
+        }
+        # a: 6 non-null values [1,1,1,2,2,5] → rank 3.5 → (1+2)/2
+        assert got == {"a": 1.5, "b": None, "c": 7.0}, accuracy
+
+
 # --------------------------------------------------------------------------
 # round-3 additions: regression fit, entropy, BM25
 # --------------------------------------------------------------------------
