@@ -432,7 +432,19 @@ def embedding_cosine_pairs(
     )
 
     est = est_bytes(a)
-    if ARROW_FANOUT_MIN_BYTES <= est < ARROW_EXACT_MAX_BYTES:
+    if est >= ARROW_EXACT_MAX_BYTES:
+        # Refuse to fall through to the O(n²) theta self-join at
+        # corpus scale — that plan is only ever an oracle/test tier.
+        # (r5 verdict soft spot: the silent fallback here would let a
+        # 100 TB caller run an all-pairs BNL by accident.)
+        raise ValueError(
+            f"embedding_cosine_pairs is the exact O(n²) tier; corpus "
+            f"≈ {est >> 20} MiB exceeds ARROW_EXACT_MAX_BYTES "
+            f"({ARROW_EXACT_MAX_BYTES >> 20} MiB). Use "
+            "embedding_cosine_pairs_lsh (banded candidate generation "
+            "+ exact verification) at this scale."
+        )
+    if ARROW_FANOUT_MIN_BYTES <= est:
         rows = [
             r
             for r in df.select(F.col(id_col), F.col(vec_col)).collect()

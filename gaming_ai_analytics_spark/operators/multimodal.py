@@ -89,6 +89,12 @@ def extract_features(
             feats = []
             for payload in pdf["payload"]:
                 buf = decoder.decode(payload)
+                if buf.size == 0:
+                    # OPERATOR-level invariant (not delegated to the
+                    # decoder): every row featurizes over ≥1 sample so
+                    # the histogram's L1 mass is exactly 1 — the
+                    # registered oracle pins feat_l1=1.0 per row
+                    buf = np.zeros(1, dtype=np.uint8)
                 hist, _ = np.histogram(buf, bins=N_FEATURES, range=(0, 256))
                 total = hist.sum() or 1
                 feats.append((hist / total).astype(np.float32))
@@ -171,6 +177,10 @@ def resize_assets(
             resized = []
             for payload in pdf["payload"]:
                 buf = decoder.decode(payload).astype(np.float64)
+                # operator-level invariant (see extract_features): the
+                # zero-pad below also covers an EMPTY decode, so the
+                # fixed resized length the oracle pins holds for every
+                # decoder, not just FakeDecoder's b"\\x00" substitute
                 if len(buf) < target:
                     buf = np.pad(buf, (0, target - len(buf)))
                 cut = (len(buf) // target) * target

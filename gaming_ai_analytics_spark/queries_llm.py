@@ -212,11 +212,14 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     overall for this battery, so a raw-pair-set oracle is only valid
     at scale factors whose corpora contain no borderline pairs
     (sf≤0.01 here; at sf0.1 the random corpus holds 14 pairs ALL in
-    0.50–0.52 and banding recovers 6 — measured, by design). The
-    checked contract is therefore scale-stable: the exact pair count
-    (DuckDB re-derives it) and a recall floor of 0.4 (measured 0.43
-    on the all-borderline sf0.1 corpus, 1.0 wherever a similarity gap
-    exists — the near-dup regime this operator targets). The
+    0.50–0.52). The checked contract is therefore scale-stable: the
+    exact pair count (DuckDB re-derives it) and a recall floor of
+    0.85 — tightened r6 from the lax 0.4 by registering the banding
+    at 48 planes / 12 bands (multi-table LSH folded into one packed
+    signature): a θ=60° borderline pair collides per 4-bit chunk with
+    p⁴=(2/3)⁴≈0.20, so 12 bands give 1−0.80¹²≈0.93 per pair —
+    measured 0.929 on the all-borderline sf0.1 corpus (13/14) and
+    1.0 at sf0.01, vs 0.43/1.0 at the 16/4 default. The
     precision invariant (LSH ⊆ exact — bucketing only gates which
     pairs get the exact check) is pinned in tests at two scale
     factors rather than here, where a last-ulp Arrow-vs-fold cosine
@@ -225,7 +228,13 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact tier when borderline pairs matter."""
     emb = load_table(spark, sf_dir, "embeddings")
     lsh = embedding_cosine_pairs_lsh(
-        emb, "vec_id", "embedding", threshold=0.5, dim=EMBEDDING_DIM
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=0.5,
+        n_planes=48,
+        bands=12,
+        dim=EMBEDDING_DIM,
     )
     exact = embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.5)
     hits = lsh.select("id_a", "id_b").withColumn("_hit", F.lit(1))
@@ -234,7 +243,7 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hits, ["id_a", "id_b"], "left")
         .agg(
             F.count(F.lit(1)).alias("n_exact_pairs"),
-            ((F.count("_hit") / F.count(F.lit(1))) >= 0.4).alias(
+            ((F.count("_hit") / F.count(F.lit(1))) >= 0.85).alias(
                 "recall_ok"
             ),
         )
@@ -309,14 +318,32 @@ def _probe_rows(spark: SparkSession, sf_dir: str) -> list:
 
 def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN top-5 (scale tier; rows-only — recall vs the
-    exact tier asserted in tests). Probes ride map-side as literals:
-    the whole query has exactly one shuffle (the ranking)."""
+    exact tier asserted in tests and hash-checked via the ``_recall``
+    twin). Probes ride map-side as literals: the whole query has
+    exactly one shuffle (the ranking).
+
+    Registered at 48 planes / 12 bands (multi-table LSH folded into
+    one packed signature: T tables of b bands ≡ T·b bands of one
+    T·n-plane signature, OR-over-bands unchanged). The fixture's true
+    top-k neighbors sit at cosine 0.26–0.42 — hyperplane agreement
+    p = 1−θ/π ≈ 0.57–0.64, so the 16/4 default's per-pair recall
+    1−(1−p⁴)⁴ caps near 0.5 and measured 0.32–0.44; 12 bands lift it
+    to 1−(1−p⁴)¹² — measured 0.72 (sf0.01) / 0.88 (sf0.1), and
+    measured FASTER than 16/4 here (fewer exact-rank candidates
+    missed → no re-ranking waste; candidate admission of random
+    pairs rises to ~1−(1−2⁻⁴)¹² ≈ 0.54, the price of recall in this
+    near-random regime — on real corpora whose neighbors sit at
+    cosine ≥0.8, 4 bands already give ≥0.87 recall with ~0.23
+    admission, which is why the OPERATOR default stays 16/4 and the
+    band count is the caller's recall/cost dial)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return topk_similar_lsh(
         emb,
         _probes(spark, sf_dir),
         k=_TOPK_K,
         dim=EMBEDDING_DIM,
+        n_planes=48,
+        bands=12,
         probe_rows=_probe_rows(spark, sf_dir),
     )
 
@@ -395,12 +422,15 @@ register(
 def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5: k-means coarse quantizer + n_probe nearest cells
     (scale tier; rows-only — recall vs the exact tier asserted in
-    tests: 0.84 at n_probe=6/16 cells on the fixture)."""
+    tests and hash-checked via the ``_recall`` twin). Registered at
+    n_probe=8/16 cells — measured recall 0.96 (sf0.01) / 0.92 (sf0.1)
+    vs 0.84/0.72 at the n_probe=6 default, at no measurable cost on
+    the fixtures (the per-cell scan dominates under ~8 cells)."""
     from gaming_ai_analytics_spark.operators.similarity import topk_similar_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
     return topk_similar_ivf(
-        emb, _probes(spark, sf_dir), k=_TOPK_K, n_probe=6
+        emb, _probes(spark, sf_dir), k=_TOPK_K, n_probe=8
     )
 
 
@@ -445,8 +475,12 @@ _ANN_RECALL_ORACLE = f"""
 
 def q_similarity_topk_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall contract for the RHP-LSH ANN tier vs the exact tier —
-    floor 0.25 (measured 0.32–0.40 on the fixtures; single-probe
-    sign-bucket LSH trades recall for a map-only candidate stage)."""
+    floor 0.7, tightened r6 from the lax 0.25 after re-parameterizing
+    the registered tier to 48 planes / 12 bands (measured 0.72 at
+    sf0.01 / 0.88 at sf0.1; the 16/4 default measured 0.32–0.44 on
+    this near-random-geometry fixture and could never carry a 0.7
+    floor — see :func:`q_similarity_topk_lsh` for the p-math and the
+    recall/admission trade)."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = _probes(spark, sf_dir)
     return _ann_recall_summary(
@@ -456,9 +490,11 @@ def q_similarity_topk_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             probes,
             k=_TOPK_K,
             dim=EMBEDDING_DIM,
+            n_planes=48,
+            bands=12,
             probe_rows=_probe_rows(spark, sf_dir),
         ),
-        floor=0.25,
+        floor=0.7,
     )
 
 
@@ -467,16 +503,18 @@ register("similarity_topk_lsh_recall", q_similarity_topk_lsh_recall, _ANN_RECALL
 
 def q_similarity_topk_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall contract for the IVF ANN tier vs the exact tier — floor
-    0.5 (measured 0.64–0.84 at n_probe=6 of 16 cells; tests pin the
-    same)."""
+    0.75, tightened r6 from the lax 0.5 after re-parameterizing the
+    registered tier to n_probe=8 (measured 0.96 at sf0.01 / 0.92 at
+    sf0.1 — ≥0.17 margin over the floor; the old n_probe=6 measured
+    0.84/0.72 and could not carry a 0.75 floor at both SFs)."""
     from gaming_ai_analytics_spark.operators.similarity import topk_similar_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = _probes(spark, sf_dir)
     return _ann_recall_summary(
         topk_similar(emb, probes, k=_TOPK_K),
-        topk_similar_ivf(emb, probes, k=_TOPK_K, n_probe=6),
-        floor=0.5,
+        topk_similar_ivf(emb, probes, k=_TOPK_K, n_probe=8),
+        floor=0.75,
     )
 
 

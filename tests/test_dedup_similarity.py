@@ -111,6 +111,13 @@ def test_topk_lsh_recall_vs_exact(spark):
     # high-cosine neighbors where banding recall → 1 (see
     # test_embedding_lsh_recall, which hits 100% on the planted pair).
     assert len(ann_set & exact_set) >= len(exact_set) * 0.2
+    # the REGISTERED configuration (48 planes / 12 bands — the r6
+    # recall-contract tier) must carry its 0.7 floor
+    ann48 = topk_similar_lsh(
+        emb, probes, k=5, dim=64, n_planes=48, bands=12
+    ).collect()
+    ann48_set = {(r.probe_id, r.vec_id) for r in ann48}
+    assert len(ann48_set & exact_set) >= len(exact_set) * 0.7
     # and every probe returns k results
     by_probe = {}
     for r in ann:
@@ -160,6 +167,51 @@ def test_multimodal_empty_and_null_payload_invariants(spark):
         len(r.resized) == TARGET_SAMPLES for r in resized.values()
     )
     assert resized[0].orig_bytes == 0 and resized[1].orig_bytes == 0
+
+
+def test_multimodal_invariants_hold_for_empty_decoding_decoder(spark):
+    """r6: the L1=1 / fixed-resized-length invariants are enforced at
+    the OPERATOR level, not delegated to decoder behavior — a decoder
+    that returns an EMPTY buffer (unlike FakeDecoder's 1-byte
+    substitute) must still satisfy the registered oracles' pinned
+    constants."""
+    import numpy as np
+
+    from gaming_ai_analytics_spark.operators.multimodal import (
+        TARGET_SAMPLES,
+        resize_assets,
+    )
+
+    class EmptyDecoder:
+        def decode(self, payload):
+            return np.empty(0, dtype=np.uint8)
+
+    docs = spark.createDataFrame(
+        [(0, "whatever", "en", 8)], ["doc_id", "text", "lang", "n_chars"]
+    )
+    assets = make_assets(docs)
+    (feat,) = extract_features(assets, EmptyDecoder()).collect()
+    assert len(feat.features) == 16
+    assert abs(sum(feat.features) - 1.0) < 1e-3
+    (res,) = resize_assets(assets, EmptyDecoder()).collect()
+    assert len(res.resized) == TARGET_SAMPLES
+
+
+def test_exact_cosine_pairs_refuses_corpus_scale(spark, monkeypatch):
+    """r6 (verdict soft spot #8b): above ARROW_EXACT_MAX_BYTES the
+    exact tier must FAIL LOUDLY toward the LSH tier rather than fall
+    through to the O(n²) theta self-join."""
+    import pytest
+
+    import gaming_ai_analytics_spark.operators.dedup as dedup_mod
+    from gaming_ai_analytics_spark.operators.dedup import (
+        embedding_cosine_pairs,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    monkeypatch.setattr(dedup_mod, "ARROW_EXACT_MAX_BYTES", 1)
+    with pytest.raises(ValueError, match="embedding_cosine_pairs_lsh"):
+        embedding_cosine_pairs(emb, "vec_id", "embedding", 0.5)
 
 
 def test_cosine_pairs_arrow_tier_matches_expression_tier(spark, monkeypatch):
@@ -284,6 +336,13 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert len(exact & ivf) / len(exact) >= 0.6
     # every IVF hit is a real vector with a true cosine — no fabrication
     assert all(pid != vid for pid, vid in ivf)
+    # the REGISTERED configuration (n_probe=8 — the r6 recall-contract
+    # tier) must carry its 0.75 floor
+    ivf8 = {
+        (r.probe_id, r.vec_id)
+        for r in topk_similar_ivf(emb, probes, k=5, n_probe=8).collect()
+    }
+    assert len(exact & ivf8) / len(exact) >= 0.75
 
 
 def test_resize_assets_fixed_length_and_deterministic(spark, sf_dir):
@@ -433,3 +492,14 @@ def test_embedding_lsh_subset_of_exact_two_sfs(spark):
         )
         assert set(lsh) <= set(exact), sf
         assert len(lsh) >= 0.4 * len(exact), sf
+        # the REGISTERED banding (48/12 — the r6 recall-contract tier):
+        # same subset invariant, and the 0.85 floor holds even on
+        # sf0.1's all-borderline corpus (θ=60° pairs; measured 13/14)
+        lsh48 = _pairs(
+            embedding_cosine_pairs_lsh(
+                emb, "vec_id", "embedding", 0.5,
+                n_planes=48, bands=12, dim=64,
+            )
+        )
+        assert set(lsh48) <= set(exact), sf
+        assert len(lsh48) >= 0.85 * len(exact), sf
