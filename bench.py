@@ -74,6 +74,21 @@ HEADLINE = [
     "metric_view_region",
 ]
 
+#: Second measured tier (r6, VERDICT r5 ask #6): the tier-1 list
+#: predates ~170 of the 187 registered queries, so the heavy late
+#: additions had no round-over-round number. Tier 1 is UNCHANGED for
+#: comparability; tier 2 adds the judge-named heavy paths (global
+#: rank without a single-reducer sort, blocking-key fuzzy join,
+#: log-n star connected components, TPC-H Q21 analog, shingle-idf
+#: rarity), measured the same way and reported under separate keys.
+TIER2 = [
+    "global_quality_rank",
+    "fuzzy_part_name_pairs",
+    "dedup_cluster_assign_star",
+    "sole_return_suppliers",
+    "doc_rarity_score",
+]
+
 _DUCK_TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
@@ -86,22 +101,27 @@ def materialize(df) -> None:
 
 
 def duckdb_totals(
-    sf_dir: str, oracles: dict[str, str], warm_runs: int = WARM_RUNS
-) -> tuple[float, float, dict[str, float]]:
+    sf_dir: str,
+    oracles: dict[str, str],
+    warm_runs: int = WARM_RUNS,
+    names: list[str] | None = None,
+    concurrent: bool = True,
+) -> tuple[float, float | None, dict[str, float]]:
     """Warm sequential + concurrent totals (and per-query times) for
-    the oracle engine."""
+    the oracle engine over ``names`` (default: tier-1 HEADLINE)."""
     import duckdb
 
+    names = HEADLINE if names is None else names
     sql = dict(oracles)
     sql["similarity_topk_lsh"] = sql["similarity_topk"]  # exact twin
     con = duckdb.connect()
     con.execute("SET threads=32")
     for t in _DUCK_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    for name in HEADLINE:  # cold
+    for name in names:  # cold
         con.execute(sql[name]).fetchall()
     per_query: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         runs = []
         for _ in range(warm_runs):
             t0 = time.perf_counter()
@@ -109,13 +129,17 @@ def duckdb_totals(
             runs.append(time.perf_counter() - t0)
         per_query[name] = statistics.median(runs)
     seq = sum(per_query.values())
+    if not concurrent:
+        return round(seq, 3), None, {
+            k: round(v, 3) for k, v in per_query.items()
+        }
 
     def run(name: str) -> None:
         con.cursor().execute(sql[name]).fetchall()
 
     t0 = time.perf_counter()
-    with ThreadPoolExecutor(len(HEADLINE)) as ex:
-        list(ex.map(run, HEADLINE))
+    with ThreadPoolExecutor(len(names)) as ex:
+        list(ex.map(run, names))
     per_query = {k: round(v, 3) for k, v in per_query.items()}
     return round(seq, 3), round(time.perf_counter() - t0, 3), per_query
 
@@ -183,6 +207,12 @@ def main() -> None:
         )
     except Exception:
         duck_seq = duck_conc = duck_queries = None
+    try:  # tier 2 twins, same no-JVM conditions; failure costs only tier 2
+        duck2_seq, _, duck2_queries = duckdb_totals(
+            sf_dir, registry.oracle_sql(), names=TIER2, concurrent=False
+        )
+    except Exception:
+        duck2_seq = duck2_queries = None
 
     spark = get_spark("bench")
     qs = registry.queries()
@@ -217,6 +247,23 @@ def main() -> None:
     except Exception:
         concurrent_wall = None
 
+    # tier 2 (sequential only — the concurrency view stays tier-1 for
+    # round-over-round comparability); failure costs only tier 2
+    tier2_timings: dict[str, float] | None = None
+    try:
+        for name in TIER2:  # global warm pass, same rationale as tier 1
+            materialize(qs[name](spark, sf_dir))
+        tier2_timings = {}
+        for name in TIER2:
+            runs = []
+            for _ in range(WARM_RUNS):
+                t0 = time.perf_counter()
+                materialize(qs[name](spark, sf_dir))
+                runs.append(time.perf_counter() - t0)
+            tier2_timings[name] = round(statistics.median(runs), 3)
+    except Exception:
+        tier2_timings = None
+
     # sf1 row: cold + single warm per query (time-bounded; the floor
     # amortizes at this volume so one warm run is stable enough)
     sf1_timings: dict[str, float] | None = None
@@ -231,6 +278,18 @@ def main() -> None:
                 sf1_timings[name] = round(time.perf_counter() - t0, 3)
         except Exception:
             sf1_timings = None
+    sf1_tier2: dict[str, float] | None = None
+    if sf1_dir:
+        try:
+            sf1_tier2 = {}
+            for name in TIER2:
+                fn = qs[name]
+                materialize(fn(spark, sf1_dir))  # cold
+                t0 = time.perf_counter()
+                materialize(fn(spark, sf1_dir))
+                sf1_tier2[name] = round(time.perf_counter() - t0, 3)
+        except Exception:
+            sf1_tier2 = None
 
     # DuckDB sf1 LAST, in a SUBPROCESS. Measured in-process before the
     # JVM, its ~100 s of 32-thread churn (the exact minhash twin at
@@ -241,20 +300,26 @@ def main() -> None:
     # runs after every Spark number is already collected; the child
     # has no JVM of its own, so the DuckDB measurement stays honest.
     duck_sf1 = duck_sf1_queries = None
+    duck_sf1_t2 = duck_sf1_t2_queries = None
     if sf1_dir:
-        try:
-            import subprocess
+        import subprocess
 
+        def duck_child(flag: str):
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--duck-sf1", sf1_dir],
+                [sys.executable, os.path.abspath(__file__), flag, sf1_dir],
                 capture_output=True, text=True, timeout=1800,
             )
             payload = json.loads(proc.stdout.strip().splitlines()[-1])
-            duck_sf1 = payload["total"]
-            duck_sf1_queries = payload["queries"]
+            return payload["total"], payload["queries"]
+
+        try:
+            duck_sf1, duck_sf1_queries = duck_child("--duck-sf1")
         except Exception:
             duck_sf1 = duck_sf1_queries = None
+        try:  # separate child: a tier-2 timeout must not cost tier 1
+            duck_sf1_t2, duck_sf1_t2_queries = duck_child("--duck-sf1-t2")
+        except Exception:
+            duck_sf1_t2 = duck_sf1_t2_queries = None
 
     def ratios(
         spark_q: dict[str, float], duck_q: dict[str, float] | None
@@ -293,6 +358,17 @@ def main() -> None:
             round(sum(timings.values()) / duck_seq, 2) if duck_seq else None
         ),
     }
+    if tier2_timings:
+        out["tier2_total_warm"] = round(sum(tier2_timings.values()), 3)
+        out["tier2_queries"] = tier2_timings
+        out["tier2_duckdb_total_warm"] = duck2_seq
+        out["tier2_duckdb_queries"] = duck2_queries
+        out["tier2_ratio_queries"] = ratios(tier2_timings, duck2_queries)
+        out["tier2_ratio_total"] = (
+            round(sum(tier2_timings.values()) / duck2_seq, 2)
+            if duck2_seq
+            else None
+        )
     if sf1_timings:
         out["sf1_total_warm"] = round(sum(sf1_timings.values()), 3)
         out["sf1_queries"] = sf1_timings
@@ -302,6 +378,19 @@ def main() -> None:
         out["sf1_ratio_total"] = (
             round(sum(sf1_timings.values()) / duck_sf1, 2)
             if duck_sf1
+            else None
+        )
+    if sf1_tier2:
+        out["sf1_tier2_total_warm"] = round(sum(sf1_tier2.values()), 3)
+        out["sf1_tier2_queries"] = sf1_tier2
+        out["sf1_tier2_duckdb_total_warm"] = duck_sf1_t2
+        out["sf1_tier2_duckdb_queries"] = duck_sf1_t2_queries
+        out["sf1_tier2_ratio_queries"] = ratios(
+            sf1_tier2, duck_sf1_t2_queries
+        )
+        out["sf1_tier2_ratio_total"] = (
+            round(sum(sf1_tier2.values()) / duck_sf1_t2, 2)
+            if duck_sf1_t2
             else None
         )
     try:  # end-of-run load closes the contamination bracket
@@ -338,7 +427,7 @@ def _local_out_path() -> str:
     )
 
 
-def duck_sf1_child(sf1_dir: str) -> None:
+def duck_sf1_child(sf1_dir: str, names: list[str] | None = None) -> None:
     """Subprocess entry: one warm DuckDB run at sf1 (the floor is
     noise at this volume and the exact-plan twins are slow — one run
     keeps bench wall-time bounded). Importing registry never starts a
@@ -347,7 +436,8 @@ def duck_sf1_child(sf1_dir: str) -> None:
     from gaming_ai_analytics_spark import registry
 
     total, _, queries = duckdb_totals(
-        sf1_dir, registry.oracle_sql(), warm_runs=1
+        sf1_dir, registry.oracle_sql(), warm_runs=1,
+        names=names, concurrent=False,
     )
     print(json.dumps({"total": total, "queries": queries}))
 
@@ -355,5 +445,7 @@ def duck_sf1_child(sf1_dir: str) -> None:
 if __name__ == "__main__":
     if len(sys.argv) == 3 and sys.argv[1] == "--duck-sf1":
         duck_sf1_child(sys.argv[2])
+    elif len(sys.argv) == 3 and sys.argv[1] == "--duck-sf1-t2":
+        duck_sf1_child(sys.argv[2], names=TIER2)
     else:
         main()
