@@ -76,7 +76,7 @@ def _load_all() -> None:
 #: backlog, highest-risk first): every slot goes to a query with NO
 #: prior driver row or a CHANGED plan/oracle — the window is disjoint
 #: from the 50 r5-green names by construction (a slot spent re-proving
-#: last round's rows is a slot wasted; ``tests/test_registry_window``
+#: last round's rows is a slot wasted; ``tests/test_registry.py``
 #: pins that invariant).  Priority order:
 #:   1. changed-ORACLE: ``dedup_embedding_lsh`` (reshaped late r5 to
 #:      the scale-stable recall contract — r1-r3 rows predate it);
