@@ -415,14 +415,14 @@ def test_tpch_sweep_plan_shapes(spark, sf_dir):
     p = _plan(q_customer_order_distribution(spark, sf_dir))
     assert "LeftOuter" in p
 
-    # Q21 rewrite: no self-join probe pair — the only joins are the
-    # orders filter join, the per-order stats join, and the broadcast
-    # supplier label join; lineitem scans appear exactly twice
-    # (returned lines + the stats aggregate), never three times as the
-    # textbook double-EXISTS plan would
+    # Q21 r6 rewrite: ONE fact scan, ONE fact-scale exchange — the
+    # order-key repartition satisfies both the (order, supplier)
+    # aggregate's and the window's clustering requirement, so neither
+    # adds an exchange; no self-join probe pair, no join-back
     p = _plan(q_sole_return_suppliers(spark, sf_dir))
-    assert p.count("lineitem.parquet") == 2, p
+    assert p.count("lineitem.parquet") == 1, p
     assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" in p, p
 
     # Q11 / Q20: scalar-share patterns — fact scanned exactly once
     from gaming_ai_analytics_spark.queries_warehouse import (

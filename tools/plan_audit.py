@@ -164,12 +164,6 @@ MULTI_SCAN_JUSTIFIED: dict[str, tuple[dict[str, int], str]] = {
         "twice but shuffles only the compact aggregate; the windowed "
         "alternative shuffles the ENTIRE fact by part key",
     ),
-    "sole_return_suppliers": (
-        {"lineitem": 2},
-        "returned lines + per-order supplier statistics are two "
-        "different computations of the fact (replaces the textbook "
-        "THREE-reference double-EXISTS)",
-    ),
     "tf_idf": (
         {"documents": 3},
         "corpus-statistic passes shuffle compact aggregates; the "
