@@ -311,10 +311,9 @@ def q_csv_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("text").isNotNull() & (F.length("text") > 0))
         .select("doc_id", "lang", "n_chars", "text")
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"gaa_csv_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    # per-invocation dir (r6, mirroring binaryfile_ingest_scan): a
+    # fixed per-SF path races two concurrent invocations
+    path = tempfile.mkdtemp(prefix="gaa_csv_roundtrip_")
     (
         docs.write.mode("overwrite")
         .option("header", True)
@@ -576,10 +575,9 @@ def q_jsonl_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("text").isNotNull() & (F.length("text") > 0))
         .select("doc_id", "lang", "n_chars", "text")
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"gaa_jsonl_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    # per-invocation dir (r6, mirroring binaryfile_ingest_scan): a
+    # fixed per-SF path races two concurrent invocations
+    path = tempfile.mkdtemp(prefix="gaa_jsonl_roundtrip_")
     docs.write.mode("overwrite").json(path)
     schema = T.StructType(
         [
@@ -621,10 +619,9 @@ def q_orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("text").isNotNull() & (F.length("text") > 0))
         .select("doc_id", "lang", "n_chars", "text")
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"gaa_orc_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    # per-invocation dir (r6, mirroring binaryfile_ingest_scan): a
+    # fixed per-SF path races two concurrent invocations
+    path = tempfile.mkdtemp(prefix="gaa_orc_roundtrip_")
     docs.write.mode("overwrite").orc(path)
     schema = T.StructType(
         [
