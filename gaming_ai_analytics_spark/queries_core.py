@@ -463,9 +463,10 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     OOM. The bracket path's engine state is the O(accuracy) KLL
     sketch; the driver holds counts + bounds + the in-bracket slice
     (measured 4.8k values/group at sf1, accuracy 1000). Wall-clock
-    (fresh-lineage A/B, min of 4): sf0.1 1.18 s vs 1.15 s built-in —
-    parity; sf1 1.43 s vs 0.84 s — the +0.6 s is the second full
-    scan (bare scan+agg floor 0.31 s) plus one extra job round-trip,
+    (fresh-lineage A/B, median of 4, after the inline-CASE bracket
+    rewrite removed pass 2's broadcast join): sf0.1 1.07 s vs 1.15 s
+    built-in; sf1 0.98 s vs 0.84 s — the residual ~0.15 s is the
+    second full scan (bare scan+agg floor 0.31 s, partly overlapped),
     the price of bounded state (decomposition in BASELINE.md §3).
     ``accuracy`` trades sketch state for slice size (slice ≈ 8n/acc
     rows): 1000 fits this fixture; scale it with n/group so the
