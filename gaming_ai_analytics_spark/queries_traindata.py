@@ -249,6 +249,98 @@ register(
 
 
 # --------------------------------------------------------------------------
+# C4-style chunk-level exact dedup + document reassembly
+# --------------------------------------------------------------------------
+def q_chunk_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style intra-corpus EXACT span dedup (Raffel et al. 2020 §2.2
+    dedupe three-sentence spans; transposed to non-overlapping 16-token
+    chunks since the synthetic corpus has no sentence boundaries):
+    every repeated chunk keeps only its FIRST occurrence — ordered by
+    (doc_id, chunk_no) — and each document reassembles from its
+    surviving chunks in order. Documents whose every chunk was seen
+    earlier vanish from the cleaned corpus, exactly like C4's dropped
+    boilerplate.
+
+    100 TB shape: two shuffles, both on keys that scale — (1) the
+    chunk-text window that elects first occurrences (the canonical
+    line-dedup shuffle; state per chunk key is one min-struct, and a
+    hot boilerplate chunk costs one wide partition of small rows, not
+    a join explosion), and (2) the doc-key window/regroup, where the
+    pre-dedup chunk count rides the SAME partitioning as the final
+    reassembly aggregate (window then groupBy on doc_id — one
+    exchange serves both). Reassembly state is bounded by chunks per
+    document, not corpus size."""
+    docs = _docs(spark, sf_dir)
+    ex = docs.select(
+        "doc_id",
+        F.explode(token_chunks(F.col("text"), 16, 16)).alias("c"),
+    ).select(
+        "doc_id",
+        F.col("c.chunk_no").alias("chunk_no"),
+        F.col("c.chunk").alias("chunk"),
+    )
+    first = F.min(F.struct("doc_id", "chunk_no")).over(
+        Window.partitionBy("chunk")
+    )
+    staged = (
+        ex.withColumn("_first", first)
+        .withColumn(
+            "n_chunks", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+        .filter(
+            (F.col("doc_id") == F.col("_first.doc_id"))
+            & (F.col("chunk_no") == F.col("_first.chunk_no"))
+        )
+    )
+    return staged.groupBy("doc_id").agg(
+        F.max("n_chunks").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_no", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+
+
+register(
+    "chunk_dedup_clean",
+    q_chunk_dedup_clean,
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents WHERE {_NONEMPTY}
+    ),
+    c AS (
+      SELECT doc_id,
+             unnest(generate_series(0,
+               CAST(CEIL(len(t) / 16.0) AS INT) - 1)) AS chunk_no,
+             t
+      FROM toks
+    ),
+    ch AS (
+      SELECT doc_id, chunk_no,
+             array_to_string(t[chunk_no * 16 + 1 : chunk_no * 16 + 16], ' ')
+               AS chunk
+      FROM c
+    ),
+    st AS (
+      SELECT doc_id, chunk_no, chunk,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_chunks,
+             ROW_NUMBER() OVER (PARTITION BY chunk
+                                ORDER BY doc_id, chunk_no) AS rn
+      FROM ch
+    )
+    SELECT doc_id, MAX(n_chunks) AS n_chunks, COUNT(*) AS n_kept,
+           STRING_AGG(chunk, ' ' ORDER BY chunk_no) AS cleaned_text
+    FROM st WHERE rn = 1
+    GROUP BY doc_id
+    """,
+)
+
+
+# --------------------------------------------------------------------------
 # repetition-quality filter (Gopher-style)
 # --------------------------------------------------------------------------
 def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:

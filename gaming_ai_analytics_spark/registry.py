@@ -174,7 +174,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: r4-green entries follow once CORRECTNESS_r06 lands (computed by
 #: the staleness test from committed history, not listed here).
 ROTATION_BACKLOG: tuple[str, ...] = (
-    # (a) never-checked, deferred this round
+    # (a) never-checked, deferred this round (chunk_dedup_clean was
+    # ADDED mid-r6, after the window was frozen)
+    "chunk_dedup_clean",
     "zorder_key_events",
     "window_value_range_frame",
     "join_null_safe",

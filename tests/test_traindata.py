@@ -40,6 +40,42 @@ def test_token_chunks_short_doc_single_chunk(spark):
     assert len(rows) == 1 and rows[0].c.chunk == "a b c"
 
 
+def test_chunk_dedup_clean_planted_duplicates(spark, monkeypatch):
+    """C4-style span dedup on a planted corpus: a chunk repeated
+    across documents (and again inside one document) survives only at
+    its first (doc_id, chunk_no) occurrence; documents reassemble from
+    surviving chunks in order; a document whose every chunk was seen
+    earlier vanishes from the cleaned corpus."""
+    from gaming_ai_analytics_spark import registry
+
+    registry.queries()  # run _load_all first — a direct module import
+    # here would re-enter queries_traindata half-initialized (the
+    # registry's documented circular-import hazard)
+    import gaming_ai_analytics_spark.queries_traindata as qt
+
+    dup = " ".join(["dup"] * 16)  # one full 16-token chunk
+    uniq_a = " ".join(f"a{i}" for i in range(16))
+    uniq_b = " ".join(f"b{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [
+            # doc 0: unique chunk + the dup chunk
+            (0, uniq_a + " " + dup, "en", 32),
+            # doc 1: dup chunk twice — both lose to doc 0's copy
+            (1, dup + " " + dup, "en", 32),
+            # doc 2: dup chunk + its own unique chunk
+            (2, dup + " " + uniq_b, "en", 32),
+        ],
+        ["doc_id", "text", "lang", "n_chars"],
+    )
+    monkeypatch.setattr(qt, "_docs", lambda spark, sf_dir: docs)
+    rows = {r.doc_id: r for r in qt.q_chunk_dedup_clean(spark, "ignored").collect()}
+    assert set(rows) == {0, 2}  # doc 1 fully deduped away
+    assert rows[0].n_chunks == 2 and rows[0].n_kept == 2
+    assert rows[0].cleaned_text == uniq_a + " " + dup
+    assert rows[2].n_chunks == 2 and rows[2].n_kept == 1
+    assert rows[2].cleaned_text == uniq_b  # dup chunk stripped, order kept
+
+
 def test_sample_stratified_deterministic_and_pushed_down(spark):
     from gaming_ai_analytics_spark.queries_traindata import q_sample_stratified
 
