@@ -268,19 +268,22 @@ def test_token_budget_single_partition_only_on_band_totals(spark, sf_dir):
 
 def test_global_rank_single_partition_only_on_prefix_frame(spark, sf_dir):
     """Global ranking must never sort the corpus in one reducer: the
-    corpus rides a RangePartitioning exchange + per-partition window,
-    and the only SinglePartition exchange feeds the ≤16-row prefix
-    frame on its way to a broadcast."""
+    r6 form scores once into a local checkpoint, then the only corpus
+    movement is the bucket-keyed window exchange — no range sampling,
+    no single-partition window, no prefix-frame join (offsets ride as
+    an inline array literal)."""
     from gaming_ai_analytics_spark.queries_traindata import (
         q_global_quality_rank,
     )
 
     plan = _plan(q_global_quality_rank(spark, sf_dir))
-    assert "rangepartitioning" in plan
-    assert plan.count("Exchange SinglePartition") == 1
-    assert "BroadcastExchange" in plan
-    # corpus window keys on the partition id, not empty (global) keys
-    assert "windowspecdefinition(_pid" in plan
+    # corpus window keys on the quality bucket, not empty (global) keys
+    assert "windowspecdefinition(_bkt" in plan
+    assert "Exchange SinglePartition" not in plan
+    # scoring ran exactly once, into checkpoint blocks — the executed
+    # plan reads the checkpointed relation, not the parquet text
+    assert "documents.parquet" not in plan
+    assert "ExistingRDD" in plan or "Scan" in plan
 
 
 def test_skew_top_keys_uses_take_ordered(spark, sf_dir):
