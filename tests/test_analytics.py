@@ -670,6 +670,42 @@ def test_star_cc_labels_self_loop_only_nodes(spark):
     assert got == ref == {1: 1, 2: 1, 3: 3, 4: 3, 7: 7}
 
 
+def test_star_cc_small_graph_tier_parity_and_opt_in(spark):
+    """The hybrid driver union-find finish (r6) is OPT-IN and label-
+    identical: with the cap set, a ≤cap graph skips the star rounds
+    but yields exactly the distributed labels — including self-loop
+    singletons; with the default cap of 0 the loop always runs (the
+    max_iter=0 'must already be converged' contract stays intact)."""
+    import pytest as _pytest
+
+    from gaming_ai_analytics_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 9)], ["id_a", "id_b"]
+    )
+    ref = sorted(map(tuple, connected_components_star(edges).collect()))
+    fast = sorted(
+        map(
+            tuple,
+            connected_components_star(
+                edges, small_graph_max_edges=1000
+            ).collect(),
+        )
+    )
+    assert fast == ref
+    assert dict(fast) == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
+    # opt-in only: default keeps the iterative contract
+    with _pytest.raises(RuntimeError):
+        connected_components_star(edges, max_iter=0)
+    # and the cap does not bypass max_iter when the graph EXCEEDS it
+    with _pytest.raises(RuntimeError):
+        connected_components_star(
+            edges, max_iter=0, small_graph_max_edges=1
+        )
+
+
 def test_dedup_clusters_explicit_zero_cap_raises(spark):
     """max_iter=0 is a 'must already be converged' probe, not a
     request for the default cap — on a non-trivial graph it raises."""
