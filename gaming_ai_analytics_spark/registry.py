@@ -167,12 +167,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
 )
 
 #: Everything still owed a (fresh) driver row AFTER this round's
-#: window, in r7 priority order.  Layers: (a) the 14 never-checked
-#: low-risk simple surfaces + the 2 rows-only pure-ANN queries that
-#: lost the slot lottery this round; (b) the 30 entries whose last
-#: green driver row is round 3 (two-round staleness cap); the 44
-#: r4-green entries follow once CORRECTNESS_r06 lands (computed by
-#: the staleness test from committed history, not listed here).
+#: window, in r7 priority order.  Layers: (a) the mid-r6-added
+#: ``chunk_dedup_clean`` (post-freeze, heads the queue), the 15
+#: never-checked low-risk simple surfaces (zorder included — it lost
+#: its slot to the agg_percentile rework) + the 2 rows-only pure-ANN
+#: queries; (b) the 30 entries whose last green driver row is round 3
+#: (two-round staleness cap); the 44 r4-green entries follow once
+#: CORRECTNESS_r06 lands (computed by the staleness test from
+#: committed history, not listed here).
 ROTATION_BACKLOG: tuple[str, ...] = (
     # (a) never-checked, deferred this round (chunk_dedup_clean was
     # ADDED mid-r6, after the window was frozen)
