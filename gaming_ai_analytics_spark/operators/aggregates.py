@@ -384,7 +384,12 @@ def bracket_exact_percentile(
             hi_expr = F.lit(None).cast("double")
             for k in todo:
                 cond = key_struct.eqNullSafe(
-                    F.struct(*[F.lit(v) for v in k])
+                    F.struct(  # cast: a bare lit(None) is VOID-typed
+                        *[
+                            F.lit(v).cast(df.schema[g].dataType)
+                            for g, v in zip(gcols, k)
+                        ]
+                    )
                 )
                 lo_expr = F.when(cond, F.lit(brackets[k][0])).otherwise(
                     lo_expr
@@ -454,8 +459,11 @@ def bracket_exact_percentile(
             .collect()[0]["_v"]
         )
 
-    out_rows = [
-        (*key, results.get(key), *comp_rows[key]) for key in sorted(counts)
+    out_rows = [  # None-safe ordering: a NULL group key is a real group
+        (*key, results.get(key), *comp_rows[key])
+        for key in sorted(
+            counts, key=lambda k: tuple((v is None, v) for v in k)
+        )
     ]
     out_schema = T.StructType(
         [df.schema[g] for g in gcols]

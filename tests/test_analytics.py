@@ -399,6 +399,8 @@ def test_bracket_exact_percentile_nulls_ties_and_tiny_accuracy(spark):
         [("a", v) for v in [1.0, 1.0, 1.0, 2.0, 2.0, 5.0, None, None]]
         + [("b", None)] * 3
         + [("c", 7.0)]
+        + [(None, v) for v in [10.0, 20.0, 30.0]]  # NULL group key is
+        # a real group — and its inline-CASE literal must be typed
     )
     df = spark.createDataFrame(rows, ["g", "v"])
     for accuracy in (10_000, 2):
@@ -409,7 +411,7 @@ def test_bracket_exact_percentile_nulls_ties_and_tiny_accuracy(spark):
             ).collect()
         }
         # a: 6 non-null values [1,1,1,2,2,5] → rank 3.5 → (1+2)/2
-        assert got == {"a": 1.5, "b": None, "c": 7.0}, accuracy
+        assert got == {"a": 1.5, "b": None, "c": 7.0, None: 20.0}, accuracy
 
 
 # --------------------------------------------------------------------------
