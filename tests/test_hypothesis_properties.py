@@ -185,3 +185,115 @@ def test_zorder_key_preserves_locality_order(spark, pts):
     got.sort()
     zs = [z for _, z in got]
     assert zs == sorted(zs)
+
+
+# --- bracket percentile == interpolated reference --------------------------
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),  # group
+            st.one_of(
+                st.none(), st.floats(-100, 100, allow_nan=False, width=32)
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.sampled_from([2, 50, 10_000]),  # force retry / mid / clean sketch
+)
+def test_bracket_percentile_matches_reference(spark, rows, accuracy):
+    """The two-scan sketch-bracket median must equal quantile_cont
+    interpolation (pure-Python reference) for any groups, ties, nulls,
+    all-null groups, and any sketch accuracy — coarse accuracies drive
+    the widen-and-retry and fallback paths."""
+    from gaming_ai_analytics_spark.operators.aggregates import (
+        bracket_exact_percentile,
+    )
+
+    def ref_median(vals):
+        vals = sorted(v for v in vals if v is not None)
+        if not vals:
+            return None
+        rk = 1.0 + (len(vals) - 1) * 0.5
+        lo = int(rk) - 1
+        hi = int(-(-rk // 1)) - 1
+        raw = vals[lo] + (vals[hi] - vals[lo]) * (rk - int(rk))
+        # engine-side half-up rounding parity
+        import decimal
+
+        return float(
+            decimal.Decimal(raw).quantize(
+                decimal.Decimal("0.01"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    by_g: dict[int, list] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(
+            float(f"{v:.4f}") if v is not None else None
+        )
+    df = spark.createDataFrame(
+        [(g, float(f"{v:.4f}") if v is not None else None) for g, v in rows],
+        "g INT, v DOUBLE",
+    )
+    got = {
+        r.g: r.med
+        for r in bracket_exact_percentile(
+            df, ["g"], "v", "med", accuracy=accuracy
+        ).collect()
+    }
+    want = {g: ref_median(vs) for g, vs in by_g.items()}
+    assert got == want
+
+
+# --- chunk dedup reassembly invariants -------------------------------------
+@settings(**SETTINGS)
+@given(
+    st.lists(  # docs as lists of chunk indices into a tiny chunk pool
+        st.lists(st.integers(0, 4), min_size=1, max_size=4),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_chunk_dedup_clean_matches_reference(spark, docs_chunks):
+    """First-occurrence chunk dedup + reassembly equals the sequential
+    reference for any duplication topology (within-doc repeats,
+    cross-doc repeats, fully-duplicated docs)."""
+    from gaming_ai_analytics_spark import registry
+
+    registry.queries()  # load modules in canonical order first
+    import gaming_ai_analytics_spark.queries_traindata as qt
+
+    pool = [" ".join(f"w{c}x{i}" for i in range(16)) for c in range(5)]
+    texts = {
+        doc_id: " ".join(pool[c] for c in chunks)
+        for doc_id, chunks in enumerate(docs_chunks)
+    }
+    # pure-Python reference
+    seen: set[int] = set()
+    want = {}
+    for doc_id, chunks in enumerate(docs_chunks):
+        kept = []
+        for c in chunks:
+            if c not in seen:
+                seen.add(c)
+                kept.append(c)
+        if kept:
+            want[doc_id] = (
+                len(chunks),
+                len(kept),
+                " ".join(pool[c] for c in kept),
+            )
+    df = spark.createDataFrame(
+        [(i, t, "en", len(t)) for i, t in texts.items()],
+        ["doc_id", "text", "lang", "n_chars"],
+    )
+    import unittest.mock as mock
+
+    with mock.patch.object(qt, "_docs", lambda spark, sf_dir: df):
+        got = {
+            r.doc_id: (r.n_chunks, r.n_kept, r.cleaned_text)
+            for r in qt.q_chunk_dedup_clean(spark, "ignored").collect()
+        }
+    assert got == want
