@@ -348,7 +348,13 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("similarity_topk_lsh", q_similarity_topk_lsh, None)
+# NOT registered since r7 (VERDICT r6 ask #6): the pure-ANN form was
+# the registry's only rows-only entry — its driver history could never
+# show green on all three signals.  Folded into the hash-checked
+# ``similarity_topk_lsh_recall`` twin below, which runs this exact
+# operator AND the exact tier and emits the recall contract.  The
+# function stays public: bench.py imports it directly so the frozen
+# tier-1 HEADLINE list keeps its round-over-round comparability.
 
 
 # --------------------------------------------------------------------------
@@ -434,7 +440,9 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("similarity_topk_ivf", q_similarity_topk_ivf, None)
+# NOT registered since r7 — same retirement as the LSH tier above:
+# driver evidence rides the hash-checked ``similarity_topk_ivf_recall``
+# twin, which executes this exact operator against the exact tier.
 
 
 def _ann_recall_summary(

@@ -72,114 +72,32 @@ def _load_all() -> None:
 #: checked window.  So the window is pinned EXPLICITLY: these names are
 #: moved to the front (in this order) after all modules register.
 #:
-#: ROUND-6 COMPOSITION (VERDICT r5 ask #1 — drain the driver-evidence
-#: backlog, highest-risk first): every slot goes to a query with NO
-#: prior driver row or a CHANGED plan/oracle — the window is disjoint
-#: from the 50 r5-green names by construction (a slot spent re-proving
-#: last round's rows is a slot wasted; ``tests/test_registry.py``
-#: pins that invariant).  Priority order:
-#:   1. changed-ORACLE: ``dedup_embedding_lsh`` (reshaped late r5 to
-#:      the scale-stable recall contract — r1-r3 rows predate it);
-#:   2. changed-PLAN (late-r5 one-scan audit rewrites, locally
-#:      verified identical but deserving fresh driver rows):
-#:      ``skew_top_keys`` ``mixture_rebalance`` ``weekly_active_users``
-#:      ``timeseries_gap_fill`` ``min_cost_supplier``
-#:      ``supplier_value_concentration`` ``top_supplier_revenue``
-#:      ``dominant_part_suppliers`` ``approx_topk_contract``, plus
-#:      ``agg_percentile`` whose high-NDV median was rerouted through
-#:      the sketch-bracket strategy THIS round (r5 ask #2);
-#:   3. the never-driver-checked late-r5 surfaces, complex operators
-#:      before simple language surfaces: the TPC-H completion sweep,
-#:      the analytics/warehouse reports, the full Python-eval ladder
-#:      (UDAF / applyInPandas / mapInArrow / UDTF) + Python
-#:      DataSource batch+stream, the traindata/LLM additions
-#:      (fuzzy match, drift-KL, samplers, rarity, quantization,
-#:      binaryFile, bitmap), and the riskiest SQL surfaces
-#:      (recursive CTE, VARIANT, XML, GROUP BY ALL, parameterized
-#:      SQL; Z-order lost its slot to the agg_percentile rework and
-#:      heads the backlog).
-#: Every name carries a full oracle — zero rows-only checks in the
-#: window.  What does NOT fit (16 never-checked low-risk simple
-#: surfaces + the two rows-only pure-ANN queries + the 30 r3-stale
-#: entries) is enumerated in ``ROTATION_BACKLOG`` below, in r7
-#: priority order — the staleness test asserts nothing stale has
-#: fallen off both lists.
+#: ROUND-7 COMPOSITION (VERDICT r6 ask #1 — the staleness test went
+#: red by design when CORRECTNESS_r06 landed; this rotation is the
+#: first r7 commit).  Committed-history state at rotation time:
+#: 17 registered names with NO driver row ever (the two rows-only
+#: pure-ANN entries were RETIRED this round per VERDICT r6 ask #6 —
+#: folded into their ``_recall`` twins, see queries_llm.py), 30 names
+#: last green r3, 40 last green r4.  Priority order:
+#:   1. ``chunk_dedup_clean`` — the only real never-checked operator
+#:      (added mid-r6 after the window froze; new nontrivial oracle);
+#:   2. ``zorder_key_events`` + ``python_datasource_scan`` (the one
+#:      red r6 row — session-portability conf fixed this round, keep
+#:      it in the window per VERDICT r6 ask #2);
+#:   3. the 14 remaining never-checked language surfaces;
+#:   4. all 30 r3-stale entries (oldest evidence in the registry);
+#:   5. three r4 heads — the heavy dedup operators and the text
+#:      profile, highest-complexity first.
+#: Every name carries a full oracle — zero rows-only checks remain in
+#: the REGISTRY at all now.  The 37 remaining r4-green names form the
+#: r8 backlog below.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- 1. changed oracle ------------------------------------------
-    "dedup_embedding_lsh",
-    # -- 2. changed plans (one-scan audit) --------------------------
-    "skew_top_keys",
-    "mixture_rebalance",
-    "weekly_active_users",
-    "timeseries_gap_fill",
-    "min_cost_supplier",
-    "supplier_value_concentration",
-    "top_supplier_revenue",
-    "dominant_part_suppliers",
-    "approx_topk_contract",
-    # high-NDV median rerouted through the sketch-bracket strategy
-    # this round (VERDICT r5 ask #2) — changed plan, fresh row now
-    "agg_percentile",
-    # -- 3a. TPC-H completion sweep (never checked) -----------------
-    "shipping_priority",
-    "forecast_revenue_delta",
-    "product_profit_by_nation_year",
-    "customer_order_distribution",
-    "supplier_part_variety",
-    "large_volume_customers",
-    "sole_return_suppliers",
-    # -- 3b. analytics / warehouse reports (never checked) ----------
-    "order_aging_report",
-    "pareto_revenue_share",
-    "chisq_lang_source",
-    "regional_supplier_volume",
-    "nation_trade_flows",
-    "market_share",
-    "idle_rich_customers",
-    "promo_revenue_share",
-    "small_quantity_revenue",
-    "disjunctive_predicate_join",
-    "fulfillment_latency_profile",
-    "lateral_topk_suppliers",
-    "agg_grouping_sets",
-    # -- 3c. Python-eval ladder + Python DataSource (never checked) -
-    "agg_geomean_udaf",
-    "grouped_zscore_applyinpandas",
-    "mapinarrow_bytelen",
-    "doc_chunking_udtf",
-    "python_datasource_scan",
-    "python_datasource_stream",
-    # -- 3d. traindata / LLM additions (never checked) --------------
-    "fuzzy_part_name_pairs",
-    "corpus_drift_kl",
-    "dataset_hash_split",
-    "sample_exact_k_per_group",
-    "doc_rarity_score",
-    "embedding_quantization_profile",
-    "binaryfile_ingest_scan",
-    "bitmap_distinct_users",
-    # -- 3e. SQL-language surfaces (never checked, riskiest first) --
-    "recursive_cte_spine",
-    "events_props_variant",
-    "xml_csv_roundtrip",
-    "group_by_all_sql",
-    "parameterized_sql",
-)
-
-#: Everything still owed a (fresh) driver row AFTER this round's
-#: window, in r7 priority order.  Layers: (a) the mid-r6-added
-#: ``chunk_dedup_clean`` (post-freeze, heads the queue), the 15
-#: never-checked low-risk simple surfaces (zorder included — it lost
-#: its slot to the agg_percentile rework) + the 2 rows-only pure-ANN
-#: queries; (b) the 30 entries whose last green driver row is round 3
-#: (two-round staleness cap); the 44 r4-green entries follow once
-#: CORRECTNESS_r06 lands (computed by the staleness test from
-#: committed history, not listed here).
-ROTATION_BACKLOG: tuple[str, ...] = (
-    # (a) never-checked, deferred this round (chunk_dedup_clean was
-    # ADDED mid-r6, after the window was frozen)
+    # -- 1. never-checked: the real operator first -------------------
     "chunk_dedup_clean",
     "zorder_key_events",
+    # red r6 row; filterPushdown conf now set inside the query
+    "python_datasource_scan",
+    # -- never-checked language / streaming surfaces -----------------
     "window_value_range_frame",
     "join_null_safe",
     "events_stream_stream_left_join",
@@ -194,9 +112,7 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "regex_token_mentions",
     "token_array_hof_profile",
     "content_hash_manifest",
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
-    # (b) r3-stale
+    # -- r3-stale (complete set, oldest evidence) --------------------
     "agg_rollup",
     "agg_scale_sketches",
     "sql_ai_functions",
@@ -227,6 +143,62 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "window_forward_fill",
     "agg_sketch_rollup",
     "dedup_cluster_assign",
+    # -- r4 heads (heaviest operators of the r4 cohort) --------------
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "text_analysis_profile",
+)
+
+#: Everything still owed a fresh driver row AFTER this round's window
+#: — the 37 remaining r4-green names, pre-ordered as the r8 window
+#: plan (VERDICT r6 ask #8).  R8 COMPOSITION PLAN: these 37 + the 13
+#: oldest r5-green names (flagship first if its plan changed) fill
+#: exactly 50 slots; after r8 every name's last green row is ≥ r5.
+#: Heads: the three sf1 bench-regression suspects (fresh rows double
+#: as correctness cover for any perf fix), then the heavy operators,
+#: then language surfaces.
+ROTATION_BACKLOG: tuple[str, ...] = (
+    # bench-regression suspects (BENCH r6, host-suspect — re-proved r7)
+    "fillna_after_left_join",
+    "fact_build_transform",
+    "window_topk_per_group",
+    # heavy operators / pipelines
+    "join_chain_left",
+    "join_salted_skew",
+    "customer_rfm_segments",
+    "dq_completeness_profile",
+    "quantile_profile",
+    "multimodal_features",
+    "multimodal_resize",
+    "bm25_term_scores",
+    "embedding_norm_profile",
+    "lang_confusion_matrix",
+    "dedup_rate_by_source",
+    "dup_similarity_histogram",
+    "traindata_sequence_packing",
+    "quality_gate_rules",
+    "token_budget_select",
+    "vocab_bigrams",
+    "token_length_histogram",
+    # streaming cohort
+    "events_streaming_tumbling",
+    "events_session_window",
+    "events_streaming_session",
+    "events_stream_stream_join",
+    "events_streaming_rate_alert",
+    # analytics / warehouse cohort
+    "window_rolling_7d",
+    "stat_regression",
+    "source_lang_entropy",
+    "event_path_transitions",
+    "anomaly_mad",
+    "trending_daily_topk",
+    "user_lifetime_value",
+    "pricing_summary",
+    "top_revenue_orders",
+    "returned_item_customers",
+    "priority_class_mix",
+    "late_ship_priority_counts",
 )
 
 

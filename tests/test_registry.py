@@ -17,10 +17,71 @@ from __future__ import annotations
 
 import json
 import pathlib
+import subprocess
+
+import pytest
 
 from gaming_ai_analytics_spark import registry
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
+
+#: Staleness cap in rounds (VERDICT r6 ask #8, rationale written
+#: here): a full rotation of the 186-name registry through a 50-slot
+#: window takes ceil(186/50) = 4 rounds, so a 2-round cap is
+#: arithmetically unsatisfiable at steady state — it would force the
+#: backlog list to carry ~90 names forever and the test to mean
+#: "did you update the list" rather than "is rotation on schedule".
+#: A 3-round cap keeps real pressure (every name re-proved at most
+#: one round behind the fastest possible cadence) while the backlog
+#: absorbs only the arithmetic remainder.
+STALENESS_CAP_ROUNDS = 3
+
+
+def _commit_unix_ts(path: pathlib.Path) -> int | None:
+    """Unix timestamp of the last commit touching ``path`` (None if
+    never committed or git is unavailable)."""
+    try:
+        out = subprocess.run(
+            ["git", "log", "-1", "--format=%ct", "--", str(path)],
+            cwd=REPO, capture_output=True, text=True, timeout=30,
+        )
+    except Exception:
+        return None
+    s = out.stdout.strip()
+    return int(s) if out.returncode == 0 and s else None
+
+
+def _rotation_pending() -> bool:
+    """True in exactly the round-boundary state (VERDICT r6 ask #3):
+    the newest CORRECTNESS_r*.json landed AFTER the last committed
+    change to registry.py, i.e. the driver just recorded a round and
+    the window has not been rotated yet.  The rotation-policy tests
+    skip (with the rotation instruction) in that state, so a red
+    policy test always means "you forgot to rotate", never "a round
+    just ended"."""
+    files = list(REPO.glob("CORRECTNESS_r*.json"))
+    if not files:
+        return False
+    newest = max(files, key=lambda f: int(f.stem.split("_r")[1]))
+    corr_ts = _commit_unix_ts(newest)
+    if corr_ts is None:
+        # newest correctness file exists but has no commit yet —
+        # the driver wrote it moments ago; rotation is owed
+        return True
+    reg_ts = _commit_unix_ts(
+        REPO / "gaming_ai_analytics_spark" / "registry.py"
+    )
+    if reg_ts is None:
+        return False
+    return corr_ts > reg_ts
+
+
+_ROTATE_MSG = (
+    "new CORRECTNESS landed after the last registry.py rotation — "
+    "rotate DRIVER_WINDOW first (fresh-green names out, stale/"
+    "never-checked names in from ROTATION_BACKLOG), then this test "
+    "re-arms"
+)
 
 
 def _green_history() -> tuple[int, dict[str, int]]:
@@ -60,6 +121,8 @@ def test_window_spends_no_slot_on_fresh_rows():
     """Every window slot must buy NEW evidence: no name that already
     has a green driver row from the latest committed round (those are
     as fresh as evidence gets) may occupy one of the 50 slots."""
+    if _rotation_pending():
+        pytest.skip(_ROTATE_MSG)
     latest, last = _green_history()
     fresh = {q for q, r in last.items() if r == latest}
     wasted = set(registry.DRIVER_WINDOW) & fresh
@@ -67,19 +130,24 @@ def test_window_spends_no_slot_on_fresh_rows():
 
 
 def test_stale_queries_all_scheduled_or_queued():
-    """The two-round staleness cap, enforced against committed history:
-    every registered query whose last green driver row is more than two
-    rounds behind the latest committed round (or that has never had
-    one) must be either in this round's DRIVER_WINDOW or explicitly
-    queued in ROTATION_BACKLOG.  Nothing goes stale silently.
+    """The staleness cap (``STALENESS_CAP_ROUNDS``), enforced against
+    committed history: every registered query whose last green driver
+    row is at least that many rounds behind the latest committed round
+    (or that has never had one) must be either in this round's
+    DRIVER_WINDOW or explicitly queued in ROTATION_BACKLOG.  Nothing
+    goes stale silently.
 
-    When a new CORRECTNESS_r{N}.json lands this test recomputes — a
-    failure at round start is the designed signal to rotate the window
-    first (newly-stale names move into DRIVER_WINDOW or onto the
-    backlog, freshly-green names rotate out)."""
+    When a new CORRECTNESS_r{N}.json lands this test recomputes; the
+    ``_rotation_pending`` guard converts the round-boundary state into
+    a skip-with-instruction, so a FAILURE always means the rotation
+    (or the backlog bookkeeping) was genuinely forgotten."""
+    if _rotation_pending():
+        pytest.skip(_ROTATE_MSG)
     latest, last = _green_history()
     stale = {
-        q for q in registry.queries() if last.get(q, 0) <= latest - 2
+        q
+        for q in registry.queries()
+        if last.get(q, 0) <= latest - STALENESS_CAP_ROUNDS
     }
     uncovered = (
         stale - set(registry.DRIVER_WINDOW) - set(registry.ROTATION_BACKLOG)
