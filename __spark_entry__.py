@@ -32,6 +32,35 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship_star_metrics(spark, _SMOKE_SF_DIR)
 
 
+def _portable(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Session-portability shim (r6 VERDICT "What's wrong" #1): the
+    driver builds its own PLAIN SparkSession, not ``session.get_spark``,
+    so a query must not depend on any conf session.py sets.  The audit
+    of those confs found exactly two that are correctness-bearing
+    rather than perf-only:
+
+    - ``spark.sql.python.filterPushdown.enabled`` — Spark 4 hard-fails
+      a Python DataSource scan without it; set at the registration
+      site (sources/pyds.py) where the dependency lives.
+    - ``spark.sql.session.timeZone=UTC`` — every oracle compares
+      against DuckDB's UTC-naive timestamps, and Spark's date_trunc /
+      EXTRACT read the session zone.  Green so far only because this
+      host's JVM default is UTC; pinned here (runtime-settable) so the
+      contract survives any host.
+
+    Everything else session.py sets (AQE trio, shuffle partitions,
+    broadcast threshold, Arrow toPandas, driver memory) changes plans
+    or speed, never results."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -42,7 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     changed-oracle queries — rather than drifting with import order.
     The remainder stay covered by ``tools/verify_local.py`` and
     pytest."""
-    return registry.queries()
+    return {name: _portable(fn) for name, fn in registry.queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
