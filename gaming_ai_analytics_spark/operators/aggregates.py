@@ -16,6 +16,8 @@ oracle parity at test scale.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -401,8 +403,18 @@ def bracket_exact_percentile(
                 "_hi", hi_expr
             ).filter(F.col("_lo").isNotNull())
         else:
+            # NULL-safe equi-join: a USING-join (`join(bdf, gcols)`)
+            # drops any group whose key contains NULL — that group
+            # then never reaches slice_rows and would silently emit a
+            # NULL percentile despite a positive count (the inline-CASE
+            # branch above already used eqNullSafe; this path must
+            # match it). Broadcast-side keys are renamed to avoid
+            # ambiguous references under the explicit condition.
             b_schema = T.StructType(
-                [df.schema[g] for g in gcols]
+                [
+                    T.StructField(f"_bk_{g}", df.schema[g].dataType)
+                    for g in gcols
+                ]
                 + [
                     T.StructField("_lo", T.DoubleType()),
                     T.StructField("_hi", T.DoubleType()),
@@ -413,7 +425,16 @@ def bracket_exact_percentile(
                     [(*k, *brackets[k]) for k in todo], b_schema
                 )
             )
-            staged = df.join(bdf, gcols)
+            cond = functools.reduce(
+                lambda a, b: a & b,
+                [
+                    df[g].eqNullSafe(bdf[f"_bk_{g}"])
+                    for g in gcols
+                ],
+            )
+            staged = df.join(bdf, cond).drop(
+                *[f"_bk_{g}" for g in gcols]
+            )
         slice_rows = (
             staged
             .groupBy(*gcols)
@@ -435,8 +456,10 @@ def bracket_exact_percentile(
             .collect()
         )
         unresolved = set()
+        seen: set[tuple] = set()
         for r in slice_rows:
             key = tuple(r[g] for g in gcols)
+            seen.add(key)
             n = counts[key]
             rk = 1.0 + (n - 1) * p
             lo_r, hi_r = int(rk), int(-(-rk // 1))
@@ -447,17 +470,39 @@ def bracket_exact_percentile(
                 results[key] = vlo + (vhi - vlo) * (rk - lo_r)
             else:  # sketch bound violated — widen & retry this group
                 unresolved.add(key)
+        # a todo key absent from slice_rows entirely (e.g. dropped by a
+        # join defect) is UNRESOLVED, not silently NULL — belt to the
+        # eqNullSafe braces above
+        unresolved |= {k for k in todo if k not in seen}
         if not unresolved:
             break
-    for key in unresolved:  # still unresolved: safe gathering fallback
-        results[key] = (
-            df.groupBy(*gcols)
-            .agg(F.percentile(value_col, F.lit(p)).alias("_v"))
-            .where(
-                F.struct(*gcols).eqNullSafe(F.struct(*[F.lit(v) for v in key]))
-            )
-            .collect()[0]["_v"]
+    if unresolved:  # still unresolved: one exact aggregation over ONLY
+        # the unresolved groups (filter first — never the degenerate
+        # full-table value→count state this operator exists to avoid).
+        # Literals are cast to the group column's type: an uncast
+        # lit(None) is VOID-typed and fails eqNullSafe analysis.
+        key_struct = F.struct(*[F.col(g) for g in gcols])
+        match_any = functools.reduce(
+            lambda a, b: a | b,
+            [
+                key_struct.eqNullSafe(
+                    F.struct(
+                        *[
+                            F.lit(v).cast(df.schema[g].dataType)
+                            for g, v in zip(gcols, k)
+                        ]
+                    )
+                )
+                for k in unresolved
+            ],
         )
+        for r in (
+            df.filter(match_any)
+            .groupBy(*gcols)
+            .agg(F.percentile(value_col, F.lit(p)).alias("_v"))
+            .collect()
+        ):
+            results[tuple(r[g] for g in gcols)] = r["_v"]
 
     out_rows = [  # None-safe ordering: a NULL group key is a real group
         (*key, results.get(key), *comp_rows[key])

@@ -1078,9 +1078,23 @@ def q_chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chi2"),
         F.count(F.lit(1)).alias("n_cells"),
         F.sum(F.when(F.col("n") > 0, 1).otherwise(0)).alias("n_obs_cells"),
+        # dof counts categories NULL-INCLUSIVELY: the densified table
+        # treats a NULL lang/source as a real category (it contributes
+        # cells, marginals, and expected mass), and countDistinct
+        # ignores NULLs — without the correction the reported dof
+        # would be inconsistent with the table the statistic was
+        # computed over (ADVICE r6). Oracle mirrors the same term.
         (
-            (F.countDistinct("lang") - 1)
-            * (F.countDistinct("source") - 1)
+            (
+                F.countDistinct("lang")
+                + F.max(F.when(F.col("lang").isNull(), 1).otherwise(0))
+                - 1
+            )
+            * (
+                F.countDistinct("source")
+                + F.max(F.when(F.col("source").isNull(), 1).otherwise(0))
+                - 1
+            )
         ).alias("dof"),
     )
 
@@ -1106,7 +1120,11 @@ register(
            COUNT(*) AS n_cells,
            CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_obs_cells,
-           (COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1) AS dof
+           (COUNT(DISTINCT lang)
+              + MAX(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) - 1)
+             * (COUNT(DISTINCT source)
+                  + MAX(CASE WHEN source IS NULL THEN 1 ELSE 0 END) - 1)
+             AS dof
     FROM cells
     """,
 )

@@ -414,6 +414,32 @@ def test_bracket_exact_percentile_nulls_ties_and_tiny_accuracy(spark):
         assert got == {"a": 1.5, "b": None, "c": 7.0, None: 20.0}, accuracy
 
 
+def test_bracket_exact_percentile_null_key_wide_domain(spark):
+    """ADVICE r6 (medium): with MORE than 64 groups the operator takes
+    the broadcast-join path instead of inline CASE literals — a
+    null-UNSAFE equi-join there silently dropped any NULL-keyed group
+    (absent from pass 2 → emitted a NULL median despite a positive
+    count). Pin: 70 groups including a NULL key, both accuracies (the
+    coarse one additionally drives the widen/fallback path through the
+    same join)."""
+    from gaming_ai_analytics_spark.operators.aggregates import (
+        bracket_exact_percentile,
+    )
+
+    rows = [(f"g{i:02d}", float(j)) for i in range(69) for j in (1, 2, 9)]
+    rows += [(None, v) for v in [10.0, 20.0, 30.0, 40.0]]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    for accuracy in (10_000, 2):
+        got = {
+            r.g: r.med
+            for r in bracket_exact_percentile(
+                df, ["g"], "v", "med", accuracy=accuracy
+            ).collect()
+        }
+        assert got[None] == 25.0, accuracy
+        assert all(got[f"g{i:02d}"] == 2.0 for i in range(69)), accuracy
+
+
 # --------------------------------------------------------------------------
 # round-3 additions: regression fit, entropy, BM25
 # --------------------------------------------------------------------------

@@ -219,11 +219,16 @@ def test_bracket_percentile_matches_reference(spark, rows, accuracy):
         lo = int(rk) - 1
         hi = int(-(-rk // 1)) - 1
         raw = vals[lo] + (vals[hi] - vals[lo]) * (rk - int(rk))
-        # engine-side half-up rounding parity
+        # engine-side half-up rounding parity.  Quantize from the
+        # SHORTEST decimal repr (repr(raw)), not the float's full
+        # binary expansion: Spark's ROUND goes through
+        # BigDecimal.valueOf, which rounds the shortest repr — for a
+        # knife-edge median like 0.115, Decimal(0.115)=0.11499...
+        # rounds to 0.11 while Spark rounds to 0.12 (ADVICE r6).
         import decimal
 
         return float(
-            decimal.Decimal(raw).quantize(
+            decimal.Decimal(repr(raw)).quantize(
                 decimal.Decimal("0.01"), rounding=decimal.ROUND_HALF_UP
             )
         )
