@@ -81,6 +81,8 @@ def flagship_star_metrics(
 ) -> DataFrame:
     if median_impl == "histogram":
         return _flagship_histogram_median(spark, sf_dir)
+    if median_impl == "bracket":
+        return _flagship_bracket_median(spark, sf_dir)
 
     joined = _joined_fact(spark, sf_dir)
     n = F.count(F.lit(1))
@@ -96,6 +98,49 @@ def flagship_star_metrics(
         # exact interpolated median (A4); bounded state for this
         # low-cardinality column — see module docstring
         F.round(F.expr("percentile(l_quantity, 0.5)"), 2).alias("median_qty"),
+    )
+
+
+def _flagship_bracket_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6-VERDICT experiment variant: the median rides the two-scan
+    ``bracket_exact_percentile`` strategy with every other flagship
+    measure as a pass-1 companion.  Pass 1 = one joined scan computing
+    count/avg/pcts plus the sketch bracket; pass 2 = a second joined
+    scan reduced to the in-bracket slice.  The hypothesis under test
+    (BASELINE.md §3) is whether splitting the holistic median out of
+    the main aggregation shrinks the join share; the cost is a second
+    full fact scan + join."""
+    from gaming_ai_analytics_spark.operators.aggregates import (
+        bracket_exact_percentile,
+    )
+
+    joined = _joined_fact(spark, sf_dir)
+    n = F.count(F.lit(1))
+    out = bracket_exact_percentile(
+        joined,
+        ["r_name"],
+        "l_quantity",
+        "median_qty",
+        companion_aggs=[
+            n.alias("line_count"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(
+                F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)) / n,
+                4,
+            ).alias("high_discount_pct"),
+            F.round(
+                F.sum(F.when(F.col("l_discount") < 0.02, 1).otherwise(0)) / n,
+                4,
+            ).alias("low_discount_pct"),
+        ],
+    )
+    return out.select(
+        "r_name",
+        "line_count",
+        "avg_price",
+        "high_discount_pct",
+        "low_discount_pct",
+        "median_qty",
     )
 
 

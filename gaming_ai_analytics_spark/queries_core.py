@@ -462,7 +462,9 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1, and at 100 TB with NDV ~ 1e9 a ~16 GB reducer-side map =
     OOM. The bracket path's engine state is the O(accuracy) KLL
     sketch; the driver holds counts + bounds + the in-bracket slice
-    (measured 4.8k values/group at sf1, accuracy 1000). Wall-clock
+    (measured 24.5k values/group at sf1 accuracy 1000, tracking the
+    8n/accuracy bound within ~2% across a 1k/10k/100k sweep —
+    BASELINE.md §3 r7 table). Wall-clock
     (fresh-lineage A/B, median of 4, after the inline-CASE bracket
     rewrite removed pass 2's broadcast join): sf0.1 1.07 s vs 1.15 s
     built-in; sf1 0.98 s vs 0.84 s — the residual ~0.15 s is the
