@@ -819,6 +819,81 @@ register(
 
 
 # --------------------------------------------------------------------------
+# zero-extra-scan DQ metrics via df.observe (r7)
+# --------------------------------------------------------------------------
+def q_dq_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ metrics that ride the PRODUCTION job's own scan —
+    ``df.observe(Observation, ...)``: the named aggregates piggyback
+    on whatever action the pipeline was already running (here a
+    count() standing in for a fact-build write), so the quality
+    numbers cost ZERO extra passes over the data.  That is the 100 TB
+    difference from ``dq_completeness_profile``'s dedicated profiling
+    scan: at scale a DQ gate that re-reads the corpus doubles the
+    pipeline's IO, while observed metrics are free — Spark evaluates
+    them inside the same whole-stage-codegen pass and streams the
+    partial merges to the driver with the job result.  (Observation
+    supports deterministic non-distinct aggregates only — exactly the
+    mergeable-partial restriction that makes them free.)
+
+    The production pipeline already rides an Observation on its
+    append batch (plans/pipeline.py `build_fact_incremental`,
+    unit-tested); this registration gives the observe surface a
+    DRIVER-CHECKED row: the output is the observed metric row
+    (aggregate-sized, built driver-side from the observation result)
+    and the oracle recomputes every metric from scratch — a full
+    differential check that observed metrics equal dedicated-scan
+    metrics."""
+    from pyspark.sql import Observation
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = Observation("dq")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("text").isNull().cast("long")).alias("null_text"),
+        F.sum(F.col("lang").isNull().cast("long")).alias("null_lang"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+    # the production action the metrics ride on (a write in a real
+    # pipeline); obs.get blocks until the action's job finishes
+    observed.count()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["null_text"]),
+                int(m["null_lang"]),
+                float(m["avg_chars"]),
+                int(m["min_doc_id"]),
+                int(m["max_doc_id"]),
+            )
+        ],
+        "n_rows BIGINT, null_text BIGINT, null_lang BIGINT, "
+        "avg_chars DOUBLE, min_doc_id BIGINT, max_doc_id BIGINT",
+    )
+
+
+register(
+    "dq_observed_metrics",
+    q_dq_observed_metrics,
+    """
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_text,
+           CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_lang,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM documents
+    """,
+)
+
+
+# --------------------------------------------------------------------------
 # multi-quantile profile
 # --------------------------------------------------------------------------
 def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -20,12 +20,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gaming_ai_analytics_spark.functions.text import (
+    doc_fingerprint,
     pii_match_count,
     redact_pii,
     repetition_metrics,
     token_chunks,
     tokens,
 )
+from gaming_ai_analytics_spark.functions.text_sql import NORM as _NORM
 from gaming_ai_analytics_spark.operators.dedup import cross_corpus_overlap
 from gaming_ai_analytics_spark.operators.parallelism import ensure_parallelism
 from gaming_ai_analytics_spark.registry import register
@@ -1166,5 +1168,81 @@ register(
                    AS pick_rank
           FROM documents)
     WHERE pick_rank <= 10
+    """,
+)
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test split — the leakage guard
+    ``dataset_hash_split`` lacks: hashing per-DOCUMENT lets two copies
+    of the same (or near-same) document land in train AND test, which
+    silently turns eval into memorization measurement.  The fix is to
+    hash the duplicate-CLUSTER representative, so every member of a
+    cluster lands in the same split by construction.
+
+    Plan (scale shape): (1) one aggregation to the cluster level —
+    groupBy the exact normalized-text fingerprint, carrying the
+    deterministic representative (min doc_id) plus the cluster's doc /
+    char mass as mergeable partials; (2) the split is pure int64
+    arithmetic on the representative (same multiplicative hash as
+    ``dataset_hash_split`` — stable across engines and reruns); (3) a
+    final aggregate on the 3-value split key over |clusters| rows.
+    Two shuffles, both map-side combined; no window sort, no join —
+    the cluster frame (not the corpus) is the only intermediate.  The
+    fingerprint key generalizes: swap in any cluster id (e.g. the
+    connected-components output of ``dedup_cluster_assign_star`` for
+    MinHash-LSH near-dup clusters) and the plan is unchanged — exact
+    fingerprints keep this registration SQL-expressible for the
+    oracle.  ``n_clusters`` rides along so consumers can see the
+    dedup mass per split (docs − clusters = duplicates bound to their
+    representative's split)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    clusters = (
+        docs.groupBy(doc_fingerprint(F.col("text")).alias("_fp"))
+        .agg(
+            F.min("doc_id").alias("_rep"),
+            F.count(F.lit(1)).alias("_n_docs"),
+            F.sum("n_chars").alias("_chars"),
+        )
+    )
+    bucket = F.pmod(F.col("_rep") * 1103515245 + 12345, F.lit(10000))
+    split = (
+        F.when(bucket < 9000, "train")
+        .when(bucket < 9500, "val")
+        .otherwise("test")
+    )
+    return (
+        clusters.select(split.alias("split"), "_n_docs", "_chars")
+        .groupBy("split")
+        .agg(
+            F.sum("_n_docs").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+register(
+    "leakage_safe_split",
+    q_leakage_safe_split,
+    f"""
+    WITH c AS (
+      SELECT md5({_NORM}) AS fp, MIN(doc_id) AS rep,
+             COUNT(*) AS n_docs, SUM(n_chars) AS chars
+      FROM documents WHERE text IS NOT NULL
+      GROUP BY 1)
+    SELECT CASE WHEN (rep * 1103515245 + 12345) % 10000 < 9000
+                THEN 'train'
+                WHEN (rep * 1103515245 + 12345) % 10000 < 9500
+                THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_clusters,
+           CAST(SUM(chars) AS BIGINT) AS total_chars
+    FROM c
+    GROUP BY 1 ORDER BY split
     """,
 )

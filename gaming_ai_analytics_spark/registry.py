@@ -143,21 +143,27 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "window_forward_fill",
     "agg_sketch_rollup",
     "dedup_cluster_assign",
-    # -- r4 heads (heaviest operators of the r4 cohort) --------------
+    # -- NEW r7 operators (zero evidence anywhere — a fresh driver row
+    # is worth more than refreshing an r4-green name) -----------------
+    "leakage_safe_split",
+    "dq_observed_metrics",
+    # -- r4 head (heaviest operator of the r4 cohort) ----------------
     "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
-    "text_analysis_profile",
 )
 
 #: Everything still owed a fresh driver row AFTER this round's window
-#: — the 37 remaining r4-green names, pre-ordered as the r8 window
-#: plan (VERDICT r6 ask #8).  R8 COMPOSITION PLAN: these 37 + the 13
-#: oldest r5-green names (flagship first if its plan changed) fill
-#: exactly 50 slots; after r8 every name's last green row is ≥ r5.
-#: Heads: the three sf1 bench-regression suspects (fresh rows double
-#: as correctness cover for any perf fix), then the heavy operators,
-#: then language surfaces.
+#: — the 39 remaining r4-green names (37 + the two displaced by the
+#: new r7 operators), pre-ordered as the r8 window plan (VERDICT r6
+#: ask #8).  R8 COMPOSITION PLAN: these 39 + the 11 oldest r5-green
+#: names fill exactly 50 slots; after r8 every name's last green row
+#: is ≥ r5.  Heads: the displaced r4 heads, the three sf1
+#: bench-regression suspects (fresh rows double as correctness cover
+#: for any perf fix), then the heavy operators, then language
+#: surfaces.
 ROTATION_BACKLOG: tuple[str, ...] = (
+    # r4 heads displaced by the two new r7 operators
+    "dedup_simhash_pairs",
+    "text_analysis_profile",
     # bench-regression suspects (BENCH r6, host-suspect — re-proved r7)
     "fillna_after_left_join",
     "fact_build_transform",
