@@ -26,8 +26,8 @@ from gaming_ai_analytics_spark import registry
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
 #: Staleness cap in rounds (VERDICT r6 ask #8, rationale written
-#: here): a full rotation of the 186-name registry through a 50-slot
-#: window takes ceil(186/50) = 4 rounds, so a 2-round cap is
+#: here): a full rotation of the ~190-name registry through a 50-slot
+#: window takes ceil(n/50) = 4 rounds, so a 2-round cap is
 #: arithmetically unsatisfiable at steady state — it would force the
 #: backlog list to carry ~90 names forever and the test to mean
 #: "did you update the list" rather than "is rotation on schedule".
