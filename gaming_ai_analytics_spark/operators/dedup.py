@@ -85,6 +85,23 @@ def ngram_jaccard_pairs(
     (stop-shingles create quadratic posting lists at corpus scale;
     dropping them is the standard recall-safe-ish cap — pairs sharing
     ONLY ubiquitous shingles are the ones you didn't want anyway).
+
+    The posting self-join carries an explicit SHUFFLE_HASH hint — the
+    one class of places this library overrides the planner's join
+    choice, found the hard way by the r7 sf10 probe: Catalyst
+    estimates the join input from the PRE-explode scan/exchange bytes
+    (explode fan-out is invisible to stats, and AQE measures the
+    stage BEFORE the explode too), so at 5M docs it statically
+    broadcast a ~3.3 GiB exploded posting frame that fit "under
+    64 MB" on paper and OOMed the JVM.  A posting list is
+    corpus-sized by construction — broadcasting it can never be right
+    at scale; shingle-key co-partitioning is the plan the inverted
+    index wants, and shuffle-hash beats sort-merge here (no sort of
+    the fat exploded frames; per-partition build state is
+    corpus/shuffle-partitions sized; AQE still splits skewed keys).
+    Measured A/B in BASELINE.md §3: sf1 minhash 7.3→4.0 s, sf0.1
+    +0.8 s (broadcast genuinely wins at toy scale — the accepted
+    price of a plan that survives the next decade).
     """
     sh = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"),
@@ -97,14 +114,21 @@ def ngram_jaccard_pairs(
 
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
 
-    a, b = sh.alias("a"), sh.alias("b")
+    a, b = sh.hint("shuffle_hash").alias("a"), sh.hint("shuffle_hash").alias("b")
     common = (
         a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("_common"))
     )
-    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
-    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    # sizes is |corpus| rows — hinted for the same reason as the
+    # posting join (a broadcast build map of every doc id cannot be
+    # right at scale; AQE keeps the small-SF cost negligible)
+    sa = sizes.hint("shuffle_hash").select(
+        F.col("_id").alias("id_a"), F.col("_n").alias("_na")
+    )
+    sb = sizes.hint("shuffle_hash").select(
+        F.col("_id").alias("id_b"), F.col("_n").alias("_nb")
+    )
     jac = F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common"))
     return (
         common.join(sa, "id_a")
@@ -236,7 +260,16 @@ def minhash_lsh_pairs(
         "_id", F.posexplode(buckets).alias("band", "bucket")
     )
 
-    a, b = band_entries.alias("a"), band_entries.alias("b")
+    # shuffle_hash-hinted like ngram_jaccard_pairs' posting join (r7 sf10
+    # probe): band_entries is a bands× EXPLODE of a map-only signature
+    # frame, so Catalyst's size estimate predates the fan-out and at
+    # 5M docs it statically broadcast all three corpus-sized joins in
+    # this plan (~GB-scale build maps in an 8g JVM — survived at sf10,
+    # OOM at the next notch). Band-bucket co-partitioning is the plan
+    # LSH wants anyway; AQE still splits skewed buckets.
+    a, b = band_entries.hint("shuffle_hash").alias("a"), band_entries.hint(
+        "shuffle_hash"
+    ).alias("b")
     candidates = (
         a.join(
             b,
@@ -266,8 +299,15 @@ def minhash_lsh_pairs(
             )
         ).alias("_shs"),
     )
-    sa = shingle_arrays.select(F.col("_id").alias("id_a"), F.col("_shs").alias("_sa"))
-    sb = shingle_arrays.select(F.col("_id").alias("id_b"), F.col("_shs").alias("_sb"))
+    # per-doc shingle arrays are corpus-sized too — same hint
+    # (the array payload makes a broadcast build map even fatter than
+    # the row count suggests)
+    sa = shingle_arrays.hint("shuffle_hash").select(
+        F.col("_id").alias("id_a"), F.col("_shs").alias("_sa")
+    )
+    sb = shingle_arrays.hint("shuffle_hash").select(
+        F.col("_id").alias("id_b"), F.col("_shs").alias("_sb")
+    )
     jac = F.size(F.array_intersect("_sa", "_sb")) / F.size(F.array_union("_sa", "_sb"))
     return (
         candidates.join(sa, "id_a")
@@ -364,7 +404,11 @@ def simhash_near_pairs(
         ).alias("bb"),
     ).select("_id", "simhash", "bb.band", "bb.chunk")
 
-    a, b = chunks.alias("a"), chunks.alias("b")
+    # shuffle_hash hint: chunks is a bands× explode of a map-only frame —
+    # the same post-explode-stats blind spot as the jaccard/minhash
+    # joins (r7 sf10 probe); a chunk-blocked self-join must never
+    # pick a corpus-sized broadcast build
+    a, b = chunks.hint("shuffle_hash").alias("a"), chunks.hint("shuffle_hash").alias("b")
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )
@@ -635,7 +679,10 @@ def embedding_cosine_pairs_lsh(
         F.explode(bb).alias("bb"),
     ).select("_id", "_v", "bb.band", "bb.chunk")
 
-    a, b = chunks.alias("a"), chunks.alias("b")
+    # shuffle_hash hint: bands× explode carrying the FULL embedding vector —
+    # the fattest instance of the post-explode-stats blind spot (r7
+    # sf10 probe); a broadcast build here is corpus-size × dim floats
+    a, b = chunks.hint("shuffle_hash").alias("a"), chunks.hint("shuffle_hash").alias("b")
     sim = F.round(dot(F.col("a._v"), F.col("b._v")), 6)
     return (
         a.join(
