@@ -39,6 +39,40 @@ from gaming_ai_analytics_spark.functions.vectors import dot
 from gaming_ai_analytics_spark.operators.parallelism import ensure_parallelism
 
 
+#: Below this Catalyst estimate of the SOURCE frame, join strategy is
+#: left to the planner: even a ~20× exploded broadcast build is then
+#: ≤ ~100 MB and measured faster (BASELINE.md §3: minhash sf0.1
+#: 1.0 s planner vs 1.8 s hinted).  At or above it, the estimate can
+#: no longer be trusted THROUGH an explode (fan-out is invisible to
+#: sizeInBytes, so the planner broadcast a ~3.3 GiB exploded posting
+#: frame at sf10 and OOMed) and every self-join in this module is
+#: pinned shuffle_hash.  Unknown sizes (LocalRelation reports
+#: Long.MaxValue; any py4j hiccup returns None) take the scale-safe
+#: hint path — which also means unit tests on createDataFrame inputs
+#: exercise the hinted plans while the sf0.01/sf0.1 driver runs
+#: exercise the planner path, covering both.
+PLANNER_TRUST_MAX_BYTES = 4 << 20
+
+
+def _source_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for ``df``'s optimized plan (file-scan
+    bytes for parquet sources), or None when unavailable."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — internal API; unknown = big
+        return None
+
+
+def _self_join_hinter(df: DataFrame):
+    """Return a frame-wrapper pinning ``shuffle_hash`` on the module's
+    corpus-sized self-joins unless the source is provably toy-sized
+    (see PLANNER_TRUST_MAX_BYTES)."""
+    size = _source_bytes(df)
+    if size is not None and size < PLANNER_TRUST_MAX_BYTES:
+        return lambda frame: frame
+    return lambda frame: frame.hint("shuffle_hash")
+
+
 # --------------------------------------------------------------------------
 # exact dedup
 # --------------------------------------------------------------------------
@@ -86,22 +120,23 @@ def ngram_jaccard_pairs(
     dropping them is the standard recall-safe-ish cap — pairs sharing
     ONLY ubiquitous shingles are the ones you didn't want anyway).
 
-    The posting self-join carries an explicit SHUFFLE_HASH hint — the
-    one class of places this library overrides the planner's join
-    choice, found the hard way by the r7 sf10 probe: Catalyst
-    estimates the join input from the PRE-explode scan/exchange bytes
-    (explode fan-out is invisible to stats, and AQE measures the
-    stage BEFORE the explode too), so at 5M docs it statically
-    broadcast a ~3.3 GiB exploded posting frame that fit "under
-    64 MB" on paper and OOMed the JVM.  A posting list is
-    corpus-sized by construction — broadcasting it can never be right
-    at scale; shingle-key co-partitioning is the plan the inverted
-    index wants, and shuffle-hash beats sort-merge here (no sort of
-    the fat exploded frames; per-partition build state is
-    corpus/shuffle-partitions sized; AQE still splits skewed keys).
-    Measured A/B in BASELINE.md §3: sf1 minhash 7.3→4.0 s, sf0.1
-    +0.8 s (broadcast genuinely wins at toy scale — the accepted
-    price of a plan that survives the next decade).
+    The posting self-join carries an explicit SHUFFLE_HASH hint above
+    the toy-corpus gate (``PLANNER_TRUST_MAX_BYTES``) — the one class
+    of places this library overrides the planner's join choice, found
+    the hard way by the r7 sf10 probe: Catalyst estimates the join
+    input from the PRE-explode scan/exchange bytes (explode fan-out
+    is invisible to stats, and AQE measures the stage BEFORE the
+    explode too), so at 6M docs it statically broadcast a ~3.3 GiB
+    exploded posting frame that fit "under 64 MB" on paper and OOMed
+    the JVM.  A posting list is corpus-sized by construction —
+    broadcasting it can never be right at scale; shingle-key
+    co-partitioning is the plan the inverted index wants, and
+    shuffle-hash beats sort-merge here (no sort of the fat exploded
+    frames; per-partition build state is corpus/shuffle-partitions
+    sized; AQE still splits skewed keys).  Measured A/B in
+    BASELINE.md §3: sf1 minhash 7.3→4.0 s; below the gate the
+    planner's broadcast genuinely wins (sf0.1 1.0 vs 1.8 s hinted),
+    which is why tiny sources are left alone.
     """
     sh = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"),
@@ -114,7 +149,8 @@ def ngram_jaccard_pairs(
 
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
 
-    a, b = sh.hint("shuffle_hash").alias("a"), sh.hint("shuffle_hash").alias("b")
+    _hint = _self_join_hinter(df)
+    a, b = _hint(sh).alias("a"), _hint(sh).alias("b")
     common = (
         a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
@@ -123,10 +159,10 @@ def ngram_jaccard_pairs(
     # sizes is |corpus| rows — hinted for the same reason as the
     # posting join (a broadcast build map of every doc id cannot be
     # right at scale; AQE keeps the small-SF cost negligible)
-    sa = sizes.hint("shuffle_hash").select(
+    sa = _hint(sizes).select(
         F.col("_id").alias("id_a"), F.col("_n").alias("_na")
     )
-    sb = sizes.hint("shuffle_hash").select(
+    sb = _hint(sizes).select(
         F.col("_id").alias("id_b"), F.col("_n").alias("_nb")
     )
     jac = F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common"))
@@ -267,9 +303,8 @@ def minhash_lsh_pairs(
     # this plan (~GB-scale build maps in an 8g JVM — survived at sf10,
     # OOM at the next notch). Band-bucket co-partitioning is the plan
     # LSH wants anyway; AQE still splits skewed buckets.
-    a, b = band_entries.hint("shuffle_hash").alias("a"), band_entries.hint(
-        "shuffle_hash"
-    ).alias("b")
+    _hint = _self_join_hinter(df)
+    a, b = _hint(band_entries).alias("a"), _hint(band_entries).alias("b")
     candidates = (
         a.join(
             b,
@@ -302,10 +337,10 @@ def minhash_lsh_pairs(
     # per-doc shingle arrays are corpus-sized too — same hint
     # (the array payload makes a broadcast build map even fatter than
     # the row count suggests)
-    sa = shingle_arrays.hint("shuffle_hash").select(
+    sa = _hint(shingle_arrays).select(
         F.col("_id").alias("id_a"), F.col("_shs").alias("_sa")
     )
-    sb = shingle_arrays.hint("shuffle_hash").select(
+    sb = _hint(shingle_arrays).select(
         F.col("_id").alias("id_b"), F.col("_shs").alias("_sb")
     )
     jac = F.size(F.array_intersect("_sa", "_sb")) / F.size(F.array_union("_sa", "_sb"))
@@ -408,7 +443,8 @@ def simhash_near_pairs(
     # the same post-explode-stats blind spot as the jaccard/minhash
     # joins (r7 sf10 probe); a chunk-blocked self-join must never
     # pick a corpus-sized broadcast build
-    a, b = chunks.hint("shuffle_hash").alias("a"), chunks.hint("shuffle_hash").alias("b")
+    _hint = _self_join_hinter(df)
+    a, b = _hint(chunks).alias("a"), _hint(chunks).alias("b")
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )
@@ -682,7 +718,8 @@ def embedding_cosine_pairs_lsh(
     # shuffle_hash hint: bands× explode carrying the FULL embedding vector —
     # the fattest instance of the post-explode-stats blind spot (r7
     # sf10 probe); a broadcast build here is corpus-size × dim floats
-    a, b = chunks.hint("shuffle_hash").alias("a"), chunks.hint("shuffle_hash").alias("b")
+    _hint = _self_join_hinter(df)
+    a, b = _hint(chunks).alias("a"), _hint(chunks).alias("b")
     sim = F.round(dot(F.col("a._v"), F.col("b._v")), 6)
     return (
         a.join(

@@ -503,3 +503,27 @@ def test_embedding_lsh_subset_of_exact_two_sfs(spark):
         )
         assert set(lsh48) <= set(exact), sf
         assert len(lsh48) >= 0.85 * len(exact), sf
+
+
+def test_self_join_hint_gate_paths_agree(spark, monkeypatch):
+    """The shuffle_hash-vs-planner gate (PLANNER_TRUST_MAX_BYTES) is a
+    physical-plan choice only: force BOTH paths on the same parquet
+    corpus and require identical pair sets, and pin that the gate
+    actually selects the intended path for each source class
+    (tiny parquet scan → planner; LocalRelation/unknown → hint)."""
+    from gaming_ai_analytics_spark.operators import dedup as D
+
+    docs = load_table(spark, SF, "documents")
+    # gate selection: sf0.01 parquet is far below the gate → planner
+    assert D._source_bytes(docs) < D.PLANNER_TRUST_MAX_BYTES
+    local = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    sz = D._source_bytes(local)
+    assert sz is None or sz >= D.PLANNER_TRUST_MAX_BYTES  # unknown → hint
+
+    planner = _pairs(minhash_lsh_pairs(docs, "doc_id", "text", 3, 0.5))
+    monkeypatch.setattr(D, "PLANNER_TRUST_MAX_BYTES", 0)  # force hint path
+    hinted = _pairs(minhash_lsh_pairs(docs, "doc_id", "text", 3, 0.5))
+    assert hinted == planner
+    hinted_j = _pairs(ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5))
+    monkeypatch.setattr(D, "PLANNER_TRUST_MAX_BYTES", 4 << 20)
+    assert hinted_j == _pairs(ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5))
