@@ -34,7 +34,12 @@ QUERIES = [
     "global_quality_rank",
     "doc_rarity_score",
     "dedup_minhash_lsh",
-    "dedup_cluster_assign_star",
+    # dedup_cluster_assign_star is excluded: at sf10 its n-gram
+    # posting self-join spills >45 GB and transiently fills THIS
+    # host's single 252 GB disk (a cluster distributes spill across
+    # executor disks; the derived fixture's 10× doc replication also
+    # inflates near-dup pair counts ~100×, not 10×). See
+    # BASELINE.md §3.
 ]
 
 _DUCK_TABLES = (
