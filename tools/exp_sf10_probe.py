@@ -10,7 +10,9 @@ stalling the probe.  The point is the SLOPE: sub-quadratic candidate
 generation and log-round CC should grow ~linearly sf1 → sf10 while
 exact pair plans grow ~quadratically.
 
-Usage: python tools/exp_sf10_probe.py [duck_timeout_s]
+Usage: python tools/exp_sf10_probe.py [duck_timeout_s] [query ...]
+(query names override the default set — used to extend the probe
+table one path at a time without re-paying the whole sweep)
 """
 
 from __future__ import annotations
@@ -68,6 +70,7 @@ def duck_one(name: str) -> None:
 
 def main() -> None:
     duck_timeout = int(sys.argv[1]) if len(sys.argv) > 1 else 900
+    queries = sys.argv[2:] or QUERIES
 
     from gaming_ai_analytics_spark import registry
     from gaming_ai_analytics_spark.session import get_spark
@@ -76,7 +79,7 @@ def main() -> None:
     qs = registry.queries()
 
     results: dict[str, dict] = {}
-    for name in QUERIES:
+    for name in queries:
         fn = qs[name]
         t0 = time.perf_counter()
         fn(spark, SF10).toPandas()
@@ -87,7 +90,7 @@ def main() -> None:
         results[name] = {"spark_cold": round(cold, 2), "spark": round(warm, 2)}
         print(f"{name}: spark cold {cold:.2f}s warm {warm:.2f}s", flush=True)
 
-    for name in QUERIES:  # DuckDB after all Spark numbers are in
+    for name in queries:  # DuckDB after all Spark numbers are in
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--duck", name],
