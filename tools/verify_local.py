@@ -15,7 +15,14 @@ timestamp / ...); a class mismatch is a FAIL even when the stringified
 values agree, so that divergence class can no longer pass locally and
 fail in the driver.
 
-Usage:  python tools/verify_local.py [sf_dir] [query_name ...]
+Usage:  python tools/verify_local.py [--plain] [sf_dir] [query_name ...]
+
+``--plain`` runs on a bare SparkSession (master/shuffle/ui only — none
+of ``session.py``'s confs), replicating the DRIVER's environment: round
+6's one red row (`python_datasource_scan`) passed every local check and
+failed in the driver purely because a query silently depended on a
+session.py conf. A window that is green under ``--plain`` cannot fail
+in the driver for that class of reason.
 """
 
 from __future__ import annotations
@@ -145,13 +152,29 @@ def compare(name, sdf, con, sql, out):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    plain = "--plain" in args
+    if plain:
+        args = [a for a in args if a != "--plain"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as e
-    from gaming_ai_analytics_spark.session import get_spark
 
-    spark = get_spark("verify_local")
+    if plain:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("verify_local_plain")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from gaming_ai_analytics_spark.session import get_spark
+
+        spark = get_spark("verify_local")
     con = duck_connect(sf_dir)
     qs = e.queries()
     oracles = e.oracle_sql()
