@@ -402,25 +402,75 @@ def test_save_zordered_files_own_disjoint_key_ranges(spark, tmp_path, sf_dir):
         zorder_key,
     )
 
+    from gaming_ai_analytics_spark.operators.layout import _scale_to_bits
+
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_id", "user_id", (F.minute("ts") + F.hour("ts") * 60).alias("m")
     )
     path = str(tmp_path / "zev")
     save_zordered(ev, path, "user_id", "m", num_files=4)
+    # the write keys on the NORMALIZED interleave (both dims scaled to
+    # the same bit width) — recompute it to check file disjointness
+    lo_u, hi_u, lo_m, hi_m = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("m"), F.max("m")
+    ).first()
+    zkey = zorder_key(
+        _scale_to_bits(F.col("user_id"), lo_u, hi_u, 16),
+        _scale_to_bits(F.col("m"), lo_m, hi_m, 16),
+        16,
+    )
     ranges = []
     for f in glob.glob(f"{path}/part-*.parquet"):
         part = spark.read.parquet(f)
-        lo, hi = (
-            part.select(
-                F.min(zorder_key(F.col("user_id"), F.col("m"))),
-                F.max(zorder_key(F.col("user_id"), F.col("m"))),
-            ).first()
-        )
+        lo, hi = part.select(F.min(zkey), F.max(zkey)).first()
         ranges.append((lo, hi))
     ranges.sort()
     assert len(ranges) >= 2  # the range partitioner actually split
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert hi_prev <= lo_next
+
+
+def test_save_zordered_prunes_both_dimensions(spark, tmp_path):
+    """Regression for the unequal-bit-width pitfall the r7 layout
+    experiment caught: interleaving RAW values lets the wider
+    dimension's high bits monopolize the key, the range partitioner
+    splits on them alone, and the narrow dimension gets ZERO
+    file-level pruning (measured: minute-band skip 0.0% un-normalized
+    vs 75.0% normalized at 10 M rows). After min-max normalization a
+    10%-band predicate on EITHER dimension must leave most row groups
+    skippable by footer min/max stats alone."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from gaming_ai_analytics_spark.operators.layout import save_zordered
+
+    n = 20_000
+    df = spark.range(n).select(
+        ((F.col("id") * 9973) % 100_000).alias("x"),   # 17-bit dim
+        ((F.col("id") * 31) % 100).alias("y"),         # 7-bit dim
+    )
+    path = str(tmp_path / "zxy")
+    save_zordered(df, path, "x", "y", bits=8, num_files=16)
+
+    def skippable(col, lo, hi):
+        hit = total = 0
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            pf = pq.ParquetFile(f)
+            idx = {
+                pf.schema_arrow.names[i]: i
+                for i in range(len(pf.schema_arrow.names))
+            }
+            for rg in range(pf.metadata.num_row_groups):
+                s = pf.metadata.row_group(rg).column(idx[col]).statistics
+                total += 1
+                if s is None or (s.min < hi and s.max >= lo):
+                    hit += 1
+        return 1 - hit / total
+
+    # 10% band in each dimension; both must prune substantially
+    assert skippable("x", 10_000, 20_000) >= 0.5
+    assert skippable("y", 10, 20) >= 0.5
 
 
 def test_read_orc_roundtrip_and_pushdown(spark, tmp_path, sf_dir):
