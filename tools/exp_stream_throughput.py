@@ -1,0 +1,143 @@
+"""Streaming sustained-throughput probe (r7).
+
+The streaming surface has batch-parity correctness evidence but no
+performance evidence. This measures sustained rows/s through the REAL
+Structured Streaming engine — micro-batch planner, state store,
+watermark-free update mode — by replaying the 10 M-row sf10 `events`
+fixture as a bounded 8-micro-batch stream (16 files,
+maxFilesPerTrigger=2) into a noop sink, per operator:
+
+  tumbling_hourly       built-in windowed agg (tiny state: 30 d x 24 h
+                        x |event_type| windows)
+  session_windows       gap-based sessionization (state ~ open
+                        sessions per user)
+  dedupe_keys           dropDuplicates on event_id (state = key set)
+  segment_totals        stream-static broadcast join + agg (the
+                        slowly-changing-dim enrichment pattern)
+  stateful_user_totals  applyInPandasWithState — the Python/Arrow
+                        custom-state path (state: 1 tuple x 150 k
+                        users; measures the Python worker round-trip
+                        per micro-batch)
+
+rows/s here is a LOWER bound on cluster throughput: local[32] shares
+one JVM between source, state store, and sink, and the 8-batch replay
+pays the micro-batch scheduling floor 8 times.
+
+Usage: python tools/exp_stream_throughput.py [sf_dir] [ops ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+    REPO, ".benchdata", "sf10"
+)
+SRC = os.path.join(REPO, ".benchdata", "stream_src_events")
+N_FILES, FILES_PER_TRIGGER = 16, 2
+
+
+def prepare_source(spark) -> int:
+    """A 16-file TIME-ORDERED copy of the events fixture (one-time) so
+    the file source replays it as 8 roughly-in-order micro-batches —
+    the arrival pattern of a real event log, and the one that lets the
+    session-window watermark close sessions instead of dropping bulk
+    late data. Returns the row count."""
+    if not os.path.isdir(SRC):
+        (
+            spark.read.parquet(os.path.join(SF, "events.parquet"))
+            .repartitionByRange(N_FILES, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(SRC)
+        )
+    return spark.read.parquet(SRC).count()
+
+
+def read_stream(spark):
+    from pyspark.sql import functions as F
+
+    from gaming_ai_analytics_spark.sources.star import normalize_event_ts
+
+    schema = spark.read.parquet(SRC).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", FILES_PER_TRIGGER)
+        .parquet(SRC)
+    )
+    return normalize_event_ts(raw).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+def drive(agg, mode: str) -> tuple[float, int]:
+    """Run the bounded stream to completion; (wall_s, n_batches)."""
+    ckpt = tempfile.mkdtemp(prefix="stream_tp_")
+    t0 = time.perf_counter()
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return time.perf_counter() - t0, batches
+
+
+def main() -> None:
+    from gaming_ai_analytics_spark.session import get_spark
+    from gaming_ai_analytics_spark.streaming import events as se
+
+    spark = get_spark("stream-throughput")
+    n_rows = prepare_source(spark)
+
+    def ops():
+        ev = read_stream(spark)
+        cust = spark.read.parquet(os.path.join(SF, "customer.parquet"))
+        return {
+            "tumbling_hourly": (se.tumbling_hourly(ev), "update"),
+            # session windows only support append (closed sessions) on
+            # streams; the watermark is what closes them
+            "session_windows": (
+                se.session_windows(ev.withWatermark("ts", "30 minutes")),
+                "append",
+            ),
+            "dedupe_keys": (se.dedupe_keys(ev, ["event_id"]), "append"),
+            "segment_totals": (se.segment_totals(ev, cust), "update"),
+            "stateful_user_totals": (se.stateful_user_totals(ev), "update"),
+        }
+
+    wanted = sys.argv[2:] or list(ops())
+    results = {}
+    for name in wanted:
+        agg, mode = ops()[name]  # fresh stream per run
+        wall, batches = drive(agg, mode)
+        results[name] = {
+            "wall_s": round(wall, 2),
+            "micro_batches": batches,
+            "rows_per_s": int(n_rows / wall),
+        }
+        print(f"{name}: {wall:.2f}s over {batches} micro-batches = "
+              f"{results[name]['rows_per_s']:,} rows/s", flush=True)
+
+    print(json.dumps({"rows": n_rows, "n_files": N_FILES,
+                      "files_per_trigger": FILES_PER_TRIGGER,
+                      "results": results}))
+
+
+if __name__ == "__main__":
+    main()
