@@ -59,6 +59,65 @@ def salted_join(
     return left.join(right, on=[*keys, SALT], how=how).drop(SALT)
 
 
+def hot_key_isolated_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    how: str = "inner",
+    hot_keys: Sequence | None = None,
+    top_n: int = 8,
+    min_share: float = 0.05,
+) -> DataFrame:
+    """Equi-join with the hot keys isolated onto a broadcast side-path.
+
+    The other planner-independent skew fix (the one ``top_keys``'s
+    docstring points at): split the skewed side on membership in a
+    SMALL explicit hot-key set; the hot slice joins against a broadcast
+    of ``other``'s matching rows (no shuffle at all for the heavy
+    keys), the cold slice joins normally (its key distribution is
+    uniform by construction). Unlike ``salted_join`` this pays no
+    |other| × buckets replication — its cost is a second scan of the
+    skewed side (each branch scans with an ``isin`` pushed to parquet;
+    cache upstream if the input is not a scan).
+
+    ``hot_keys=None`` auto-detects: keys among the ``top_n`` heaviest
+    holding ≥ ``min_share`` of rows. Detection is one bounded
+    aggregation (``top_keys``) plus a count — at real scale run it on a
+    sample and pass the result explicitly.
+
+    Semantics are identical to ``skewed.join(other, on, how)`` for
+    inner/left (asserted in tests/test_skew.py): rows with NULL or
+    non-hot keys ride the cold branch unchanged, and a hot key absent
+    from ``other`` still emits its left row (the broadcast subset
+    simply has no match).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"hot_key_isolated_join supports inner/left, got {how!r}"
+        )
+    if hot_keys is None:
+        total = skewed.count()
+        hot_keys = [
+            r[on]
+            for r in top_keys(skewed, on, top_n).collect()
+            if r["rows"] >= min_share * total and r[on] is not None
+        ]
+    hot_keys = list(hot_keys)
+    if not hot_keys:
+        return skewed.join(other, on=on, how=how)
+
+    is_hot = F.col(on).isin(hot_keys)
+    hot_part = skewed.filter(is_hot).join(
+        F.broadcast(other.filter(is_hot)), on=on, how=how
+    )
+    # NULL keys fail isin() both ways; keep them on the cold branch
+    # explicitly so a left join still emits them.
+    cold_part = skewed.filter(~is_hot | F.col(on).isNull()).join(
+        other, on=on, how=how
+    )
+    return hot_part.unionByName(cold_part)
+
+
 def top_keys(df: DataFrame, key: str, n: int = 10) -> DataFrame:
     """Diagnostic: the ``n`` heaviest values of ``key`` with row counts
     — run at a sampled fraction first at real scale. Feed the result

@@ -685,6 +685,49 @@ register(
 )
 
 
+def q_join_skew_isolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same supplier-volume rollup computed THROUGH
+    ``hot_key_isolated_join`` — the other planner-independent skew
+    lever: the heaviest suppliers (``top_keys`` diagnostic, here the
+    top 3) join against a broadcast slice of the supplier dim with no
+    shuffle at all, everything else rides the normal join, and the two
+    branches union before the aggregate. The oracle IS the plain join,
+    so the driver check proves the split/broadcast/union is
+    semantics-preserving. Versus ``join_salted_skew``: no |dim| ×
+    buckets replication, at the price of a second scan of the fact
+    side. Measured against the other strategies on a 40%%-hot 40 M-row
+    fixture in tools/exp_skew_strategies.py (BASELINE.md §3)."""
+    from gaming_ai_analytics_spark.operators.skew import (
+        hot_key_isolated_join,
+        top_keys,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_quantity"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    hot = [r["suppkey"] for r in top_keys(li, "suppkey", 3).collect()]
+    joined = hot_key_isolated_join(li, supp, "suppkey", hot_keys=hot)
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+
+
+register(
+    "join_skew_isolated",
+    q_join_skew_isolated,
+    """
+    SELECT s.s_nationkey, COUNT(*) AS n_items,
+           ROUND(SUM(l.l_quantity), 2) AS total_qty
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1
+    """,
+)
+
+
 # --------------------------------------------------------------------------
 # RFM customer segmentation (threshold-based, no global rank window)
 # --------------------------------------------------------------------------

@@ -12,11 +12,18 @@ import uuid
 
 from pyspark.sql import functions as F
 
-from gaming_ai_analytics_spark.operators.skew import salted_join, top_keys
+from gaming_ai_analytics_spark.operators.skew import (
+    hot_key_isolated_join,
+    salted_join,
+    top_keys,
+)
 
 
 def _rows(df, cols):
-    return sorted(tuple(r) for r in df.select(*cols).collect())
+    return sorted(
+        (tuple(r) for r in df.select(*cols).collect()),
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
 
 
 def test_salted_inner_join_matches_plain(spark, sf_dir):
@@ -61,6 +68,77 @@ def test_salted_join_spreads_hot_key(spark):
         salted.filter(F.col("k") == 0).select(SALT).distinct().count()
     )
     assert n_salts == 8
+
+
+def test_hot_isolated_inner_join_matches_plain(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    hot = [r.l_orderkey for r in li.limit(3).collect()]
+    cols = ["l_orderkey", "l_quantity", "o_orderpriority"]
+    plain = li.join(orders, "l_orderkey", "inner")
+    iso = hot_key_isolated_join(li, orders, "l_orderkey", hot_keys=hot)
+    assert _rows(iso, cols) == _rows(plain, cols)
+
+
+def test_hot_isolated_left_join_nulls_and_missing_dim_keys(spark):
+    """Left-join equivalence on the awkward inputs: NULL keys must ride
+    the cold branch and survive, and a hot key absent from the dim must
+    still emit its left rows with NULL payload."""
+    left = spark.createDataFrame(
+        [(0, "a")] * 50 + [(1, "b"), (2, "c"), (None, "d"), (9, "e")],
+        "k int, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k int, v double"
+    )  # hot key 0 intentionally missing
+    cols = ["k", "tag", "v"]
+    plain = left.join(right, "k", "left")
+    iso = hot_key_isolated_join(
+        left, right, "k", how="left", hot_keys=[0, 9]
+    )
+    assert _rows(iso, cols) == _rows(plain, cols)
+
+
+def test_hot_isolated_join_auto_detects_and_broadcasts(spark):
+    """Auto-detection must pick exactly the dominant key, and the hot
+    branch must plan as a BroadcastHashJoin — the no-shuffle side-path
+    that is the operator's whole point."""
+    left = spark.range(20_000).select(
+        F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(20_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("w")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        iso = hot_key_isolated_join(left, right, "k", min_share=0.2)
+        plan = iso._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan  # hot branch, despite -1
+        assert (
+            _rows(iso, ["k", "v", "w"])
+            == _rows(left.join(right, "k"), ["k", "v", "w"])
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_hot_isolated_join_no_hot_keys_falls_back(spark):
+    """A uniform key distribution auto-detects nothing and degrades to
+    the plain join."""
+    left = spark.range(1_000).select(
+        F.col("id").alias("k"), F.lit(1).alias("v")
+    )
+    right = spark.range(1_000).select(
+        F.col("id").alias("k"), F.lit(2).alias("w")
+    )
+    iso = hot_key_isolated_join(left, right, "k", min_share=0.05)
+    assert iso.count() == 1_000
 
 
 def test_top_keys_diagnostic(spark, sf_dir):
