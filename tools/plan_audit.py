@@ -38,6 +38,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #: the stated number of times — exceeding it still fails the audit, so
 #: a justified query cannot silently regress further.
 MULTI_SCAN_JUSTIFIED: dict[str, tuple[dict[str, int], str]] = {
+    "join_skew_isolated": (
+        {"lineitem": 2, "supplier": 2},
+        "hot/cold branch split IS the operator: the hot slice joins a "
+        "broadcast dim subset, the cold slice joins normally — the "
+        "second scan is the documented price of avoiding salting's "
+        "|dim| x buckets replication (operators/skew.py, measured in "
+        "tools/exp_skew_strategies.py)",
+    ),
     "agg_incremental_merge": (
         {"lineitem": 2},
         "two disjoint halves aggregated independently IS the operator "
