@@ -302,3 +302,39 @@ def test_chunk_dedup_clean_matches_reference(spark, docs_chunks):
             for r in qt.q_chunk_dedup_clean(spark, "ignored").collect()
         }
     assert got == want
+
+
+# --- hot-key isolated join --------------------------------------------------
+@settings(**SETTINGS)
+@given(
+    left=st.lists(  # (key-or-None, tag) — generator biases key 0 hot
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 0), st.integers(0, 6)),
+            st.integers(0, 99),
+        ),
+        max_size=20,
+    ),
+    right=st.lists(  # (key, value); dup keys allowed -> fan-out
+        st.tuples(st.integers(0, 6), st.integers(0, 99)), max_size=10
+    ),
+    hot=st.lists(st.integers(0, 6), max_size=3),
+    how=st.sampled_from(["inner", "left"]),
+)
+def test_hot_isolated_join_equals_plain_join(spark, left, right, hot, how):
+    """hot_key_isolated_join must equal the plain join for EVERY hot-key
+    choice — including keys absent from either side, NULL left keys, and
+    duplicate right keys (fan-out through the broadcast branch)."""
+    from gaming_ai_analytics_spark.operators.skew import (
+        hot_key_isolated_join,
+    )
+
+    ldf = spark.createDataFrame(left, "k int, tag int") if left else None
+    rdf = spark.createDataFrame(right, "k int, v int") if right else None
+    if ldf is None or rdf is None:
+        return  # createDataFrame can't infer empty frames; nothing to test
+    plain = ldf.join(rdf, "k", how)
+    iso = hot_key_isolated_join(ldf, rdf, "k", how=how, hot_keys=hot)
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    assert sorted(map(tuple, iso.collect()), key=key) == sorted(
+        map(tuple, plain.collect()), key=key
+    )
