@@ -262,6 +262,59 @@ def minhash_signatures(
     )
 
 
+def _band_entries(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """(_id, band, bucket) LSH band entries — the map-only candidate
+    key frame both the self-join and the index paths build on."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+
+    # let-bind the signature: CollapseProject would otherwise inline
+    # the full 64-hash expression into every band reference
+    buckets = _let(
+        F.col("signature"),
+        lambda s: F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.xxhash64(F.slice(s, b * rows_per_band + 1, rows_per_band)),
+        ),
+    )
+    return sig.select("_id", F.posexplode(buckets).alias("band", "bucket"))
+
+
+def _hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(_id, _shs) distinct HASHED shingle arrays for exact-Jaccard
+    verification: set-Jaccard is preserved under an (effectively)
+    injective hash, while the pair join shuffles 8-byte longs instead
+    of raw shingle strings (~8× less payload) and
+    array_intersect/union compare longs, not strings — measured 2.3×
+    on the sf1 verify stage. array_distinct ONCE per doc (a doc
+    appears in many candidate pairs; deduping at the source shrinks
+    every joined payload and every per-pair set op)."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(
+            F.transform(
+                word_shingles(F.col(text_col), k), lambda s: F.xxhash64(s)
+            )
+        ).alias("_shs"),
+    )
+
+
+def _jaccard() -> Column:
+    # built lazily: classic-mode Column construction needs a live session
+    return F.size(F.array_intersect("_sa", "_sb")) / F.size(
+        F.array_union("_sa", "_sb")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -279,22 +332,8 @@ def minhash_lsh_pairs(
     bucket join shuffles (band_id, band_hash) keys only; verification
     touches candidate pairs, never the full n² space.
     """
-    rows_per_band = num_hashes // bands
     df = ensure_parallelism(df)
-    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
-
-    # let-bind the signature: CollapseProject would otherwise inline
-    # the full 64-hash expression into every band reference
-    buckets = _let(
-        F.col("signature"),
-        lambda s: F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.xxhash64(F.slice(s, b * rows_per_band + 1, rows_per_band)),
-        ),
-    )
-    band_entries = sig.select(
-        "_id", F.posexplode(buckets).alias("band", "bucket")
-    )
+    band_entries = _band_entries(df, id_col, text_col, k, num_hashes, bands)
 
     # shuffle_hash-hinted like ngram_jaccard_pairs' posting join (r7 sf10
     # probe): band_entries is a bands× EXPLODE of a map-only signature
@@ -316,40 +355,130 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # verification carries HASHED shingles (one xxhash64 per shingle,
-    # map-side): set-Jaccard is preserved under an (effectively)
-    # injective hash, while the pair join then shuffles 8-byte longs
-    # instead of the raw shingle strings (~8× less payload) and
-    # array_intersect/union compare longs, not strings — measured 2.3×
-    # on the sf1 verify stage.
-    # array_distinct ONCE per doc (set semantics are unchanged —
-    # intersect/union dedupe internally anyway, but per PAIR; a doc
-    # appears in many candidate pairs, so deduping at the source
-    # shrinks every joined payload and every per-pair set op)
-    shingle_arrays = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(
-            F.transform(
-                word_shingles(F.col(text_col), k), lambda s: F.xxhash64(s)
-            )
-        ).alias("_shs"),
-    )
-    # per-doc shingle arrays are corpus-sized too — same hint
-    # (the array payload makes a broadcast build map even fatter than
-    # the row count suggests)
+    # verification carries HASHED shingles (see _hashed_shingles);
+    # per-doc shingle arrays are corpus-sized too — same hint (the
+    # array payload makes a broadcast build map even fatter than the
+    # row count suggests)
+    shingle_arrays = _hashed_shingles(df, id_col, text_col, k)
     sa = _hint(shingle_arrays).select(
         F.col("_id").alias("id_a"), F.col("_shs").alias("_sa")
     )
     sb = _hint(shingle_arrays).select(
         F.col("_id").alias("id_b"), F.col("_shs").alias("_sb")
     )
-    jac = F.size(F.array_intersect("_sa", "_sb")) / F.size(F.array_union("_sa", "_sb"))
     return (
         candidates.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn("jaccard", F.round(jac, 6))
+        .withColumn("jaccard", F.round(_jaccard(), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# incremental dedup against a persisted LSH index
+# --------------------------------------------------------------------------
+def save_minhash_index(
+    store,
+    layer: str,
+    name: str,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    num_buckets: int = 32,
+) -> tuple[str, str]:
+    """Persist the corpus side of banded MinHash LSH as a reusable
+    index: the band entries as a table BUCKETED on (band, bucket) —
+    the candidate join key — and the hashed shingle arrays bucketed on
+    ``_id`` for verification, plus a one-row parameter table so probes
+    can't silently use mismatched hashing. Build once, then dedup
+    every nightly increment against it with
+    :func:`minhash_lsh_pairs_incremental` — at 100 TB the corpus side
+    is never re-shingled, never re-hashed, and (bucketed on the join
+    key) never re-shuffled; the per-night cost tracks the increment.
+    Same build-once/probe-many shape as the IVF index
+    (operators/similarity.py)."""
+    spark = df.sparkSession
+    t_bands = store.save_bucketed(
+        layer,
+        f"{name}_lshbands",
+        _band_entries(df, id_col, text_col, k, num_hashes, bands),
+        ["band", "bucket"],
+        num_buckets,
+        sort_cols=["band", "bucket"],
+    )
+    t_sh = store.save_bucketed(
+        layer,
+        f"{name}_lshshingles",
+        _hashed_shingles(df, id_col, text_col, k),
+        ["_id"],
+        num_buckets,
+    )
+    store.save(
+        layer,
+        f"{name}_lshmeta",
+        spark.createDataFrame(
+            [(k, num_hashes, bands)], "k int, num_hashes int, bands int"
+        ),
+    )
+    return t_bands, t_sh
+
+
+def minhash_lsh_pairs_incremental(
+    store,
+    layer: str,
+    name: str,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs between an increment and an indexed corpus
+    (:func:`save_minhash_index`), exact-Jaccard-verified — WITHOUT
+    touching corpus text: the increment's band entries (map-only)
+    join the persisted band table on (band, bucket); the planner may
+    freely broadcast the increment side (it IS small — that is the
+    ideal plan: zero shuffle on the corpus). Hash parameters come
+    from the index's meta table, so a probe can't disagree with the
+    build. Returns (id_new, id_corpus, jaccard); ids are assumed
+    disjoint between increment and corpus (dedup-the-increment
+    semantics — an exact re-ingest is caught upstream by the key
+    anti-join)."""
+    spark = new_df.sparkSession
+    meta = store.load(layer, f"{name}_lshmeta").first()
+    idx_bands = spark.table(f"{layer}_{name}_lshbands")
+    idx_sh = spark.table(f"{layer}_{name}_lshshingles")
+
+    new_bands = _band_entries(
+        new_df, id_col, text_col, meta["k"], meta["num_hashes"], meta["bands"]
+    )
+    candidates = (
+        new_bands.alias("n")
+        .join(
+            idx_bands.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bucket") == F.col("c.bucket")),
+        )
+        .select(
+            F.col("n._id").alias("id_new"), F.col("c._id").alias("id_corpus")
+        )
+        .distinct()
+    )
+    new_sh = _hashed_shingles(new_df, id_col, text_col, meta["k"]).select(
+        F.col("_id").alias("id_new"), F.col("_shs").alias("_sa")
+    )
+    corpus_sh = idx_sh.select(
+        F.col("_id").alias("id_corpus"), F.col("_shs").alias("_sb")
+    )
+    return (
+        candidates.join(new_sh, "id_new")
+        .join(corpus_sh, "id_corpus")
+        .withColumn("jaccard", F.round(_jaccard(), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_new", "id_corpus", "jaccard")
     )
 
 

@@ -144,6 +144,84 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("dedup_minhash_lsh", q_dedup_minhash_lsh, _JACCARD_PAIRS_SQL)
 
 
+def q_dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly-increment dedup against a PERSISTED LSH index: the
+    corpus (doc_id % 10 != 0) is indexed once via
+    ``save_minhash_index`` (band entries bucketed on the candidate
+    join key + hashed shingle arrays), then the increment
+    (doc_id % 10 = 0) probes it with
+    ``minhash_lsh_pairs_incremental`` — corpus text is never
+    re-shingled and, bucketed on (band, bucket), never re-shuffled.
+    The oracle recomputes the exact cross-split Jaccard pairs from
+    scratch; banded-LSH recall is 1.0 at the fixtures' similarity gap
+    (same rationale as ``dedup_minhash_lsh``). Index tables are
+    managed-table writes (bucket metadata lives in the catalog),
+    overwritten per invocation."""
+    import tempfile
+
+    from gaming_ai_analytics_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+        save_minhash_index,
+    )
+    from gaming_ai_analytics_spark.sources.io import TableStore
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    store = TableStore(spark, tempfile.mkdtemp(prefix="gaa_lshidx_"))
+    save_minhash_index(
+        store,
+        "idx",
+        "docsinc",
+        docs.filter(F.col("doc_id") % 10 != 0),
+        "doc_id",
+        "text",
+        num_buckets=8,
+    )
+    return minhash_lsh_pairs_incremental(
+        store, "idx", "docsinc", docs.filter(F.col("doc_id") % 10 == 0),
+        "doc_id", "text",
+    )
+
+
+register(
+    "dedup_incremental_index",
+    q_dedup_incremental_index,
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(TRIM(text), ' +') AS t
+      FROM documents
+      WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0
+    ),
+    pos AS (
+      SELECT doc_id, unnest(generate_series(1, len(t) - 2)) AS i, t
+      FROM pos_src
+    ),
+    pos_src AS (
+      SELECT doc_id, t FROM toks WHERE len(t) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM pos
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT CASE WHEN ia % 10 = 0 THEN ia ELSE ib END AS id_new,
+           CASE WHEN ia % 10 = 0 THEN ib ELSE ia END AS id_corpus,
+           ROUND(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
+    FROM pairs
+    JOIN sizes na ON ia = na.doc_id
+    JOIN sizes nb ON ib = nb.doc_id
+    WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5
+      AND (ia % 10 = 0) <> (ib % 10 = 0)
+    """,
+)
+
+
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-≤8 candidate recall contract. The fingerprint
     bit math has no SQL twin (xxhash64 is Spark-side), so the checked

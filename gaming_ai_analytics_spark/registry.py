@@ -155,16 +155,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: — the 39 remaining r4-green names (37 + the two displaced by the
 #: new r7 operators) plus the post-freeze r7 addition, pre-ordered as
 #: the r8 window plan (VERDICT r6 ask #8).  R8 COMPOSITION PLAN: these
-#: 40 + the 10 oldest r5-green names fill exactly 50 slots; after r8
-#: every name's last green row is ≥ r5.  Heads: the new operator, the
+#: 41 + the 9 oldest r5-green names fill exactly 50 slots; after r8
+#: every name's last green row is ≥ r5.  Heads: the new operators, the
 #: displaced r4 heads, the three sf1
 #: bench-regression suspects (fresh rows double as correctness cover
 #: for any perf fix), then the heavy operators, then language
 #: surfaces.
 ROTATION_BACKLOG: tuple[str, ...] = (
-    # NEW r7 operator added after the window froze (hot-key isolated
-    # skew join) — zero driver evidence, heads the r8 plan
+    # NEW r7 operators added after the window froze (hot-key isolated
+    # skew join; incremental dedup against a persisted LSH index) —
+    # zero driver evidence, head the r8 plan
     "join_skew_isolated",
+    "dedup_incremental_index",
     # r4 heads displaced by the two new r7 operators
     "dedup_simhash_pairs",
     "text_analysis_profile",

@@ -527,3 +527,48 @@ def test_self_join_hint_gate_paths_agree(spark, monkeypatch):
     hinted_j = _pairs(ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5))
     monkeypatch.setattr(D, "PLANNER_TRUST_MAX_BYTES", 4 << 20)
     assert hinted_j == _pairs(ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5))
+
+
+def test_incremental_lsh_matches_full_cross_pairs(spark, sf_dir, tmp_path):
+    """Dedup-the-increment against a persisted LSH index must find
+    exactly the cross-split subset of the full-corpus near-dup pairs —
+    the corpus side served entirely from the bucketed index tables."""
+    import uuid
+
+    from gaming_ai_analytics_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+        save_minhash_index,
+    )
+    from gaming_ai_analytics_spark.sources.io import TableStore
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        "text IS NOT NULL"
+    )
+    corpus = docs.filter("doc_id % 10 != 0")
+    inc = docs.filter("doc_id % 10 = 0")
+    store = TableStore(spark, str(tmp_path))
+    name = f"docs_{uuid.uuid4().hex[:8]}"
+    t_bands, t_sh = save_minhash_index(
+        store, "t", name, corpus, "doc_id", "text", num_buckets=8
+    )
+    try:
+        got = {
+            (r.id_new, r.id_corpus, r.jaccard)
+            for r in minhash_lsh_pairs_incremental(
+                store, "t", name, inc, "doc_id", "text"
+            ).collect()
+        }
+        full = minhash_lsh_pairs(docs, "doc_id", "text").collect()
+        want = {
+            (r.id_a, r.id_b, r.jaccard)
+            if r.id_a % 10 == 0
+            else (r.id_b, r.id_a, r.jaccard)
+            for r in full
+            if (r.id_a % 10 == 0) != (r.id_b % 10 == 0)
+        }
+        assert got == want
+        assert want  # fixture plants cross-split near-dups
+    finally:
+        for t in (t_bands, t_sh):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
