@@ -421,7 +421,8 @@ def save_minhash_index(
         layer,
         f"{name}_lshmeta",
         spark.createDataFrame(
-            [(k, num_hashes, bands)], "k int, num_hashes int, bands int"
+            [(k, num_hashes, bands, num_buckets)],
+            "k int, num_hashes int, bands int, num_buckets int",
         ),
     )
     return t_bands, t_sh
@@ -480,6 +481,104 @@ def minhash_lsh_pairs_incremental(
         .filter(F.col("jaccard") >= threshold)
         .select("id_new", "id_corpus", "jaccard")
     )
+
+
+def stream_dedup_sink(
+    store,
+    layer: str,
+    name: str,
+    survivors_layer: str,
+    survivors_name: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+):
+    """``foreachBatch`` function for streaming ingestion dedup against
+    a :func:`save_minhash_index` index. Per micro-batch:
+
+    1. within-batch survivor pass — near-dup pairs → transitive
+       clusters (``dedup_clusters``), min-id canonical survives (the
+       SAME rule as the batch ``dedup_survivors`` pass);
+    2. provisional survivors probe the index
+       (:func:`minhash_lsh_pairs_incremental`) — anything matching the
+       corpus is dropped (the corpus doc is the canonical);
+    3. survivors append to the clean table AND their band entries /
+       shingle arrays append into the index (bucket spec from the
+       index meta), so batch N+1 dedups against batch N's survivors —
+       first-seen-wins across the whole stream.
+
+    Deterministic given the batch partitioning (min-id canonical, no
+    randomness), idempotent-per-key downstream of the engine's
+    exactly-once ``foreachBatch`` replay (a replayed batch re-derives
+    the same survivors; pair with the key anti-join append pattern —
+    sources/io.py — if the sink table must also survive checkpoint
+    loss). Use as
+    ``stream.writeStream.foreachBatch(stream_dedup_sink(...))``."""
+
+    def process(batch_df: DataFrame, _batch_id: int) -> None:
+        from gaming_ai_analytics_spark.operators.graph import dedup_clusters
+
+        meta = store.load(layer, f"{name}_lshmeta").first()
+        batch_df = batch_df.persist()
+        try:
+            pairs = minhash_lsh_pairs(
+                batch_df,
+                id_col,
+                text_col,
+                meta["k"],
+                threshold,
+                meta["num_hashes"],
+                meta["bands"],
+            )
+            losers = (
+                dedup_clusters(pairs)
+                .filter(F.col("doc_id") != F.col("cluster_id"))
+                .select(F.col("doc_id").alias(id_col))
+            )
+            provisional = batch_df.join(
+                F.broadcast(losers), id_col, "left_anti"
+            )
+            matched = (
+                minhash_lsh_pairs_incremental(
+                    store, layer, name, provisional, id_col, text_col,
+                    threshold,
+                )
+                .select(F.col("id_new").alias(id_col))
+                .distinct()
+            )
+            survivors = provisional.join(
+                F.broadcast(matched), id_col, "left_anti"
+            ).persist()
+            try:
+                store.save(
+                    survivors_layer, survivors_name, survivors, mode="append"
+                )
+                store.save_bucketed(
+                    layer,
+                    f"{name}_lshbands",
+                    _band_entries(
+                        survivors, id_col, text_col,
+                        meta["k"], meta["num_hashes"], meta["bands"],
+                    ),
+                    ["band", "bucket"],
+                    meta["num_buckets"],
+                    sort_cols=["band", "bucket"],
+                    mode="append",
+                )
+                store.save_bucketed(
+                    layer,
+                    f"{name}_lshshingles",
+                    _hashed_shingles(survivors, id_col, text_col, meta["k"]),
+                    ["_id"],
+                    meta["num_buckets"],
+                    mode="append",
+                )
+            finally:
+                survivors.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    return process
 
 
 # --------------------------------------------------------------------------

@@ -496,3 +496,73 @@ def test_stream_resume_restores_custom_group_state(spark, tmp_path):
 
     resumed = {r.user_id: (r.n_events, r.total_value) for r in after}
     assert resumed == {1: (3, 17.0)}
+
+
+def test_stream_dedup_against_growing_index(spark, tmp_path):
+    """Streaming ingestion dedup (operators/dedup.py stream_dedup_sink):
+    each micro-batch drops in-batch near-dup losers and docs matching
+    the persisted LSH index, appends survivors, and GROWS the index —
+    so a later batch's near-dup of an earlier batch's survivor is
+    caught even though neither was in the original corpus. Driven as
+    two sequential availableNow runs on one checkpoint (also proving
+    the sink composes with restart)."""
+    import uuid
+
+    from gaming_ai_analytics_spark.operators.dedup import (
+        save_minhash_index,
+        stream_dedup_sink,
+    )
+    from gaming_ai_analytics_spark.sources.io import TableStore
+
+    def text(prefix, n=20, swap=None):
+        words = [f"{prefix}{i:02d}" for i in range(n)]
+        if swap is not None:
+            words[swap] = f"x{swap:02d}"
+        return " ".join(words)
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    name = f"stream_{uuid.uuid4().hex[:8]}"
+    corpus = spark.createDataFrame(
+        [(1, text("c"))], "doc_id int, text string"
+    )
+    t_bands, t_sh = save_minhash_index(
+        store, "idx", name, corpus, "doc_id", "text", num_buckets=4
+    )
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    sink = stream_dedup_sink(
+        store, "idx", name, "clean", "docs", "doc_id", "text"
+    )
+
+    def run_available():
+        q = (
+            spark.readStream.schema("doc_id int, text string")
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def write(rows):
+        spark.createDataFrame(rows, "doc_id int, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    try:
+        # batch 1: A, A'~A (in-batch dup), C1~corpus C (cross dup)
+        write([(10, text("a")), (11, text("a", swap=5)), (12, text("c", swap=10))])
+        run_available()
+        # batch 2: A''~A (dup of batch 1's SURVIVOR via the grown
+        # index — A was never in the original corpus), B unique
+        write([(20, text("a", swap=15)), (21, text("b"))])
+        run_available()
+
+        survivors = {r.doc_id for r in store.load("clean", "docs").collect()}
+        assert survivors == {10, 21}
+    finally:
+        for t in (t_bands, t_sh):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
