@@ -447,14 +447,30 @@ def minhash_lsh_pairs_incremental(
     build. Returns (id_new, id_corpus, jaccard); ids are assumed
     disjoint between increment and corpus (dedup-the-increment
     semantics — an exact re-ingest is caught upstream by the key
-    anti-join)."""
+    anti-join).
+
+    The increment side rides the module's explode-aware size gate
+    (``PLANNER_TRUST_MAX_BYTES``): its band frame is a bands× explode
+    whose fan-out Catalyst's estimate cannot see, so a LARGE increment
+    is pinned ``shuffle_hash`` instead of letting the planner broadcast
+    a corpus-scale frame (the sf10 OOM class). Bucket the session's
+    shuffle partitions to the index's ``num_buckets`` and the hinted
+    path re-uses the corpus tables' bucketing too.
+
+    Plan verified at sf0.1 (toy increment, planner path): all three
+    joins broadcast the increment; the corpus band/shingle tables scan
+    with ZERO exchanges."""
     spark = new_df.sparkSession
     meta = store.load(layer, f"{name}_lshmeta").first()
     idx_bands = spark.table(f"{layer}_{name}_lshbands")
     idx_sh = spark.table(f"{layer}_{name}_lshshingles")
 
-    new_bands = _band_entries(
-        new_df, id_col, text_col, meta["k"], meta["num_hashes"], meta["bands"]
+    _hint = _self_join_hinter(new_df)
+    new_bands = _hint(
+        _band_entries(
+            new_df, id_col, text_col,
+            meta["k"], meta["num_hashes"], meta["bands"],
+        )
     )
     candidates = (
         new_bands.alias("n")
@@ -468,9 +484,9 @@ def minhash_lsh_pairs_incremental(
         )
         .distinct()
     )
-    new_sh = _hashed_shingles(new_df, id_col, text_col, meta["k"]).select(
-        F.col("_id").alias("id_new"), F.col("_shs").alias("_sa")
-    )
+    new_sh = _hint(
+        _hashed_shingles(new_df, id_col, text_col, meta["k"])
+    ).select(F.col("_id").alias("id_new"), F.col("_shs").alias("_sa"))
     corpus_sh = idx_sh.select(
         F.col("_id").alias("id_corpus"), F.col("_shs").alias("_sb")
     )
