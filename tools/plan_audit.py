@@ -38,6 +38,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #: the stated number of times — exceeding it still fails the audit, so
 #: a justified query cannot silently regress further.
 MULTI_SCAN_JUSTIFIED: dict[str, tuple[dict[str, int], str]] = {
+    "dedup_incremental_index": (
+        {"documents": 2},
+        "corpus/increment split IS the operator: the corpus slice is "
+        "indexed once (save_minhash_index) and the increment slice "
+        "probes it — the registered query does both ends of the "
+        "build-once/probe-many contract in one run so the oracle can "
+        "check it; production runs them on different nights "
+        "(operators/dedup.py, measured in tools/exp_incremental_dedup.py)",
+    ),
     "join_skew_isolated": (
         {"lineitem": 2, "supplier": 2},
         "hot/cold branch split IS the operator: the hot slice joins a "
