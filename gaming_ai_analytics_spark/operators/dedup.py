@@ -462,8 +462,8 @@ def minhash_lsh_pairs_incremental(
     with ZERO exchanges."""
     spark = new_df.sparkSession
     meta = store.load(layer, f"{name}_lshmeta").first()
-    idx_bands = spark.table(f"{layer}_{name}_lshbands")
-    idx_sh = spark.table(f"{layer}_{name}_lshshingles")
+    idx_bands = spark.table(store.table_name(layer, f"{name}_lshbands"))
+    idx_sh = spark.table(store.table_name(layer, f"{name}_lshshingles"))
 
     _hint = _self_join_hinter(new_df)
     new_bands = _hint(
@@ -523,13 +523,20 @@ def stream_dedup_sink(
        index meta), so batch N+1 dedups against batch N's survivors —
        first-seen-wins across the whole stream.
 
-    Deterministic given the batch partitioning (min-id canonical, no
-    randomness), idempotent-per-key downstream of the engine's
-    exactly-once ``foreachBatch`` replay (a replayed batch re-derives
-    the same survivors; pair with the key anti-join append pattern —
-    sources/io.py — if the sink table must also survive checkpoint
-    loss). Use as
-    ``stream.writeStream.foreachBatch(stream_dedup_sink(...))``."""
+    ``foreachBatch`` is AT-LEAST-ONCE: a crash between any append
+    below and the checkpoint commit replays the whole batch. The
+    derivation is deterministic (min-id canonical, no randomness), so
+    replay re-derives the same survivors — and each of the three
+    appends independently anti-joins its destination on the batch's
+    (broadcast) id set first, skipping ids already landed. Any replay
+    therefore converges on exactly-once output regardless of where the
+    previous attempt died; a FULLY-committed batch additionally
+    self-matches in the index (jaccard 1.0) and appends nothing. The
+    guards cost one destination scan per append, each restricted by a
+    broadcast semi-join on batch-sized ids — comparable to the index
+    probe the batch already pays. Use as
+    ``stream.writeStream.foreachBatch(stream_dedup_sink(...))``;
+    replay idempotence is pinned in tests/test_streaming.py."""
 
     def process(batch_df: DataFrame, _batch_id: int) -> None:
         from gaming_ai_analytics_spark.operators.graph import dedup_clusters
@@ -566,14 +573,50 @@ def stream_dedup_sink(
                 F.broadcast(matched), id_col, "left_anti"
             ).persist()
             try:
+                # Replay guards: anti-join each destination's already-
+                # landed ids (restricted to this batch via broadcast
+                # semi-join) so a partially-committed batch replays to
+                # exactly the missing appends, never duplicates.
+                spark = batch_df.sparkSession
+                surv_ids = survivors.select(id_col).distinct()
+
+                def _landed(dest: DataFrame, dest_id: str) -> DataFrame:
+                    return (
+                        dest.select(F.col(dest_id).alias(id_col))
+                        .join(F.broadcast(surv_ids), id_col, "left_semi")
+                        .distinct()
+                    )
+
+                to_clean = survivors
+                if store.exists(survivors_layer, survivors_name):
+                    to_clean = survivors.join(
+                        F.broadcast(
+                            _landed(
+                                store.load(survivors_layer, survivors_name),
+                                id_col,
+                            )
+                        ),
+                        id_col,
+                        "left_anti",
+                    )
                 store.save(
-                    survivors_layer, survivors_name, survivors, mode="append"
+                    survivors_layer, survivors_name, to_clean, mode="append"
+                )
+                to_bands = survivors.join(
+                    F.broadcast(_landed(
+                        spark.table(
+                            store.table_name(layer, f"{name}_lshbands")
+                        ),
+                        "_id",
+                    )),
+                    id_col,
+                    "left_anti",
                 )
                 store.save_bucketed(
                     layer,
                     f"{name}_lshbands",
                     _band_entries(
-                        survivors, id_col, text_col,
+                        to_bands, id_col, text_col,
                         meta["k"], meta["num_hashes"], meta["bands"],
                     ),
                     ["band", "bucket"],
@@ -581,10 +624,20 @@ def stream_dedup_sink(
                     sort_cols=["band", "bucket"],
                     mode="append",
                 )
+                to_sh = survivors.join(
+                    F.broadcast(_landed(
+                        spark.table(
+                            store.table_name(layer, f"{name}_lshshingles")
+                        ),
+                        "_id",
+                    )),
+                    id_col,
+                    "left_anti",
+                )
                 store.save_bucketed(
                     layer,
                     f"{name}_lshshingles",
-                    _hashed_shingles(survivors, id_col, text_col, meta["k"]),
+                    _hashed_shingles(to_sh, id_col, text_col, meta["k"]),
                     ["_id"],
                     meta["num_buckets"],
                     mode="append",

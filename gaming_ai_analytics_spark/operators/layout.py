@@ -96,6 +96,18 @@ def save_zordered(
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
     ).first()
+    # Empty input (a nightly increment with no rows) or an all-NULL
+    # dimension yields None bounds; the layout is then meaningless but
+    # the write must still succeed as a no-op-shaped overwrite, not a
+    # driver-side TypeError in the span arithmetic.
+    if None in (lo_a, hi_a, lo_b, hi_b):
+        (
+            df.repartition(1)
+            .write.mode("overwrite")
+            .format(fmt)
+            .save(path)
+        )
+        return
     z = zorder_key(
         _scale_to_bits(F.col(col_a), lo_a, hi_a, bits),
         _scale_to_bits(F.col(col_b), lo_b, hi_b, bits),

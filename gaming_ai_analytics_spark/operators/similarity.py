@@ -403,7 +403,7 @@ def save_ivf_index(store, layer: str, name: str, assigned: DataFrame,
 def load_ivf_index(spark, store, layer: str, name: str) -> tuple[DataFrame, np.ndarray]:
     """Load a persisted IVF index; centroids collect to the driver
     (n_clusters × dim — tiny by construction)."""
-    assigned = spark.table(f"{layer}_{name}_cells")
+    assigned = spark.table(store.table_name(layer, f"{name}_cells"))
     rows = store.load(layer, f"{name}_centroids").orderBy("cell").collect()
     return assigned, np.asarray([r.centroid for r in rows])
 

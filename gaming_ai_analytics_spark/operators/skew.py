@@ -102,7 +102,12 @@ def hot_key_isolated_join(
             for r in top_keys(skewed, on, top_n).collect()
             if r["rows"] >= min_share * total and r[on] is not None
         ]
-    hot_keys = list(hot_keys)
+    # A None in an explicit hot_keys list would poison isin(): every
+    # non-hot comparison becomes SQL NULL, which BOTH branch filters
+    # drop (NULL is not true, and ~NULL is still NULL) — silently
+    # losing all cold rows. NULL keys never equi-match anyway and the
+    # cold branch keeps them via the isNull() clause, so strip them.
+    hot_keys = [k for k in hot_keys if k is not None]
     if not hot_keys:
         return skewed.join(other, on=on, how=how)
 

@@ -16,7 +16,7 @@ Scale notes baked into each operator:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gaming_ai_analytics_spark.functions.text import (
@@ -35,6 +35,37 @@ from gaming_ai_analytics_spark.sources.star import load_table
 
 _TOKS = "string_split_regex(TRIM(text), ' +')"
 _NONEMPTY = "text IS NOT NULL AND LENGTH(TRIM(text)) > 0"
+
+# The ONE train/val/test assignment rule — shared by
+# ``dataset_hash_split`` (per-document key) and ``leakage_safe_split``
+# (cluster-representative key), in BOTH engines. The two operators'
+# contract is that they apply the SAME split function, so the
+# constants live here exactly once; editing them re-derives all four
+# sites (two Spark plans, two DuckDB oracles) together.
+_SPLIT_MUL, _SPLIT_ADD, _SPLIT_MOD = 1103515245, 12345, 10000
+_SPLIT_TRAIN_LT, _SPLIT_VAL_LT = 9000, 9500
+
+
+def split_assign(key: Column) -> Column:
+    """'train'/'val'/'test' from an int64 key: pure multiplicative-hash
+    arithmetic (overflow-free for realistic id ranges), so the same key
+    lands in the same split on any engine and any rerun."""
+    bucket = F.pmod(key * _SPLIT_MUL + _SPLIT_ADD, F.lit(_SPLIT_MOD))
+    return (
+        F.when(bucket < _SPLIT_TRAIN_LT, "train")
+        .when(bucket < _SPLIT_VAL_LT, "val")
+        .otherwise("test")
+    )
+
+
+def split_assign_sql(key: str) -> str:
+    """The identical assignment as portable SQL (oracle twin)."""
+    bucket = f"({key} * {_SPLIT_MUL} + {_SPLIT_ADD}) % {_SPLIT_MOD}"
+    return (
+        f"CASE WHEN {bucket} < {_SPLIT_TRAIN_LT} THEN 'train' "
+        f"WHEN {bucket} < {_SPLIT_VAL_LT} THEN 'val' "
+        f"ELSE 'test' END"
+    )
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1102,14 +1133,8 @@ def q_dataset_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     key. At 100 TB the split column doubles as a partition column for
     the shard writer (``export_shards``)."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.pmod(F.col("doc_id") * 1103515245 + 12345, F.lit(10000))
-    split = (
-        F.when(bucket < 9000, "train")
-        .when(bucket < 9500, "val")
-        .otherwise("test")
-    )
     return (
-        docs.select(split.alias("split"), "n_chars")
+        docs.select(split_assign(F.col("doc_id")).alias("split"), "n_chars")
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -1122,12 +1147,8 @@ def q_dataset_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "dataset_hash_split",
     q_dataset_hash_split,
-    """
-    SELECT CASE WHEN (doc_id * 1103515245 + 12345) % 10000 < 9000
-                THEN 'train'
-                WHEN (doc_id * 1103515245 + 12345) % 10000 < 9500
-                THEN 'val'
-                ELSE 'test' END AS split,
+    f"""
+    SELECT {split_assign_sql("doc_id")} AS split,
            COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
@@ -1207,14 +1228,10 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("_chars"),
         )
     )
-    bucket = F.pmod(F.col("_rep") * 1103515245 + 12345, F.lit(10000))
-    split = (
-        F.when(bucket < 9000, "train")
-        .when(bucket < 9500, "val")
-        .otherwise("test")
-    )
     return (
-        clusters.select(split.alias("split"), "_n_docs", "_chars")
+        clusters.select(
+            split_assign(F.col("_rep")).alias("split"), "_n_docs", "_chars"
+        )
         .groupBy("split")
         .agg(
             F.sum("_n_docs").alias("n_docs"),
@@ -1234,11 +1251,7 @@ register(
              COUNT(*) AS n_docs, SUM(n_chars) AS chars
       FROM documents WHERE text IS NOT NULL
       GROUP BY 1)
-    SELECT CASE WHEN (rep * 1103515245 + 12345) % 10000 < 9000
-                THEN 'train'
-                WHEN (rep * 1103515245 + 12345) % 10000 < 9500
-                THEN 'val'
-                ELSE 'test' END AS split,
+    SELECT {split_assign_sql("rep")} AS split,
            CAST(SUM(n_docs) AS BIGINT) AS n_docs,
            COUNT(*) AS n_clusters,
            CAST(SUM(chars) AS BIGINT) AS total_chars

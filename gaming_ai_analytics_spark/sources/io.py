@@ -63,6 +63,14 @@ class TableStore:
     def path(self, layer: str, name: str) -> str:
         return table_path(self.warehouse_dir, layer, name)
 
+    def table_name(self, layer: str, name: str) -> str:
+        """The catalog name a stored table registers under. The single
+        owner of the ``{layer}_{name}`` convention — index probes
+        (operators/dedup.py, operators/similarity.py) resolve their
+        managed tables through this instead of re-deriving the format,
+        so a convention change cannot strand them on stale names."""
+        return f"{layer}_{name}"
+
     def save(
         self,
         layer: str,
@@ -145,7 +153,7 @@ class TableStore:
         table over its existing location (no data movement) so
         catalog-level DDL — comments, SHOW TABLES, pure-SQL clients —
         works against it. Returns the catalog table name."""
-        table = f"{layer}_{name}"
+        table = self.table_name(layer, name)
         self.spark.sql(
             f"CREATE TABLE IF NOT EXISTS {table} USING {self.fmt} "
             f"LOCATION '{self.path(layer, name)}'"
@@ -181,7 +189,7 @@ class TableStore:
     def comments(self, layer: str, name: str) -> dict:
         """Read documentation back from the catalog:
         ``{"table": str | None, "columns": {col: comment | None}}``."""
-        table = f"{layer}_{name}"
+        table = self.table_name(layer, name)
         return {
             "table": self.spark.catalog.getTable(table).description or None,
             "columns": {
@@ -292,7 +300,7 @@ class TableStore:
 
     def drop(self, layer: str, name: str) -> None:
         # catalog entry first (no-op if never registered), then files
-        self.spark.sql(f"DROP TABLE IF EXISTS {layer}_{name}")
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.table_name(layer, name)}")
         p = self.path(layer, name)
         if os.path.isdir(p):
             shutil.rmtree(p)
@@ -316,7 +324,7 @@ class TableStore:
         metadata lives in the catalog), hence the managed-table path
         rather than ``TableStore.save``'s location write. Returns the
         table name."""
-        table = f"{layer}_{name}"
+        table = self.table_name(layer, name)
         # a managed table's LOCATION can survive from a previous session
         # (fresh in-memory catalog, persistent warehouse dir) and makes
         # CREATE fail with LOCATION_ALREADY_EXISTS even in overwrite

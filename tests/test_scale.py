@@ -103,6 +103,28 @@ def test_hot_isolated_left_join_nulls_and_missing_dim_keys(spark):
     assert _rows(iso, cols) == _rows(plain, cols)
 
 
+def test_hot_isolated_join_none_in_explicit_hot_keys(spark):
+    """A None inside an explicit hot_keys list (natural when feeding
+    top_keys() output straight in on NULL-heavy data) must not poison
+    isin(): without the strip, every non-hot comparison is SQL NULL and
+    BOTH branch filters drop the row — the join silently loses most of
+    its input."""
+    left = spark.createDataFrame(
+        [(None, "n")] * 10 + [(5, "hot")] * 10 + [(1, "a"), (2, "b")],
+        "k int, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (5, 50.0)], "k int, v double"
+    )
+    cols = ["k", "tag", "v"]
+    for how in ("inner", "left"):
+        plain = left.join(right, "k", how)
+        iso = hot_key_isolated_join(
+            left, right, "k", how=how, hot_keys=[None, 5]
+        )
+        assert _rows(iso, cols) == _rows(plain, cols)
+
+
 def test_hot_isolated_join_auto_detects_and_broadcasts(spark):
     """Auto-detection must pick exactly the dominant key, and the hot
     branch must plan as a BroadcastHashJoin — the no-shuffle side-path

@@ -473,6 +473,29 @@ def test_save_zordered_prunes_both_dimensions(spark, tmp_path):
     assert skippable("y", 10, 20) >= 0.5
 
 
+def test_save_zordered_empty_and_all_null_inputs(spark, tmp_path):
+    """An empty frame (a nightly increment with no rows) or an all-NULL
+    dimension yields None min/max bounds; the write must degrade to a
+    plain overwrite instead of a driver-side TypeError in the span
+    arithmetic."""
+    from gaming_ai_analytics_spark.operators.layout import save_zordered
+
+    base = spark.range(10).select(
+        F.col("id").alias("x"), (F.col("id") % 3).alias("y")
+    )
+    empty = base.filter(F.lit(False))
+    p_empty = str(tmp_path / "zempty")
+    save_zordered(empty, p_empty, "x", "y")
+    assert spark.read.parquet(p_empty).count() == 0
+
+    nully = base.withColumn("y", F.lit(None).cast("long"))
+    p_null = str(tmp_path / "znull")
+    save_zordered(nully, p_null, "x", "y")
+    got = spark.read.parquet(p_null)
+    assert got.count() == 10
+    assert got.filter(F.col("y").isNotNull()).count() == 0
+
+
 def test_read_orc_roundtrip_and_pushdown(spark, tmp_path, sf_dir):
     """ORC is the third columnar interchange path: a write→read
     round-trip must be lossless under a pinned schema, and filters

@@ -566,3 +566,64 @@ def test_stream_dedup_against_growing_index(spark, tmp_path):
     finally:
         for t in (t_bands, t_sh):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_stream_dedup_sink_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is AT-LEAST-ONCE: the engine replays a batch whose
+    appends landed but whose checkpoint commit did not. Each of the
+    sink's three appends anti-joins its destination first, so (a) a
+    replay after a crash BETWEEN appends (clean landed, index did not)
+    back-fills exactly the missing index entries without duplicating
+    clean rows, and (b) a replay of a fully-committed batch changes
+    nothing anywhere."""
+    import uuid
+
+    from gaming_ai_analytics_spark.operators.dedup import (
+        save_minhash_index,
+        stream_dedup_sink,
+    )
+    from gaming_ai_analytics_spark.sources.io import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    name = f"replay_{uuid.uuid4().hex[:8]}"
+    corpus = spark.createDataFrame(
+        [(1, " ".join(f"c{i:02d}" for i in range(20)))],
+        "doc_id int, text string",
+    )
+    t_bands, t_sh = save_minhash_index(
+        store, "idx", name, corpus, "doc_id", "text", num_buckets=4
+    )
+    sink = stream_dedup_sink(
+        store, "idx", name, "clean", "docs", "doc_id", "text"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, " ".join(f"a{i:02d}" for i in range(20))),
+            (11, " ".join(f"b{i:02d}" for i in range(20))),
+        ],
+        "doc_id int, text string",
+    )
+
+    def state():
+        return (
+            sorted(r.doc_id for r in store.load("clean", "docs").collect()),
+            spark.table(t_bands).count(),
+            spark.table(t_sh).count(),
+        )
+
+    try:
+        # simulate a crash AFTER the clean-table append, BEFORE the
+        # index appends: the survivors are already in the clean table
+        # when the batch replays
+        store.save("clean", "docs", batch, mode="append")
+        sink(batch, 0)
+        clean, n_bands, n_sh = state()
+        assert clean == [10, 11]  # no duplicate clean rows
+        assert n_sh == 3  # corpus doc + the two back-filled survivors
+
+        # full replay of a fully-committed batch: nothing changes
+        sink(batch, 0)
+        assert state() == (clean, n_bands, n_sh)
+    finally:
+        for t in (t_bands, t_sh):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

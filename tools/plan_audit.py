@@ -162,10 +162,6 @@ MULTI_SCAN_JUSTIFIED: dict[str, tuple[dict[str, int], str]] = {
         {"embeddings": 2},
         "corpus and probe set both come from the embeddings fixture",
     ),
-    "similarity_topk_ivf": (
-        {"embeddings": 2},
-        "corpus assignment + probes from the one fixture table",
-    ),
     "similarity_topk_ivf_recall": (
         {"embeddings": 4},
         "recall contract: exact tier (2 refs) vs IVF tier (2 refs)",
