@@ -1242,6 +1242,94 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_classifier_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality filter, distilled from the rule gate — the
+    learned-classifier curation stage (CCNet / GPT-3 / LLaMA corpus
+    recipes) as a driver-checkable CONTRACT, same reshape as the
+    LSH recall contracts: the iterative trainer has no SQL twin, so
+    the checked row is what the oracle CAN re-derive (train/eval/label
+    counts from the shared split + quality rules) plus pinned metric
+    floors the trained model must clear on the HELD-OUT split.
+
+    Pipeline (operators/classifier.py): map-only featurization into
+    four linguistic signals (clamped length, clamped stopword share,
+    punctuation ratio, type-token ratio) + a weak label distilled
+    from ``quality_score >= 0.65`` — checkpointed once; full-batch
+    logistic regression (15 heavy-ball steps, each ONE codegen'd scan
+    + a 1-row reduce, driver state = 5 doubles); eval on the val+test
+    splits via the bounded-state Mann-Whitney AUC. Floors acc ≥ 0.85 /
+    AUC ≥ 0.9 sit far under the measured 0.94–1.0 / 0.98–1.0 across
+    sf0.001–sf0.1, wide enough that float-summation jitter cannot
+    flap the row; a broken trainer, featurizer, split, or scorer
+    lands at the ~0.55 base rate and hash-fails. At 100 TB: train on
+    a sampled split, then ``logistic_score`` the full corpus map-only.
+    """
+    from gaming_ai_analytics_spark.functions.text import (
+        punctuation_ratio,
+        quality_score,
+        stopword_ratio,
+        tokens,
+    )
+    from gaming_ai_analytics_spark.operators.classifier import (
+        binary_classification_report,
+        logistic_score,
+        train_logistic,
+    )
+
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    feats = docs.select(
+        "doc_id",
+        F.least(F.length("text") / 400.0, F.lit(1.0)).alias("f_len"),
+        F.least(stopword_ratio(F.col("text")) * 5.0, F.lit(1.0)).alias(
+            "f_stop"
+        ),
+        punctuation_ratio(F.col("text")).alias("f_punct"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("f_ttr"),
+        (quality_score(F.col("text")) >= 0.65).cast("double").alias("label"),
+        split_assign(F.col("doc_id")).alias("split"),
+    ).localCheckpoint()
+    cols = ["f_len", "f_stop", "f_punct", "f_ttr"]
+    train = feats.filter(F.col("split") == "train")
+    weights = train_logistic(train, cols, "label")
+    n_train = train.count()
+    holdout = feats.filter(F.col("split") != "train").withColumn(
+        "score", logistic_score(weights, cols)
+    )
+    report = binary_classification_report(holdout, "label", "score")
+    return report.select(
+        F.lit(n_train).cast("long").alias("n_train"),
+        F.col("n").alias("n_eval"),
+        F.col("n_pos").alias("n_pos_eval"),
+        (F.col("accuracy") >= 0.85).alias("acc_ok"),
+        F.coalesce(F.col("auc") >= 0.9, F.lit(True)).alias("auc_ok"),
+    )
+
+
+def _classifier_distill_oracle() -> str:
+    from gaming_ai_analytics_spark.functions.text_sql import QUALITY
+
+    return f"""
+    WITH f AS (
+      SELECT doc_id, {QUALITY} AS qs, {split_assign_sql("doc_id")} AS split
+      FROM documents WHERE {_NONEMPTY})
+    SELECT
+      CAST(COUNT(*) FILTER (split = 'train') AS BIGINT) AS n_train,
+      CAST(COUNT(*) FILTER (split <> 'train') AS BIGINT) AS n_eval,
+      CAST(COUNT(*) FILTER (split <> 'train' AND qs >= 0.65) AS BIGINT)
+        AS n_pos_eval,
+      TRUE AS acc_ok, TRUE AS auc_ok
+    FROM f
+    """
+
+
+register(
+    "quality_classifier_distill",
+    q_quality_classifier_distill,
+    _classifier_distill_oracle(),
+)
+
+
 register(
     "leakage_safe_split",
     q_leakage_safe_split,
