@@ -1242,6 +1242,54 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    quality-proportional subsample a curation pipeline draws between
+    scoring and export (upweight good documents without hard-cutting
+    the tail). Public algorithm: Efraimidis-Spirakis A-ES (IPL 2006) —
+    each row draws uniform u and competes with key u^(1/w); the top-k
+    by key IS a weighted without-replacement sample. Two changes make
+    it engine-portable and rerun-stable: u comes from an integer
+    multiplicative hash of doc_id (same generator as the other
+    samplers — no rand(), identical in both engines), and the key is
+    monotone-equivalently ln(u)/w, so ONE float op total; ties are
+    impossible away from float-equal keys and the (key, doc_id) order
+    is pinned anyway. Weight = quality_score + 0.01 (the epsilon keeps
+    zero-quality docs sampleable at vanishing rate rather than
+    undefined). Plan: map-only key computation + TakeOrderedAndProject
+    (per-partition top-k heaps merged on the driver — NO global sort
+    shuffle; verified in tests), so the 100 TB cost is the scan."""
+    from gaming_ai_analytics_spark.functions.text import quality_score
+
+    docs = _docs(spark, sf_dir)
+    w = quality_score(F.col("text")) + 0.01
+    u = ((F.col("doc_id") * 2654435761) % 1048576 + 0.5) / 1048576.0
+    key = F.ln(u) / w
+    return (
+        docs.select(
+            "doc_id", F.round(w, 4).alias("weight"), key.alias("_k")
+        )
+        .orderBy(F.desc("_k"), "doc_id")
+        .limit(100)
+        .select("doc_id", "weight")
+    )
+
+
+def _sample_weighted_oracle() -> str:
+    from gaming_ai_analytics_spark.functions.text_sql import QUALITY
+
+    return f"""
+    SELECT doc_id, ROUND(({QUALITY}) + 0.01, 4) AS weight
+    FROM documents WHERE {_NONEMPTY}
+    ORDER BY LN(((doc_id * 2654435761) % 1048576 + 0.5) / 1048576.0)
+             / (({QUALITY}) + 0.01) DESC, doc_id
+    LIMIT 100
+    """
+
+
+register("sample_weighted", q_sample_weighted, _sample_weighted_oracle())
+
+
 def q_quality_classifier_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained quality filter, distilled from the rule gate — the
     learned-classifier curation stage (CCNet / GPT-3 / LLaMA corpus

@@ -527,6 +527,70 @@ def test_sample_exact_k_per_group_quota_and_determinism(spark, sf_dir):
     assert again == {(r.lang, r.doc_id) for r in rows}
 
 
+def test_sample_weighted_matches_reference_and_avoids_global_sort(spark, sf_dir):
+    """A-ES weighted sampling: the picked doc set must equal a
+    sequential Python reference computing the identical keys
+    (ln(hash-uniform)/weight, top-100), and the plan must be
+    TakeOrderedAndProject — per-partition heaps, never a global sort
+    shuffle."""
+    import math
+
+    from gaming_ai_analytics_spark.functions.text import quality_score
+    from gaming_ai_analytics_spark.queries_traindata import q_sample_weighted
+    from gaming_ai_analytics_spark.sources.star import load_table
+
+    q = q_sample_weighted(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no full-sort fallback
+
+    got = {r.doc_id for r in q.collect()}
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+        .select("doc_id", quality_score(F.col("text")).alias("qs"))
+        .collect()
+    )
+    keyed = sorted(
+        (
+            (
+                math.log(((r.doc_id * 2654435761) % 1048576 + 0.5) / 1048576.0)
+                / (r.qs + 0.01),
+                -r.doc_id,
+            ),
+            r.doc_id,
+        )
+        for r in base
+    )
+    want = {d for _, d in keyed[-100:]}
+    assert got == want
+
+
+def test_sample_weighted_prefers_heavier_docs(spark):
+    """The statistical contract on a synthetic frame where weight is
+    the only signal: with ids 0..9999 and weight 10 for ids < 1000
+    (1 for the rest), the heavy decile must dominate the sample far
+    beyond its population share."""
+    from gaming_ai_analytics_spark.operators.parallelism import (
+        ensure_parallelism,
+    )
+
+    docs = ensure_parallelism(
+        spark.range(10_000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 1_000, 10.0).otherwise(1.0).alias("w"),
+        )
+    )
+    u = ((F.col("doc_id") * 2654435761) % 1048576 + 0.5) / 1048576.0
+    key = F.ln(u) / F.col("w")
+    picked = (
+        docs.orderBy((key).desc(), "doc_id").limit(200).collect()
+    )
+    heavy = sum(1 for r in picked if r.doc_id < 1_000)
+    # population share of heavy ids is 10%; weighted draw ~> 50%
+    assert heavy > 100
+
+
 def test_corpus_drift_halves_nonempty_per_lang(spark, sf_dir):
     """corpus_drift_kl's KL terms assume every language appears in
     BOTH doc_id-parity halves (else p/q divides by zero and the two
