@@ -1170,8 +1170,8 @@ def q_doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 from pyspark.sql import Window  # noqa: E402
 
 from gaming_ai_analytics_spark.functions.text import word_shingles  # noqa: E402
-from gaming_ai_analytics_spark.queries_traindata import (  # noqa: E402
-    _docs as _nonempty_docs,
+from gaming_ai_analytics_spark.sources.star import (  # noqa: E402
+    load_nonempty_documents as _nonempty_docs,
 )
 
 register(

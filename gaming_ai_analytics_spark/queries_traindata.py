@@ -31,7 +31,10 @@ from gaming_ai_analytics_spark.functions.text_sql import NORM as _NORM
 from gaming_ai_analytics_spark.operators.dedup import cross_corpus_overlap
 from gaming_ai_analytics_spark.operators.parallelism import ensure_parallelism
 from gaming_ai_analytics_spark.registry import register
-from gaming_ai_analytics_spark.sources.star import load_table
+from gaming_ai_analytics_spark.sources.star import (
+    load_nonempty_documents,
+    load_table,
+)
 
 _TOKS = "string_split_regex(TRIM(text), ' +')"
 _NONEMPTY = "text IS NOT NULL AND LENGTH(TRIM(text)) > 0"
@@ -69,11 +72,7 @@ def split_assign_sql(key: str) -> str:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ensure_parallelism(
-        load_table(spark, sf_dir, "documents").filter(
-            F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
-        )
-    )
+    return load_nonempty_documents(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------

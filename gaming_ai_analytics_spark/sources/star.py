@@ -44,6 +44,27 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
 
+def load_nonempty_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table with blank/NULL text dropped and parallelism
+    ensured — the shared entry point of every text operator. Lives
+    HERE (a non-registered module) rather than in a query module so
+    query modules never import each other: a direct import of a query
+    module re-enters the registry's ``_load_all`` mid-import, and any
+    cross-import between registered modules then hits a partially
+    initialized module (the hazard text_sql.py documents)."""
+    from pyspark.sql import functions as F
+
+    from gaming_ai_analytics_spark.operators.parallelism import (
+        ensure_parallelism,
+    )
+
+    return ensure_parallelism(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
+        )
+    )
+
+
 def normalize_event_ts(df: DataFrame) -> DataFrame:
     """Normalize the ``ts`` column to a microsecond timestamp — the ONE
     event-time normalization, shared by the batch loader and the
