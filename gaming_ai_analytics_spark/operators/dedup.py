@@ -524,24 +524,55 @@ def stream_dedup_sink(
        first-seen-wins across the whole stream.
 
     ``foreachBatch`` is AT-LEAST-ONCE: a crash between any append
-    below and the checkpoint commit replays the whole batch. The
-    derivation is deterministic (min-id canonical, no randomness), so
-    replay re-derives the same survivors — and each of the three
-    appends independently anti-joins its destination on the batch's
-    (broadcast) id set first, skipping ids already landed. Any replay
-    therefore converges on exactly-once output regardless of where the
-    previous attempt died; a FULLY-committed batch additionally
-    self-matches in the index (jaccard 1.0) and appends nothing. The
-    guards cost one destination scan per append, each restricted by a
-    broadcast semi-join on batch-sized ids — comparable to the index
-    probe the batch already pays. Use as
+    below and the checkpoint commit replays the whole batch. The sink
+    is exactly-once anyway, via a batch-commit LEDGER plus replay
+    guards, at zero steady-state cost:
+
+    - a tiny ``{name}_commits`` table records each batch id BEFORE its
+      data appends. The normal path (batch id not yet in the ledger)
+      runs no guards at all — the marker's presence on replay proves
+      nothing of the batch's data landed, because the marker always
+      lands first;
+    - a replayed batch (id already in the ledger) re-derives the same
+      survivors (min-id canonical, no randomness) and each of the
+      three appends anti-joins its destination on the batch's
+      (broadcast) id set, back-filling exactly what the crashed
+      attempt missed — one destination scan per append, paid ONLY on
+      replay. A checkpoint-loss restart (batch ids reset to 0) just
+      rides the guard path until ids pass the ledger high-water mark —
+      slower, still exactly-once.
+
+    Single-writer assumption (one streaming query per index), as with
+    any foreachBatch sink maintaining shared tables. Use as
     ``stream.writeStream.foreachBatch(stream_dedup_sink(...))``;
     replay idempotence is pinned in tests/test_streaming.py."""
 
-    def process(batch_df: DataFrame, _batch_id: int) -> None:
+    def process(batch_df: DataFrame, batch_id: int) -> None:
         from gaming_ai_analytics_spark.operators.graph import dedup_clusters
 
         meta = store.load(layer, f"{name}_lshmeta").first()
+        ledger = f"{name}_commits"
+        spark = batch_df.sparkSession
+        if store.exists(layer, ledger):
+            replay = (
+                store.load(layer, ledger)
+                .filter(F.col("batch_id") == batch_id)
+                .limit(1)
+                .count()
+                > 0
+            )
+        else:
+            replay = False
+        # marker FIRST: on the fast path its absence proves no data
+        # from this batch has landed, so the appends below skip the
+        # guard scans entirely
+        if not replay:
+            store.save(
+                layer,
+                ledger,
+                spark.createDataFrame([(batch_id,)], "batch_id long"),
+                mode="append",
+            )
         batch_df = batch_df.persist()
         try:
             pairs = minhash_lsh_pairs(
@@ -573,44 +604,36 @@ def stream_dedup_sink(
                 F.broadcast(matched), id_col, "left_anti"
             ).persist()
             try:
-                # Replay guards: anti-join each destination's already-
-                # landed ids (restricted to this batch via broadcast
-                # semi-join) so a partially-committed batch replays to
-                # exactly the missing appends, never duplicates.
-                spark = batch_df.sparkSession
+                # Replay guards (guard path only): anti-join each
+                # destination's already-landed ids (restricted to this
+                # batch via broadcast semi-join) so a partially-
+                # committed batch replays to exactly the missing
+                # appends, never duplicates.
                 surv_ids = survivors.select(id_col).distinct()
 
-                def _landed(dest: DataFrame, dest_id: str) -> DataFrame:
-                    return (
+                def _fresh(dest: DataFrame, dest_id: str) -> DataFrame:
+                    if not replay:
+                        return survivors
+                    landed = (
                         dest.select(F.col(dest_id).alias(id_col))
                         .join(F.broadcast(surv_ids), id_col, "left_semi")
                         .distinct()
                     )
+                    return survivors.join(
+                        F.broadcast(landed), id_col, "left_anti"
+                    )
 
                 to_clean = survivors
-                if store.exists(survivors_layer, survivors_name):
-                    to_clean = survivors.join(
-                        F.broadcast(
-                            _landed(
-                                store.load(survivors_layer, survivors_name),
-                                id_col,
-                            )
-                        ),
-                        id_col,
-                        "left_anti",
+                if replay and store.exists(survivors_layer, survivors_name):
+                    to_clean = _fresh(
+                        store.load(survivors_layer, survivors_name), id_col
                     )
                 store.save(
                     survivors_layer, survivors_name, to_clean, mode="append"
                 )
-                to_bands = survivors.join(
-                    F.broadcast(_landed(
-                        spark.table(
-                            store.table_name(layer, f"{name}_lshbands")
-                        ),
-                        "_id",
-                    )),
-                    id_col,
-                    "left_anti",
+                to_bands = _fresh(
+                    spark.table(store.table_name(layer, f"{name}_lshbands")),
+                    "_id",
                 )
                 store.save_bucketed(
                     layer,
@@ -624,15 +647,11 @@ def stream_dedup_sink(
                     sort_cols=["band", "bucket"],
                     mode="append",
                 )
-                to_sh = survivors.join(
-                    F.broadcast(_landed(
-                        spark.table(
-                            store.table_name(layer, f"{name}_lshshingles")
-                        ),
-                        "_id",
-                    )),
-                    id_col,
-                    "left_anti",
+                to_sh = _fresh(
+                    spark.table(
+                        store.table_name(layer, f"{name}_lshshingles")
+                    ),
+                    "_id",
                 )
                 store.save_bucketed(
                     layer,

@@ -570,12 +570,13 @@ def test_stream_dedup_against_growing_index(spark, tmp_path):
 
 def test_stream_dedup_sink_replay_is_idempotent(spark, tmp_path):
     """foreachBatch is AT-LEAST-ONCE: the engine replays a batch whose
-    appends landed but whose checkpoint commit did not. Each of the
-    sink's three appends anti-joins its destination first, so (a) a
-    replay after a crash BETWEEN appends (clean landed, index did not)
-    back-fills exactly the missing index entries without duplicating
-    clean rows, and (b) a replay of a fully-committed batch changes
-    nothing anywhere."""
+    appends landed but whose checkpoint commit did not. The sink's
+    commit LEDGER lands before any data, so (a) a replay after a
+    crash BETWEEN appends (marker + clean landed, index did not)
+    takes the guard path and back-fills exactly the missing index
+    entries without duplicating clean rows, (b) a replay of a
+    fully-committed batch changes nothing anywhere, and (c) a fresh
+    batch id takes the fast path and still lands exactly once."""
     import uuid
 
     from gaming_ai_analytics_spark.operators.dedup import (
@@ -612,9 +613,15 @@ def test_stream_dedup_sink_replay_is_idempotent(spark, tmp_path):
         )
 
     try:
-        # simulate a crash AFTER the clean-table append, BEFORE the
-        # index appends: the survivors are already in the clean table
-        # when the batch replays
+        # simulate a crash AFTER the ledger marker + clean-table
+        # append, BEFORE the index appends (marker always lands
+        # first, so this is the worst surviving partial state)
+        store.save(
+            "idx",
+            f"{name}_commits",
+            spark.createDataFrame([(0,)], "batch_id long"),
+            mode="append",
+        )
         store.save("clean", "docs", batch, mode="append")
         sink(batch, 0)
         clean, n_bands, n_sh = state()
@@ -624,6 +631,21 @@ def test_stream_dedup_sink_replay_is_idempotent(spark, tmp_path):
         # full replay of a fully-committed batch: nothing changes
         sink(batch, 0)
         assert state() == (clean, n_bands, n_sh)
+
+        # a FRESH batch id rides the fast path (no guards) and its
+        # marker lands in the ledger
+        batch2 = spark.createDataFrame(
+            [(20, " ".join(f"d{i:02d}" for i in range(20)))],
+            "doc_id int, text string",
+        )
+        sink(batch2, 1)
+        clean2, _, n_sh2 = state()
+        assert clean2 == [10, 11, 20]
+        assert n_sh2 == 4
+        marks = sorted(
+            r.batch_id for r in store.load("idx", f"{name}_commits").collect()
+        )
+        assert marks == [0, 1]
     finally:
         for t in (t_bands, t_sh):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
