@@ -438,6 +438,63 @@ def topk_similar_ivf(
                      n_probe)
 
 
+def _route_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: np.ndarray,
+    n: int,
+    out_id: str,
+    out_vec: str,
+) -> DataFrame:
+    """Explode each vector row to its ``n`` nearest cells, ranked by
+    squared euclidean distance to each (literal) centroid: one
+    array_sort + slice per row, map-only. The centroid matrix is a
+    single-parse literal (matrix_lit) and the per-cell structs come
+    from one two-arg transform — not a Python loop of per-element
+    F.lit py4j calls. Output: ``(out_id, out_vec, _cell)``."""
+    from gaming_ai_analytics_spark.functions.vectors import matrix_lit
+
+    centers = F.transform(
+        matrix_lit(np.asarray(centroids)),
+        lambda c, i: F.struct(
+            i.alias("cell"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(out_vec).cast("array<double>"),
+                        c,
+                        lambda v, m: (v - m) * (v - m),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                9,
+            ).alias("dist"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec))
+        .select(
+            out_id,
+            out_vec,
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        centers,
+                        lambda a, b: F.when(a["dist"] < b["dist"], -1)
+                        .when(a["dist"] > b["dist"], 1)
+                        .otherwise(0),
+                    ),
+                    1,
+                    n,
+                )
+            ).alias("_c"),
+        )
+        .select(out_id, out_vec, F.col("_c.cell").alias("_cell"))
+    )
+
+
 def ivf_probe(
     assigned: DataFrame,
     centroids: np.ndarray,
@@ -449,49 +506,11 @@ def ivf_probe(
 ) -> DataFrame:
     """Probe an (in-memory or loaded) IVF index."""
 
-    # probe → n_probe nearest cells, ranked by squared euclidean
-    # distance to each (literal) centroid: one array_sort + slice.
-    # The centroid matrix is a single-parse literal (matrix_lit) and
-    # the per-cell structs come from one two-arg transform — not a
-    # Python loop of per-element F.lit py4j calls.
-    from gaming_ai_analytics_spark.functions.vectors import matrix_lit
-
-    centers = F.transform(
-        matrix_lit(np.asarray(centroids)),
-        lambda c, i: F.struct(
-            i.alias("cell"),
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("_pv").cast("array<double>"),
-                        c,
-                        lambda v, m: (v - m) * (v - m),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                9,
-            ).alias("dist"),
-        ),
+    # probe → n_probe nearest cells (shared routing expression with
+    # semantic_dedup's corpus assignment).
+    routed = _route_cells(
+        probes, probe_id_col, vec_col, centroids, n_probe, "probe_id", "_pv"
     )
-    routed = probes.select(
-        F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
-    ).select(
-        "probe_id",
-        "_pv",
-        F.explode(
-            F.slice(
-                F.array_sort(
-                    centers,
-                    lambda a, b: F.when(a["dist"] < b["dist"], -1)
-                    .when(a["dist"] > b["dist"], 1)
-                    .otherwise(0),
-                ),
-                1,
-                n_probe,
-            )
-        ).alias("_c"),
-    ).select("probe_id", "_pv", F.col("_c.cell").alias("_cell"))
 
     sim = F.round(dot(F.col("_cv"), F.col("_pv")), 6)
     cand = assigned.join(
@@ -500,3 +519,65 @@ def ivf_probe(
         & (F.col("vec_id") != F.col("probe_id")),
     ).select("probe_id", "vec_id", sim.alias("cosine"))
     return _topk_per_probe(cand, k, size_hint=assigned)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+    n_clusters: int = 16,
+    n_assign: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540 — public literature): k-means coarse-clusters the
+    embedding space and ONLY within-cluster pairs get the exact cosine
+    check; a vector is dropped when a shared cluster holds a
+    smaller-id vector at ``round(cosine, 6) >= threshold`` (the
+    deterministic keep-lowest-id representative rule, same convention
+    as ``exact_dedup_canonical``). Returns the DROPPED ids as
+    ``(vec_id)``; survivors are ``corpus`` anti-joined against it.
+
+    Scale shape — the reason this exists next to the exact tier: the
+    pairwise work is blocked per cell, O(Σ|cell|²) instead of O(n²),
+    and cell granularity (``n_clusters``) is the knob that bounds it
+    at corpus scale. The quantizer fit is MLlib KMeans (sampled fit at
+    100 TB — coarse quantizers always train on a sample); assignment
+    is one map-only pass routing every vector to its ``n_assign``
+    nearest cells (the IVF multi-probe trick: near-dup pairs that
+    straddle a k-means boundary are invisible to single-cell blocking,
+    and double assignment recovers most of them for 2× candidate
+    volume).
+
+    The cosine test reuses the exact tier's decision —
+    ``round(fold-dot, 6) >= threshold`` — so the dropped set is a
+    SUBSET of the exact tier's droppable set by construction
+    (soundness is structural; only recall depends on the clustering).
+    The cell self-join is pinned ``shuffle_hash`` above
+    ``PLANNER_TRUST_MAX_BYTES``: the exploded assignment frame's
+    Catalyst estimate is pre-explode and a mis-broadcast OOMs at scale
+    (same gate as the minhash self-joins, operators/dedup.py).
+    """
+    from gaming_ai_analytics_spark.operators.dedup import _self_join_hinter
+
+    hinter = _self_join_hinter(corpus)
+    _, centroids = build_ivf_index(corpus, id_col, vec_col, n_clusters, seed)
+    cells = _route_cells(
+        corpus, id_col, vec_col, centroids, n_assign, "vec_id", "_v"
+    )
+    a = cells.select(
+        F.col("vec_id").alias("id_a"), F.col("_v").alias("_va"), "_cell"
+    )
+    b = cells.select(
+        F.col("vec_id").alias("id_b"), F.col("_v").alias("_vb"), "_cell"
+    )
+    sim = F.round(dot(F.col("_va"), F.col("_vb")), 6)
+    return (
+        a.join(hinter(b), "_cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )

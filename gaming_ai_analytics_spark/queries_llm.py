@@ -36,6 +36,7 @@ from gaming_ai_analytics_spark.operators.multimodal import (
     sample_frames,
 )
 from gaming_ai_analytics_spark.operators.similarity import (
+    semantic_dedup,
     topk_similar,
     topk_similar_lsh,
 )
@@ -334,6 +335,63 @@ register(
     f"""
     SELECT COUNT(*) AS n_exact_pairs, TRUE AS recall_ok
     FROM ({_EMBEDDING_PAIRS_SQL})
+    """,
+)
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (k-means-blocked embedding dedup) soundness + recall
+    contract vs the exact tier — the same reshape as
+    ``dedup_embedding_lsh``: the clustering-dependent part of the
+    answer (WHICH docs a k-means blocking drops) is checked against
+    floors, the clustering-independent part (how many docs HAVE a
+    smaller-id near-dup at all — DuckDB re-derives it from all-pairs
+    cosine) is checked exactly.
+
+    - ``sound_ok`` — every dropped id has a smaller-id exact near-dup
+      (dropped ⊆ droppable). Structural in the operator (the cell
+      block only gates WHICH pairs get the exact ``round(·,6) ≥ τ``
+      check) but asserted against the independently-computed exact
+      tier, so a routing/join regression turns the row red rather
+      than silently shrinking the dedup.
+    - ``recall_ok`` — ≥ 0.85 of the droppable set is found. The sf0.1
+      corpus is ALL borderline pairs (cosine 0.50–0.52, θ≈60° — the
+      worst case for any blocking); measured recall there: 0.29 with
+      single-cell assignment, 0.93 at n_assign=2, 1.0 at n_assign=3.
+      Registered at n_assign=3 (each vector joins its 3 nearest
+      cells) — 3× candidate volume buys boundary-pair recovery, the
+      IVF multi-probe trade."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dropped = semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.5,
+        n_clusters=16, n_assign=3,
+    ).withColumn("_d", F.lit(1))
+    exact = embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.5)
+    droppable = (
+        exact.select(F.col("id_b").alias("vec_id")).distinct()
+        .withColumn("_e", F.lit(1))
+    )
+    n = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+    cov = droppable.join(dropped, "vec_id", "left").agg(
+        F.count(F.lit(1)).alias("n_droppable"),
+        F.coalesce(
+            (F.count("_d") / F.count(F.lit(1))) >= 0.85, F.lit(True)
+        ).alias("recall_ok"),
+    )
+    sound = dropped.join(droppable, "vec_id", "left").agg(
+        (F.count(F.lit(1)) == F.count("_e")).alias("sound_ok")
+    )
+    return n.crossJoin(F.broadcast(cov)).crossJoin(F.broadcast(sound))
+
+
+register(
+    "dedup_semantic",
+    q_dedup_semantic,
+    f"""
+    WITH pairs AS ({_EMBEDDING_PAIRS_SQL})
+    SELECT (SELECT COUNT(*) FROM embeddings) AS n_vectors,
+           (SELECT COUNT(DISTINCT id_b) FROM pairs) AS n_droppable,
+           TRUE AS recall_ok, TRUE AS sound_ok
     """,
 )
 

@@ -155,7 +155,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: — the 39 remaining r4-green names (37 + the two displaced by the
 #: new r7 operators) plus the post-freeze r7 additions, pre-ordered as
 #: the r8 window plan (VERDICT r6 ask #8).  R8 COMPOSITION PLAN: these
-#: 43 + the 7 oldest r5-green names fill exactly 50 slots; after r8
+#: 44 + the 6 oldest r5-green names fill exactly 50 slots; after r8
 #: every name's last green row is ≥ r5.  Heads: the new operators, the
 #: displaced r4 heads, the three sf1
 #: bench-regression suspects (fresh rows double as correctness cover
@@ -165,11 +165,13 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     # NEW r7 operators added after the window froze (hot-key isolated
     # skew join; incremental dedup against a persisted LSH index;
     # trained quality-classifier distillation contract; deterministic
-    # weighted sampling) — zero driver evidence, head the r8 plan
+    # weighted sampling; SemDeDup k-means-blocked embedding dedup) —
+    # zero driver evidence, head the r8 plan
     "join_skew_isolated",
     "dedup_incremental_index",
     "quality_classifier_distill",
     "sample_weighted",
+    "dedup_semantic",
     # r4 heads displaced by the two new r7 operators
     "dedup_simhash_pairs",
     "text_analysis_profile",

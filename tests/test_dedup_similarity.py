@@ -572,3 +572,55 @@ def test_incremental_lsh_matches_full_cross_pairs(spark, sf_dir, tmp_path):
     finally:
         for t in (t_bands, t_sh):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_semantic_dedup_drops_all_but_lowest_id(spark):
+    """Planted identical-triples: within each triple every pair is at
+    cosine 1.0 and trivially shares a cell, so exactly the two larger
+    ids of each triple are dropped (keep-lowest-id rule). Cross-group
+    cosines on random 64-d unit vectors never reach 0.9."""
+    import numpy as np
+
+    from gaming_ai_analytics_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(4, 64)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [
+        (g * 3 + i, [float(x) for x in base[g]])
+        for g in range(4)
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    dropped = {
+        r.vec_id
+        for r in semantic_dedup(
+            df, threshold=0.9, n_clusters=2, n_assign=2, seed=1
+        ).collect()
+    }
+    assert dropped == {1, 2, 4, 5, 7, 8, 10, 11}
+
+
+def test_semantic_dedup_sound_and_recall_vs_exact(spark):
+    """Fixture contract twin of the registered query: the k-means
+    blocking must drop ONLY docs the exact tier deems droppable
+    (soundness is structural — same rounded cosine test) and ≥85% of
+    them at n_assign=3 (the sf0.1 corpus is all boundary pairs)."""
+    from gaming_ai_analytics_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, SF, "embeddings")
+    droppable = {
+        r.id_b
+        for r in embedding_cosine_pairs(
+            emb, "vec_id", "embedding", 0.5
+        ).collect()
+    }
+    dropped = {
+        r.vec_id
+        for r in semantic_dedup(
+            emb, threshold=0.5, n_clusters=16, n_assign=3
+        ).collect()
+    }
+    assert droppable, "fixture should contain droppable near-dups"
+    assert dropped <= droppable
+    assert len(dropped) >= 0.85 * len(droppable)
