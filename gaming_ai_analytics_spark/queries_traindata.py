@@ -1394,3 +1394,164 @@ register(
     GROUP BY 1 ORDER BY split
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# n-gram LM perplexity quality scoring (CCNet-style)
+# --------------------------------------------------------------------------
+#: Vocabulary cap for the bigram LM: tokens outside the top-V reference
+#: unigrams map to '<unk>'.  The add-one smoothing denominator uses the
+#: FIXED nominal event space V+1 (cap + UNK) rather than the realized
+#: vocab size, so the probability model is identical on any engine and
+#: at any corpus size without a second statistics pass.
+LM_VOCAB_CAP = 256
+_LM_DEN = float(LM_VOCAB_CAP + 1)
+
+
+def _lm_bigrams(text_col: Column, vlit: Column) -> Column:
+    """Mapped-bigram struct array for the LM: lowercase whitespace
+    tokens, OOV→'<unk>' against the literal vocab, then all adjacent
+    pairs as (w1, w2) structs. Map-only; the mapped array is let-bound
+    so the vocab scan runs once per token, not once per reference."""
+    from gaming_ai_analytics_spark.functions.expr import let
+
+    toks = F.split(F.trim(F.lower(text_col)), " +")
+    mapped = F.transform(
+        toks,
+        lambda t: F.when(F.array_contains(vlit, t), t).otherwise(
+            F.lit("<unk>")
+        ),
+    )
+
+    def body(m: Column) -> Column:
+        n = F.size(m)
+        grams = F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.struct(
+                F.element_at(m, i + 1).alias("w1"),
+                F.element_at(m, i + 2).alias("w2"),
+            ),
+        )
+        empty = F.array().cast("array<struct<w1:string,w2:string>>")
+        return F.when(n < 2, empty).otherwise(grams)
+
+    return let(mapped, body)
+
+
+def q_lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM perplexity — the CCNet-style quality
+    signal (Wenzek et al. 2020 filter CommonCrawl by the perplexity of
+    a Wikipedia-trained LM; the en slice is the stand-in reference
+    corpus here): train add-one-smoothed bigram counts over a capped
+    vocabulary on the reference slice, score every document by
+    exp(-mean ln p(w2|w1)). Low perplexity ≈ reference-like text.
+
+    Scale shape (the reason the model is vocab-capped): with OOV→UNK
+    at ``LM_VOCAB_CAP`` = 256 the count tables are bounded by
+    (V+1)² rows BY CONSTRUCTION — broadcastable at ANY corpus size —
+    so scoring is two broadcast left-joins over a map-only exploded
+    bigram relation: the scored corpus never shuffles. Model training
+    is one term-key shuffle with map-side partial counts. The vocab
+    itself (top-V reference unigrams, count-desc/term-asc tie-break)
+    is a ≤V-row bounded driver collect embedded as an array literal,
+    keeping the token→UNK mapping inside whole-stage codegen; at a
+    vocab cap where a literal is unreasonable (≥10⁵), swap the
+    array_contains for a broadcast join — same semantics, one more
+    (broadcast) join on the token relation.
+
+    p(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V + 1); unseen context ⇒
+    uniform 1/(V+1). Output: docs with doc_id < 100 (the model still
+    trains on the full reference slice), one-token docs have no
+    bigrams and are absent — mirrored in the oracle by construction."""
+    docs = _docs(spark, sf_dir)
+    ref = docs.filter(F.col("lang") == "en")
+    toks_l = F.split(F.trim(F.lower(F.col("text"))), " +")
+    vocab_rows = (
+        ref.select(F.explode(toks_l).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "term")
+        .limit(LM_VOCAB_CAP)
+        .collect()
+    )
+    vlit = F.lit([r.term for r in vocab_rows])
+    grams = _lm_bigrams(F.col("text"), vlit)
+
+    rb = ref.select(F.explode(grams).alias("g")).select("g.w1", "g.w2")
+    # Materialize the bigram table once (score-once pattern): cu is
+    # derived FROM cb, but without the checkpoint Catalyst re-derives
+    # the whole reference scan + explode + count for the cu branch —
+    # two passes over the training corpus for a ≤(V+1)²-row model.
+    cb = rb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cb = cb.localCheckpoint()
+    cu = cb.groupBy("w1").agg(F.sum("cb").alias("cu"))
+
+    sc = (
+        docs.filter(F.col("doc_id") < 100)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", "g.w1", "g.w2")
+    )
+    p = (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1.0)) / (
+        F.coalesce(F.col("cu"), F.lit(0)) + F.lit(_LM_DEN)
+    )
+    return (
+        sc.join(F.broadcast(cb), ["w1", "w2"], "left")
+        .join(F.broadcast(cu), "w1", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.exp(-F.avg(F.log(p))), 4).alias("ppl"),
+        )
+    )
+
+
+_LM_TOKS_L = "string_split_regex(TRIM(LOWER(text)), ' +')"
+
+register(
+    "lm_perplexity_score",
+    q_lm_perplexity_score,
+    f"""
+    WITH docs AS (
+      SELECT doc_id, lang, {_LM_TOKS_L} AS t
+      FROM documents WHERE {_NONEMPTY}
+    ),
+    vocab AS (
+      SELECT term FROM (
+        SELECT unnest(t) AS term FROM docs WHERE lang = 'en')
+      GROUP BY term ORDER BY COUNT(*) DESC, term LIMIT {LM_VOCAB_CAP}
+    ),
+    rb_raw AS (
+      SELECT unnest(t[1:len(t)-1]) AS w1r, unnest(t[2:len(t)]) AS w2r
+      FROM docs WHERE lang = 'en'
+    ),
+    rb AS (
+      SELECT CASE WHEN va.term IS NOT NULL THEN w1r ELSE '<unk>' END AS w1,
+             CASE WHEN vb.term IS NOT NULL THEN w2r ELSE '<unk>' END AS w2
+      FROM rb_raw
+      LEFT JOIN vocab va ON w1r = va.term
+      LEFT JOIN vocab vb ON w2r = vb.term
+    ),
+    cb AS (SELECT w1, w2, COUNT(*) AS cb FROM rb GROUP BY 1, 2),
+    cu AS (SELECT w1, COUNT(*) AS cu FROM rb GROUP BY 1),
+    sc_raw AS (
+      SELECT doc_id, unnest(t[1:len(t)-1]) AS w1r, unnest(t[2:len(t)]) AS w2r
+      FROM docs WHERE doc_id < 100
+    ),
+    sc AS (
+      SELECT doc_id,
+             CASE WHEN va.term IS NOT NULL THEN w1r ELSE '<unk>' END AS w1,
+             CASE WHEN vb.term IS NOT NULL THEN w2r ELSE '<unk>' END AS w2
+      FROM sc_raw
+      LEFT JOIN vocab va ON w1r = va.term
+      LEFT JOIN vocab vb ON w2r = vb.term
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(EXP(-AVG(LN(
+             (COALESCE(cb.cb, 0) + 1.0) / (COALESCE(cu.cu, 0) + {_LM_DEN})
+           ))), 4) AS ppl
+    FROM sc
+    LEFT JOIN cb ON sc.w1 = cb.w1 AND sc.w2 = cb.w2
+    LEFT JOIN cu ON sc.w1 = cu.w1
+    GROUP BY doc_id
+    """,
+)

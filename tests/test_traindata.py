@@ -603,3 +603,49 @@ def test_corpus_drift_halves_nonempty_per_lang(spark, sf_dir):
     for r in q_corpus_drift_kl(spark, sf_dir).collect():
         assert r.p_ref > 0 and r.p_new > 0, r
         assert r.kl_term is not None and abs(r.kl_term) < 10
+
+
+def test_lm_bigrams_mapping_and_edges(spark):
+    """OOV→'<unk>' mapping happens per token BEFORE pair formation;
+    case-folds; one-token docs yield an empty bigram array."""
+    from gaming_ai_analytics_spark.queries_traindata import _lm_bigrams
+
+    df = spark.createDataFrame(
+        [(1, "The cat the CAT"), (2, "solo"), (3, "x qqq x")],
+        "doc_id long, text string",
+    )
+    vlit = F.lit(["the", "cat", "x"])
+    out = {
+        r.doc_id: [(g.w1, g.w2) for g in r.g]
+        for r in df.select(
+            "doc_id", _lm_bigrams(F.col("text"), vlit).alias("g")
+        ).collect()
+    }
+    assert out[1] == [("the", "cat"), ("cat", "the"), ("the", "cat")]
+    assert out[2] == []
+    assert out[3] == [("x", "<unk>"), ("<unk>", "x")]
+
+
+def test_lm_perplexity_reference_lang_scores_lowest(spark, sf_dir):
+    """The en slice trains the model, so en documents must average the
+    lowest perplexity of any language; and every score sits inside the
+    model's possible range (1, V+1]."""
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_lm_perplexity_score,
+    )
+    from gaming_ai_analytics_spark.sources.star import load_table
+
+    res = q_lm_perplexity_score(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    avg = {
+        r.lang: r.a
+        for r in res.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(F.avg("ppl").alias("a"))
+        .collect()
+    }
+    assert all(avg["en"] < v for k, v in avg.items() if k != "en")
+    assert (
+        res.filter((F.col("ppl") <= 1.0) | (F.col("ppl") > 257.0)).count()
+        == 0
+    )

@@ -106,6 +106,12 @@ MULTI_SCAN_JUSTIFIED: dict[str, tuple[dict[str, int], str]] = {
         "recall contract: the LSH tier (self-join, 2 refs) is compared "
         "against the exact tier (self-join, 2 refs)",
     ),
+    "dedup_semantic": (
+        {"embeddings": 5},
+        "soundness+recall contract: the k-means-blocked tier (cell "
+        "self-join, 2 refs) vs the exact tier (self-join, 2 refs) "
+        "plus the corpus-count stat frame (1 ref)",
+    ),
     "dedup_minhash_lsh": (
         {"documents": 2},
         "banded candidate self-join: signature relation referenced "
