@@ -303,3 +303,74 @@ def dedup_clusters(
     return cc(pairs, src, dst, max_iter=cap).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank by fixed-round power iteration (Page et al.
+    1999; the GraphFrames/Pregel formulation re-expressed as plain
+    DataFrame steps). Returns ``(node, r)`` for every node appearing
+    in the edge list:
+
+        r₀(v) = 1/N
+        rₖ₊₁(v) = (1−d)/N + d · Σ_{(u,v)∈E} rₖ(u) · w(u,v)/W(u)
+
+    where W(u) is u's total out-weight. Dangling-node mass is dropped
+    (the standard simplification — feed a symmetrized edge list if
+    every participant should both emit and receive rank).
+
+    Scale shape (the same discipline as :func:`connected_components`):
+    the edge list stays FLAT — a hub node costs rows, never one giant
+    adjacency array — and is normalized ONCE (w/W(u)) then
+    ``localCheckpoint``-ed, so the per-round work is exactly one
+    shuffle join (edges ⋈ ranks on the out-node key) and one map-side-
+    combinable sum by in-node; the corpus-sized edge frame is never
+    rescanned from source inside the loop. Ranks are O(N-nodes) rows;
+    the per-round left join back to the node list keeps in-edge-less
+    nodes at the teleport floor. A fixed round count (not a
+    convergence test) keeps the plan deterministic and oracle-
+    replayable; production callers pick iterations ~ O(log N) or stop
+    on an L1-delta threshold.
+    """
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d"), w.alias("_w")
+    )
+    wsum = e.groupBy("_s").agg(F.sum("_w").alias("_ws"))
+    enorm = (
+        e.join(wsum, "_s")
+        .select("_s", "_d", (F.col("_w") / F.col("_ws")).alias("_p"))
+        .localCheckpoint()
+    )
+    nodes = (
+        enorm.select(F.col("_s").alias("node"))
+        .union(enorm.select("_d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    base = (1.0 - damping) / n
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
+    for _ in range(iterations):
+        contrib = (
+            enorm.join(ranks, enorm["_s"] == ranks["node"])
+            .groupBy("_d")
+            .agg(F.sum(F.col("r") * F.col("_p")).alias("_c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["_d"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("_c"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return ranks

@@ -1128,3 +1128,91 @@ register(
     FROM cells
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# PageRank over the supplier↔customer trade graph
+# --------------------------------------------------------------------------
+def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 trade-graph nodes by weighted PageRank: suppliers and
+    customers are the nodes, each lineitem's (supplier → ordering
+    customer) relationship an edge weighted by lineitem count,
+    symmetrized so both sides emit and receive rank (no dangling
+    mass). Five fixed power-iteration rounds — deterministic, so the
+    oracle replays the identical computation as five unrolled SQL
+    CTEs and the result is value-hash-checked end to end (unlike the
+    convergence-stopped connected-components twin, which carries a
+    weaker contract). Ranks round at 9 dp and order by the ROUNDED
+    rank (ties broken on the node key), so the top-20 set is stable
+    against last-ulp summation-order drift in either engine."""
+    from gaming_ai_analytics_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_suppkey", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    fwd = pairs.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        "w",
+    )
+    edges = fwd.unionByName(
+        fwd.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    pr = pagerank(edges, "src", "dst", "w", iterations=5)
+    return (
+        pr.select("node", F.round("r", 9).alias("rank"))
+        .orderBy(F.desc("rank"), "node")
+        .limit(20)
+    )
+
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    """Unrolled power-iteration oracle: literals written as
+    ``(1.0 - 0.85)`` (not 0.15) so both engines compute the teleport
+    constant from the SAME IEEE operations."""
+    its = []
+    prev = "it0"
+    for k in range(1, iters + 1):
+        its.append(f"""
+    it{k} AS (
+      SELECT n.node,
+             (1.0 - 0.85) / (SELECT n FROM nn)
+             + 0.85 * COALESCE(c.c, 0) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM(p.r * e.p) AS c
+        FROM enorm e JOIN {prev} p ON e.src = p.node
+        GROUP BY 1) c ON n.node = c.node)""")
+        prev = f"it{k}"
+    return f"""
+    WITH pairs AS (
+      SELECT l_suppkey AS sk, o_custkey AS ck, COUNT(*) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2),
+    edges AS (
+      SELECT 's' || sk AS src, 'c' || ck AS dst, w FROM pairs
+      UNION ALL
+      SELECT 'c' || ck AS src, 's' || sk AS dst, w FROM pairs),
+    wsum AS (SELECT src, SUM(w) AS ws FROM edges GROUP BY 1),
+    enorm AS (SELECT e.src, e.dst, e.w * 1.0 / w2.ws AS p
+              FROM edges e JOIN wsum w2 ON e.src = w2.src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    it0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+    {",".join(its)}
+    SELECT node, ROUND(r, 9) AS rank FROM {prev}
+    ORDER BY rank DESC, node LIMIT 20
+    """
+
+
+register("pagerank_trade_graph", q_pagerank_trade_graph, _pagerank_oracle())

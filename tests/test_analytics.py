@@ -833,3 +833,48 @@ def test_order_aging_report_consistency(spark, sf_dir):
     assert ages == sorted(ages, reverse=True)
     # month-end NDV per quarter ≤ 3 (one per month)
     assert all(1 <= r.n_month_ends <= 3 for r in rows)
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Five DataFrame rounds over a small weighted digraph must match
+    the dense NumPy power iteration of the same recurrence."""
+    import numpy as np
+
+    from gaming_ai_analytics_spark.operators.graph import pagerank
+
+    edges = [
+        ("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 1.0),
+        ("c", "a", 1.0), ("d", "a", 3.0), ("d", "b", 1.0),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    got = {
+        r.node: r.r for r in pagerank(df, "src", "dst", "w", 5).collect()
+    }
+
+    names = ["a", "b", "c", "d"]
+    idx = {n: i for i, n in enumerate(names)}
+    P = np.zeros((4, 4))
+    out = {}
+    for s, d, w in edges:
+        out[s] = out.get(s, 0.0) + w
+    for s, d, w in edges:
+        P[idx[d], idx[s]] += w / out[s]
+    r = np.full(4, 0.25)
+    for _ in range(5):
+        r = (1.0 - 0.85) / 4 + 0.85 * (P @ r)
+    for n in names:
+        assert abs(got[n] - r[idx[n]]) < 1e-12, (n, got[n], r[idx[n]])
+    # 'd' has no in-edges: pinned at the teleport floor every round
+    assert abs(got["d"] - 0.15 / 4) < 1e-12
+
+
+def test_pagerank_symmetric_graph_mass_conserved(spark):
+    """On a symmetrized edge list (no dangling mass) the ranks stay a
+    probability distribution: sum == 1 to fp tolerance."""
+    from gaming_ai_analytics_spark.operators.graph import pagerank
+
+    fwd = [("a", "b", 1.0), ("b", "c", 2.0), ("c", "d", 1.0)]
+    sym = fwd + [(d, s, w) for s, d, w in fwd]
+    df = spark.createDataFrame(sym, "src string, dst string, w double")
+    total = sum(r.r for r in pagerank(df, "src", "dst", "w", 5).collect())
+    assert abs(total - 1.0) < 1e-9
