@@ -374,3 +374,79 @@ def pagerank(
             )
         )
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """Per-node triangle counts by degree-ordered edge orientation
+    (the MapReduce triangle-counting scheme of Suri & Vassilvitskii,
+    WWW'11). Input is an UNDIRECTED simple edge list — one row per
+    edge, no self-loops, each pair in exactly one orientation (the
+    caller's ``a < b`` dedup is enough). Returns ``(node, triangles)``
+    for every node that closes at least one triangle.
+
+    Scale shape: the naive wedge join explodes on hub nodes — a
+    degree-d node contributes C(d, 2) wedges, quadratic in the hub's
+    degree. Orienting every edge from its lower-(degree, id) endpoint
+    to its higher one makes each node's OUT-degree at most O(√m), so
+    total wedge volume is bounded by O(m^1.5) regardless of skew
+    (each triangle is generated exactly once, at its lowest-ordered
+    corner). The plan is three shuffles: degree aggregation, the
+    wedge self-join on the oriented source, and the closure join of
+    wedge endpoints against the oriented edge list; per-node counts
+    ride a map-side explode of the three corners. No driver
+    collection at any size; the oriented frame is localCheckpoint-ed
+    so the loop-free plan scans the (possibly expensive) upstream
+    edge derivation once.
+    """
+    e = edges.select(F.col(a).alias("_a"), F.col(b).alias("_b"))
+    deg = (
+        e.select(F.col("_a").alias("node"))
+        .unionAll(e.select("_b"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    keyed = (
+        e.join(da, e["_a"] == F.col("da.node"))
+        .join(db, e["_b"] == F.col("db.node"))
+        .select(
+            "_a",
+            "_b",
+            F.col("da._deg").alias("_dega"),
+            F.col("db._deg").alias("_degb"),
+        )
+    )
+    lower_first = F.struct("_dega", "_a") < F.struct("_degb", "_b")
+    oriented = keyed.select(
+        F.when(lower_first, F.col("_a")).otherwise(F.col("_b")).alias("src"),
+        F.when(lower_first, F.col("_b")).otherwise(F.col("_a")).alias("dst"),
+        F.when(lower_first, F.col("_degb"))
+        .otherwise(F.col("_dega"))
+        .alias("ddeg"),
+    ).localCheckpoint()
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.src") == F.col("y.src"))
+        & (
+            F.struct(F.col("x.ddeg"), F.col("x.dst"))
+            < F.struct(F.col("y.ddeg"), F.col("y.dst"))
+        ),
+    ).select(
+        F.col("x.src").alias("u"),
+        F.col("x.dst").alias("v"),
+        F.col("y.dst").alias("w"),
+    )
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"])
+    return (
+        tri.select(
+            F.explode(F.array("u", "v", "w")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )

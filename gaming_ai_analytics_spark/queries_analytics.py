@@ -1216,3 +1216,234 @@ def _pagerank_oracle(iters: int = 5) -> str:
 
 
 register("pagerank_trade_graph", q_pagerank_trade_graph, _pagerank_oracle())
+
+
+# --------------------------------------------------------------------------
+# Market-basket mining: a-priori-pruned frequent co-occurrence pairs
+# --------------------------------------------------------------------------
+_ITEMSET_MIN_SUPPORT = 2  # pair AND item floor (a-priori: pair ⊆ item)
+_ITEMSET_MAX_BASKET = 50  # skew guard: a giant basket is O(k²) pairs
+
+
+def q_frequent_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 co-purchased part pairs with support and lift — the
+    frequent-itemset pass (Agrawal & Srikant's a-priori at k=2) every
+    recommendation / co-occurrence pipeline runs over basket data.
+
+    Scale shape: the naive plan self-joins the fact on the basket key
+    — O(k²) rows per basket BEFORE any pruning, and the pair-count
+    shuffle carries all of them. This plan prunes first and never
+    joins: (1) item supports ride a window count over the partkey
+    exchange; (2) the a-priori rule (a pair's support ≤ either item's
+    support) drops infrequent items BEFORE pair generation — on a
+    Zipfian catalog that is most of the long tail; (3) baskets above
+    ``_ITEMSET_MAX_BASKET`` frequent items are excluded outright
+    (documented skew guard, mirrored in the oracle — a single
+    pathological basket otherwise contributes C(k,2) pairs); (4) pair
+    generation is a map-side array higher-order function over the
+    per-basket sorted item array (codegen, no join, no Python), so
+    the only shuffles are the two aggregations and the basket
+    regroup. Item supports travel INSIDE the basket array as struct
+    fields, so lift needs no post-join against a support table; the
+    total-basket scalar joins as a broadcast 1-row frame. Pairs
+    emerge (part_a < part_b) from the sorted array — each unordered
+    pair exactly once. The distinct item relation is localCheckpoint-ed
+    so the support pipeline and the total-basket scalar read ONE
+    materialization instead of scanning the fact twice (the score-once
+    pattern; the plan audit holds this query to a single lineitem scan).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    items = li.distinct().localCheckpoint()
+    supported = items.withColumn(
+        "item_support",
+        F.count(F.lit(1)).over(Window.partitionBy("l_partkey")),
+    )
+    frequent = supported.filter(
+        F.col("item_support") >= _ITEMSET_MIN_SUPPORT
+    )
+    baskets = (
+        frequent.groupBy("l_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("l_partkey", "item_support"))
+            ).alias("items")
+        )
+        .filter(
+            (F.size("items") >= 2)
+            & (F.size("items") <= _ITEMSET_MAX_BASKET)
+        )
+    )
+    arr = F.col("items")
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    arr,
+                    lambda x, i: F.transform(
+                        F.slice(arr, i + F.lit(2), F.size(arr)),
+                        lambda y: F.struct(
+                            x.alias("pa"), y.alias("pb")
+                        ),
+                    ),
+                )
+            )
+        ).alias("pr")
+    )
+    counted = (
+        pairs.groupBy(
+            F.col("pr.pa.l_partkey").alias("part_a"),
+            F.col("pr.pb.l_partkey").alias("part_b"),
+            F.col("pr.pa.item_support").alias("support_a"),
+            F.col("pr.pb.item_support").alias("support_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_support"))
+        .filter(F.col("pair_support") >= _ITEMSET_MIN_SUPPORT)
+    )
+    n_baskets = items.agg(
+        F.countDistinct("l_orderkey").alias("n_baskets")
+    )
+    return (
+        counted.crossJoin(F.broadcast(n_baskets))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_support",
+            "support_a",
+            "support_b",
+            F.round(
+                (F.col("pair_support") * F.col("n_baskets"))
+                / (F.col("support_a") * F.col("support_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("pair_support"), "part_a", "part_b")
+        .limit(100)
+    )
+
+
+register(
+    "frequent_itemset_pairs",
+    q_frequent_itemset_pairs,
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    nb AS (SELECT COUNT(DISTINCT o) AS n FROM items),
+    s AS (SELECT p, COUNT(*) AS c FROM items GROUP BY 1),
+    freq AS (SELECT i.o, i.p, s.c FROM items i JOIN s ON i.p = s.p
+             WHERE s.c >= 2),
+    sized AS (SELECT o FROM freq GROUP BY o
+              HAVING COUNT(*) BETWEEN 2 AND 50),
+    pairs AS (
+      SELECT a.p AS part_a, b.p AS part_b,
+             a.c AS support_a, b.c AS support_b,
+             COUNT(*) AS pair_support
+      FROM freq a
+      JOIN freq b ON a.o = b.o AND a.p < b.p
+      JOIN sized ON a.o = sized.o
+      GROUP BY 1, 2, 3, 4)
+    SELECT part_a, part_b, pair_support, support_a, support_b,
+           ROUND((pair_support * (SELECT n FROM nb))
+                 / (support_a * support_b), 6) AS lift
+    FROM pairs WHERE pair_support >= 2
+    ORDER BY pair_support DESC, part_a, part_b LIMIT 100
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# Triangle counting over the hot-part co-purchase graph
+# --------------------------------------------------------------------------
+_TRIANGLE_HOT_SUPPORT = 40  # node set: parts in ≥40 baskets
+
+
+def q_triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by triangle participation in the co-purchase
+    graph (nodes = parts appearing in ≥``_TRIANGLE_HOT_SUPPORT``
+    baskets, edges = co-occurrence in at least one basket) — the
+    clustering-structure probe behind community/cohesion analyses.
+
+    The counting itself is :func:`operators.graph.triangle_counts`
+    (Suri–Vassilvitskii degree-ordered orientation, wedge volume
+    bounded O(m^1.5) under any skew). Edge derivation reuses the
+    basket-array pattern from ``frequent_itemset_pairs``: hot-item
+    filter via a window count on the partkey exchange, per-basket
+    sorted array, map-side HOF pair expansion (each undirected edge
+    emerges part_a < part_b), then DISTINCT — so the graph build is
+    two shuffles and the guard against pathological baskets is the
+    same mirrored ``BETWEEN 2 AND 50`` size window. The oracle
+    enumerates each triangle once as a < b < c over the identical
+    edge set — orientation-free, so it cross-checks the oriented
+    plan's dedup-by-construction claim, not just its arithmetic.
+    """
+    from gaming_ai_analytics_spark.operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    items = li.distinct()
+    hot = items.withColumn(
+        "_sup", F.count(F.lit(1)).over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("_sup") >= _TRIANGLE_HOT_SUPPORT)
+    baskets = (
+        hot.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("items"))
+        .filter(
+            (F.size("items") >= 2)
+            & (F.size("items") <= _ITEMSET_MAX_BASKET)
+        )
+    )
+    arr = F.col("items")
+    edges = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    arr,
+                    lambda x, i: F.transform(
+                        F.slice(arr, i + F.lit(2), F.size(arr)),
+                        lambda y: F.struct(
+                            x.alias("pa"), y.alias("pb")
+                        ),
+                    ),
+                )
+            )
+        ).alias("e")
+    ).select("e.pa", "e.pb").distinct()
+    return (
+        triangle_counts(edges, "pa", "pb")
+        .select(F.col("node").alias("part"), "triangles")
+        .orderBy(F.desc("triangles"), "part")
+        .limit(20)
+    )
+
+
+register(
+    "triangle_count_parts",
+    q_triangle_count_parts,
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    s AS (SELECT p, COUNT(*) AS c FROM items GROUP BY 1),
+    hot AS (SELECT i.o, i.p FROM items i JOIN s ON i.p = s.p
+            WHERE s.c >= 40),
+    sized AS (SELECT o FROM hot GROUP BY o
+              HAVING COUNT(*) BETWEEN 2 AND 50),
+    edges AS (
+      SELECT DISTINCT a.p AS pa, b.p AS pb
+      FROM hot a
+      JOIN hot b ON a.o = b.o AND a.p < b.p
+      JOIN sized ON a.o = sized.o),
+    tri AS (
+      SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.pb = e2.pa
+      JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+    corners AS (
+      SELECT a AS part FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+    SELECT part, COUNT(*) AS triangles FROM corners GROUP BY 1
+    ORDER BY triangles DESC, part LIMIT 20
+    """,
+)

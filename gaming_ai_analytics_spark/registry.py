@@ -155,7 +155,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: — the 39 remaining r4-green names (37 + the two displaced by the
 #: new r7 operators) plus the post-freeze r7 additions, pre-ordered as
 #: the r8 window plan (VERDICT r6 ask #8).  R8 COMPOSITION PLAN: these
-#: 46 + the 4 oldest r5-green names fill exactly 50 slots; after r8
+#: 48 + the 2 oldest r5-green names fill exactly 50 slots; after r8
 #: every name's last green row is ≥ r5.  Heads: the new operators, the
 #: displaced r4 heads, the three sf1
 #: bench-regression suspects (fresh rows double as correctness cover
@@ -174,6 +174,8 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "dedup_semantic",
     "lm_perplexity_score",
     "pagerank_trade_graph",
+    "frequent_itemset_pairs",
+    "triangle_count_parts",
     # r4 heads displaced by the two new r7 operators
     "dedup_simhash_pairs",
     "text_analysis_profile",

@@ -878,3 +878,97 @@ def test_pagerank_symmetric_graph_mass_conserved(spark):
     df = spark.createDataFrame(sym, "src string, dst string, w double")
     total = sum(r.r for r in pagerank(df, "src", "dst", "w", 5).collect())
     assert abs(total - 1.0) < 1e-9
+
+
+def test_triangle_counts_known_graph(spark):
+    """A 4-clique plus a pendant edge: each clique node closes C(3,2)=3
+    triangles, the pendant closes none (and is absent from the output)."""
+    from gaming_ai_analytics_spark.operators.graph import triangle_counts
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+        ("d", "e"),
+    ]
+    df = spark.createDataFrame(edges, "a string, b string")
+    got = {r.node: r.triangles for r in triangle_counts(df).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_triangle_counts_matches_bruteforce_random(spark):
+    """Degree-ordered orientation must agree with the O(n³) brute force
+    on a seeded random graph (30 nodes, p=0.25) — including hubs, whose
+    wedge dedup is where orientation schemes typically double-count."""
+    import itertools
+    import random
+
+    from gaming_ai_analytics_spark.operators.graph import triangle_counts
+
+    rng = random.Random(7)
+    nodes = [f"n{i:02d}" for i in range(30)]
+    edges = [
+        (u, v)
+        for u, v in itertools.combinations(nodes, 2)
+        if rng.random() < 0.25
+    ]
+    adj = {n: set() for n in nodes}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    expected: dict[str, int] = {}
+    for u, v, w in itertools.combinations(nodes, 3):
+        if v in adj[u] and w in adj[u] and w in adj[v]:
+            for x in (u, v, w):
+                expected[x] = expected.get(x, 0) + 1
+    df = spark.createDataFrame(edges, "a string, b string")
+    got = {r.node: r.triangles for r in triangle_counts(df).collect()}
+    assert got == expected
+    # sanity: the fixture actually exercised triangles
+    assert sum(expected.values()) > 0
+
+
+def test_frequent_itemset_pairs_bruteforce(spark, sf_dir):
+    """The a-priori + array-HOF plan must reproduce the brute-force
+    per-basket pair enumeration: identical support counts and lift on
+    the real fixture (top-100 slice, the registered contract)."""
+    import itertools
+    from collections import Counter
+
+    from gaming_ai_analytics_spark.queries_analytics import (
+        q_frequent_itemset_pairs,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets: dict[int, set] = {}
+    for r in rows:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    item_sup = Counter(p for b in baskets.values() for p in b)
+    pair_sup: Counter = Counter()
+    for b in baskets.values():
+        kept = sorted(p for p in b if item_sup[p] >= 2)
+        if 2 <= len(kept) <= 50:
+            pair_sup.update(itertools.combinations(kept, 2))
+    n = len(baskets)
+    expected = sorted(
+        (
+            (pa, pb, c, item_sup[pa], item_sup[pb])
+            for (pa, pb), c in pair_sup.items()
+            if c >= 2
+        ),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )[:100]
+    got = q_frequent_itemset_pairs(spark, sf_dir).collect()
+    assert [
+        (r.part_a, r.part_b, r.pair_support, r.support_a, r.support_b)
+        for r in got
+    ] == expected
+    for r in got:
+        ref = round(
+            (r.pair_support * n) / (r.support_a * r.support_b), 6
+        )
+        assert abs(r.lift - ref) < 1e-12
