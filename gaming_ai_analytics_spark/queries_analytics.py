@@ -1447,3 +1447,96 @@ register(
     ORDER BY triangles DESC, part LIMIT 20
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# Sketch-based audience overlap (HLL inclusion-exclusion)
+# --------------------------------------------------------------------------
+_OVERLAP_TOL = 0.05  # sketch estimate must land within ±5% of exact
+
+
+def q_audience_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise user-audience overlap between event types, estimated
+    from mergeable HLL sketches by inclusion-exclusion
+    (|A∩B| = est(A) + est(B) − est(A∪B), Flajolet et al. 2007 /
+    the Apache DataSketches formulation Spark 3.5+ ships as
+    ``hll_sketch_agg`` / ``hll_union`` / ``hll_sketch_estimate``) —
+    the 100 TB answer to "how much do these segments share" without
+    ever shuffling user-level rows per pair.
+
+    Contract query (the `dedup_embedding_lsh` pattern): the sketch
+    path CANNOT be value-hash-checked directly (DuckDB has no
+    DataSketches HLL), so the query also computes the exact overlap
+    and emits ``(pair, overlap_exact, sketch_ok)`` where ``sketch_ok``
+    asserts the estimate landed within ±5% of exact; the oracle
+    re-derives the exact overlap and a literal TRUE. At fixture scale
+    the sketch is in sparse mode and near-exact; the tolerance covers
+    the dense-mode ~1.6% RSE (lgK=12) with headroom. Scale shape: the
+    distinct (type, user) relation is localCheckpoint-ed (one source
+    scan), sketches reduce it to one row per type (map-side
+    combinable), and only the CONTRACT needs the user-level exact
+    self-join — production reads the per-type sketch table alone,
+    O(types²) work on kilobyte states.
+    """
+    ev = load_events(spark, sf_dir).select("event_type", "user_id")
+    d = ev.distinct().localCheckpoint()
+    per = d.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a, b = per.alias("a"), per.alias("b")
+    est = (
+        a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            (
+                F.hll_sketch_estimate(F.col("a.sk"))
+                + F.hll_sketch_estimate(F.col("b.sk"))
+                - F.hll_sketch_estimate(
+                    F.hll_union(F.col("a.sk"), F.col("b.sk"))
+                )
+            ).alias("overlap_est"),
+        )
+    )
+    x, y = d.alias("x"), d.alias("y")
+    exact = (
+        x.join(
+            y,
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("overlap_exact"))
+    )
+    return (
+        exact.join(est, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "overlap_exact",
+            (
+                F.abs(F.col("overlap_est") - F.col("overlap_exact"))
+                <= F.lit(_OVERLAP_TOL) * F.col("overlap_exact")
+            ).alias("sketch_ok"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+register(
+    "audience_overlap_sketch",
+    q_audience_overlap_sketch,
+    """
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT x.event_type AS type_a, y.event_type AS type_b,
+           COUNT(*) AS overlap_exact, TRUE AS sketch_ok
+    FROM d x
+    JOIN d y ON x.user_id = y.user_id AND x.event_type < y.event_type
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)

@@ -1408,3 +1408,109 @@ register(
     FROM documents WHERE text IS NOT NULL
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD'95)
+# --------------------------------------------------------------------------
+_SNM_WINDOW = 3  # sliding-window width over the sorted key order
+_SNM_KEY_LEN = 24  # blocking key: first 24 alnum chars, lowercased
+_SNM_CONFIRM_LEN = 12  # cheap verify: pairs must share a 12-char prefix
+
+
+def q_blocking_snm_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairs by sorted-neighborhood
+    blocking — the SORT-based blocking family (Hernández & Stolfo's
+    merge/purge), complementing this repo's hash-based blockers
+    (MinHash bands, SimHash buckets, k-means cells): sort records by a
+    normalized key, compare only records within a width-``w`` sliding
+    window of the sort order.
+
+    Scale shape: the textbook formulation needs a TOTAL order (one
+    global sort = one giant partition); this plan keys the sort
+    window inside deterministic 2-char-prefix blocks, so the whole
+    operator is ONE shuffle (the window exchange on the block key) —
+    rank neighbors are picked up with ``lead(·, 1..w)`` columns and a
+    map-side explode, never a rank self-join. Records whose
+    normalized key is shorter than the confirm prefix are dropped
+    up front (they cannot confirm; this also keeps NULL/boilerplate
+    texts out of one degenerate block). A block is bounded by its key
+    prefix's corpus share — the multi-pass production variant re-runs
+    with a second key (e.g. reversed) to recover cross-block misses,
+    which windowed blocking accepts by design.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    key = F.substring(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", ""),
+        1,
+        _SNM_KEY_LEN,
+    )
+    keyed = docs.select("doc_id", key.alias("key")).filter(
+        F.length("key") >= _SNM_CONFIRM_LEN
+    )
+    win = Window.partitionBy(F.substring("key", 1, 2)).orderBy(
+        "key", "doc_id"
+    )
+    nbrs = keyed.select(
+        "doc_id",
+        "key",
+        F.array(
+            *[
+                F.struct(
+                    F.lead("doc_id", k).over(win).alias("doc_b"),
+                    F.lead("key", k).over(win).alias("key_b"),
+                )
+                for k in range(1, _SNM_WINDOW + 1)
+            ]
+        ).alias("_nbrs"),
+    )
+    pairs = nbrs.select(
+        F.col("doc_id").alias("doc_a"),
+        "key",
+        F.explode("_nbrs").alias("nb"),
+    ).filter(F.col("nb.doc_b").isNotNull())
+    return (
+        pairs.filter(
+            F.substring("key", 1, _SNM_CONFIRM_LEN)
+            == F.substring("nb.key_b", 1, _SNM_CONFIRM_LEN)
+        )
+        .select(
+            "doc_a",
+            F.col("nb.doc_b").alias("doc_b"),
+            F.substring("key", 1, _SNM_CONFIRM_LEN).alias("shared_prefix"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+register(
+    "blocking_snm_candidates",
+    q_blocking_snm_candidates,
+    """
+    WITH k AS (
+      SELECT doc_id,
+             substr(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'),
+                    1, 24) AS key
+      FROM documents),
+    keyed AS (SELECT doc_id, key FROM k WHERE length(key) >= 12),
+    w AS (
+      SELECT doc_id, key,
+             LEAD(doc_id, 1) OVER win AS d1, LEAD(key, 1) OVER win AS k1,
+             LEAD(doc_id, 2) OVER win AS d2, LEAD(key, 2) OVER win AS k2,
+             LEAD(doc_id, 3) OVER win AS d3, LEAD(key, 3) OVER win AS k3
+      FROM keyed
+      WINDOW win AS (PARTITION BY substr(key, 1, 2)
+                     ORDER BY key, doc_id)),
+    pairs AS (
+      SELECT doc_id AS doc_a, d1 AS doc_b, key, k1 AS key_b FROM w
+      WHERE d1 IS NOT NULL
+      UNION ALL
+      SELECT doc_id, d2, key, k2 FROM w WHERE d2 IS NOT NULL
+      UNION ALL
+      SELECT doc_id, d3, key, k3 FROM w WHERE d3 IS NOT NULL)
+    SELECT doc_a, doc_b, substr(key, 1, 12) AS shared_prefix
+    FROM pairs
+    WHERE substr(key, 1, 12) = substr(key_b, 1, 12)
+    ORDER BY doc_a, doc_b
+    """,
+)

@@ -176,6 +176,8 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "pagerank_trade_graph",
     "frequent_itemset_pairs",
     "triangle_count_parts",
+    "blocking_snm_candidates",
+    "audience_overlap_sketch",
     # r4 heads displaced by the two new r7 operators
     "dedup_simhash_pairs",
     "text_analysis_profile",

@@ -972,3 +972,78 @@ def test_frequent_itemset_pairs_bruteforce(spark, sf_dir):
             (r.pair_support * n) / (r.support_a * r.support_b), 6
         )
         assert abs(r.lift - ref) < 1e-12
+
+
+def test_audience_overlap_sketch_exact_and_flagged(spark):
+    """Inclusion-exclusion over HLL sketches must flag within-tolerance
+    on a controlled overlap: types X and Y share exactly 60 of 100
+    users each. Runs the registered query's building blocks directly
+    on a synthetic frame via a temp parquet fixture."""
+    import tempfile
+
+    from gaming_ai_analytics_spark.queries_analytics import (
+        q_audience_overlap_sketch,
+    )
+
+    rows = [("X", u) for u in range(100)] + [
+        ("Y", u) for u in range(40, 140)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    with tempfile.TemporaryDirectory() as d:
+        # events loader reads {sf_dir}/events.parquet and needs ts/value
+        (
+            df.withColumn("event_id", F.monotonically_increasing_id())
+            .withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+            .withColumn("value", F.lit(1.0))
+            .withColumn("props", F.lit("{}"))
+            .write.parquet(f"{d}/events.parquet")
+        )
+        got = q_audience_overlap_sketch(spark, d).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.type_a, r.type_b, r.overlap_exact) == ("X", "Y", 60)
+    assert r.sketch_ok is True
+
+
+def test_blocking_snm_window_semantics(spark, tmp_path):
+    """SNM finds near-dups adjacent in sort order within the window,
+    misses pairs more than w apart, and never crosses a 2-char block
+    boundary — the documented trade of windowed blocking."""
+    from gaming_ai_analytics_spark.queries_llm import (
+        q_blocking_snm_candidates,
+    )
+
+    mk = lambda i, t: (i, t)
+    docs = [
+        # block 'aa': four records sharing a 12-char prefix; with w=3
+        # the (1,5) pair is rank-distance 4 → NOT emitted
+        mk(1, "aaqqqqqqqqqq alpha"),
+        mk(2, "aaqqqqqqqqqq bravo"),
+        mk(3, "aaqqqqqqqqqq charlie"),
+        mk(4, "aaqqqqqqqqqq delta"),
+        mk(5, "aaqqqqqqqqqq echo"),
+        # same 12-prefix but different 2-char block cannot happen by
+        # construction (block = prefix of key); a *different* prefix in
+        # the same block is adjacent but must not confirm:
+        mk(6, "aazzzzzzzzzz foxtrot"),
+        # too short to confirm → dropped up front
+        mk(7, "short"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df = df.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("s")
+    ).withColumn("n_chars", F.length("text"))
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = sorted(
+        (r.doc_a, r.doc_b)
+        for r in q_blocking_snm_candidates(spark, str(tmp_path)).collect()
+    )
+    # keys sort as: aaqqq...alpha(1) < ...bravo(2) < ...charlie(3)
+    # < ...delta(4) < ...echo(5) < aazzz...(6)
+    expected = [
+        (1, 2), (1, 3), (1, 4),
+        (2, 3), (2, 4), (2, 5),
+        (3, 4), (3, 5),
+        (4, 5),
+    ]
+    assert got == expected
