@@ -38,6 +38,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #: the stated number of times — exceeding it still fails the audit, so
 #: a justified query cannot silently regress further.
 MULTI_SCAN_JUSTIFIED: dict[str, tuple[dict[str, int], str]] = {
+    "frequent_itemset_pairs": (
+        {"lineitem": 2},
+        "total-basket lift denominator is a 1-row stat frame over a "
+        "single-column pruned rescan — measured at sf1 this beats "
+        "sharing a localCheckpoint of the 6M-row distinct-items "
+        "relation by ~4 s (docstring, queries_analytics.py)",
+    ),
     "dedup_incremental_index": (
         {"documents": 2},
         "corpus/increment split IS the operator: the corpus slice is "
