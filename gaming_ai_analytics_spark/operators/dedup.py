@@ -1049,3 +1049,74 @@ def embedding_cosine_pairs_lsh(
         .distinct()
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Directed shingle-containment pairs (Broder 1997's second
+    resemblance measure): c(A→B) = |S(A)∩S(B)| / |S(A)| — "how much of
+    A is inside B". Catches the asymmetric near-dups Jaccard
+    structurally misses: a document quoted whole inside a 10×-larger
+    one has c ≈ 1 but Jaccard ≈ 0.1, so a Jaccard-thresholded dedup
+    keeps both and the training corpus still memorizes the quote
+    twice. Returns ``(id_contained, id_container, containment)`` with
+    each qualifying direction emitted once.
+
+    Same inverted-index plan as :func:`ngram_jaccard_pairs` (explode
+    distinct k-shingles, posting self-join on the shingle key with
+    the same shuffle_hash gate — see that docstring for why the
+    planner cannot be trusted through an explode — count common
+    shingles per pair), same ``max_shingle_df`` stop-shingle cap; the
+    only change is the final arithmetic: common is divided by each
+    side's OWN shingle count instead of the union, and both
+    directions are tested. One extra output row per mutually-
+    contained pair, no extra shuffle.
+    """
+    sh = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("_sh"),
+    )
+    if max_shingle_df is not None:
+        sh = sh.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("_sh"))
+        ).filter(F.col("_df") <= max_shingle_df).drop("_df")
+
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+
+    _hint = _self_join_hinter(df)
+    a, b = _hint(sh).alias("a"), _hint(sh).alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a._sh") == F.col("b._sh"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("_ia"), F.col("b._id").alias("_ib"))
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    sa = _hint(sizes).select(
+        F.col("_id").alias("_ia"), F.col("_n").alias("_na")
+    )
+    sb = _hint(sizes).select(
+        F.col("_id").alias("_ib"), F.col("_n").alias("_nb")
+    )
+    scored = common.join(sa, "_ia").join(sb, "_ib")
+    fwd = scored.select(
+        F.col("_ia").alias("id_contained"),
+        F.col("_ib").alias("id_container"),
+        F.round(F.col("_common") / F.col("_na"), 6).alias("containment"),
+    )
+    rev = scored.select(
+        F.col("_ib").alias("id_contained"),
+        F.col("_ia").alias("id_container"),
+        F.round(F.col("_common") / F.col("_nb"), 6).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(
+        F.col("containment") >= threshold
+    )

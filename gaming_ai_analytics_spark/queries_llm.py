@@ -1514,3 +1514,62 @@ register(
     ORDER BY doc_a, doc_b
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# Directed shingle containment (Broder's second resemblance measure)
+# --------------------------------------------------------------------------
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment pairs at c ≥ 0.8 over the documents corpus
+    — the asymmetric complement to `dedup_ngram_jaccard`: a doc quoted
+    whole inside a much larger one scores c ≈ 1 but Jaccard ≈ |A|/|B|,
+    so symmetric dedup keeps the duplicated content. Full value-hash
+    oracle (same shingle CTEs as the Jaccard oracle, division by each
+    side's own shingle count, both directions UNION ALL'd)."""
+    from gaming_ai_analytics_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    return containment_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.8
+    ).orderBy("id_contained", "id_container")
+
+
+register(
+    "dedup_containment",
+    q_dedup_containment,
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(TRIM(text), ' +') AS t
+      FROM documents
+      WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0
+    ),
+    pos AS (
+      SELECT doc_id, unnest(generate_series(1, len(t) - 2)) AS i, t
+      FROM toks WHERE len(t) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM pos
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT ia, ib, c, na.n AS n_a, nb.n AS n_b
+      FROM pairs JOIN sizes na ON ia = na.doc_id
+                 JOIN sizes nb ON ib = nb.doc_id
+    )
+    SELECT * FROM (
+      SELECT ia AS id_contained, ib AS id_container,
+             ROUND(c * 1.0 / n_a, 6) AS containment FROM scored
+      UNION ALL
+      SELECT ib, ia, ROUND(c * 1.0 / n_b, 6) FROM scored
+    ) WHERE containment >= 0.8
+    ORDER BY id_contained, id_container
+    """,
+)

@@ -178,6 +178,7 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "triangle_count_parts",
     "blocking_snm_candidates",
     "audience_overlap_sketch",
+    "dedup_containment",
     # r4 heads displaced by the two new r7 operators
     "dedup_simhash_pairs",
     "text_analysis_profile",

@@ -624,3 +624,48 @@ def test_semantic_dedup_sound_and_recall_vs_exact(spark):
     assert droppable, "fixture should contain droppable near-dups"
     assert dropped <= droppable
     assert len(dropped) >= 0.85 * len(droppable)
+
+
+def test_containment_catches_asymmetric_quote(spark):
+    """A short doc quoted verbatim inside a much larger one:
+    containment(small→big) == 1.0 while Jaccard sits far below any
+    dedup threshold — the case the directed measure exists for."""
+    from gaming_ai_analytics_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(10))
+    filler = " ".join(f"w{i}" for i in range(90))
+    rows = [
+        (1, quote),
+        (2, filler + " " + quote),
+        (3, "totally unrelated text about nothing shared here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_contained, r.id_container): r.containment
+        for r in containment_pairs(
+            df, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    assert got == {(1, 2): 1.0}
+    # Jaccard misses it: |A∩B| = 8 shingles, |A∪B| = 98 → ~0.08
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    assert jac == []
+
+
+def test_containment_mutual_direction_emitted_once_each(spark):
+    """Two identical docs contain each other: both directed rows
+    emitted, each exactly once, containment 1.0."""
+    from gaming_ai_analytics_spark.operators.dedup import containment_pairs
+
+    text = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.id_contained, r.id_container, r.containment)
+        for r in containment_pairs(df, "doc_id", "text").collect()
+    )
+    assert got == [(1, 2, 1.0), (2, 1, 1.0)]
