@@ -1555,3 +1555,104 @@ register(
     GROUP BY doc_id
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# Population-stability-index drift monitor over the quality score
+# --------------------------------------------------------------------------
+def q_quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-decile PSI terms between a reference corpus slice and the
+    current slice — the population stability index every production
+    scoring pipeline monitors (PSI < 0.1 stable / 0.1–0.25 drifting /
+    > 0.25 shifted; a different lens than `corpus_drift_kl`, which
+    compares vocabularies — PSI watches a *model feature's*
+    distribution through fixed reference-quantile bins).
+
+    The ref/current split stands in for "last snapshot vs this one":
+    doc_id parity, mirrored exactly in the oracle. Bin edges are the
+    EXACT reference-slice deciles (Spark `percentile` and DuckDB
+    `quantile_cont` interpolate identically on the 4 dp-rounded
+    score — probed value-equal at sf0.01 before registering); each
+    row's bin is `|{edges < q}|` via an array higher-order filter
+    against the broadcast 1-row edge frame, so binning is map-side.
+    Scale shape: the quality score is the expensive pass (~2 s/scan
+    at sf1), and edges + binning both need it — the scored projection
+    is localCheckpoint-ed (score-once pattern, same rationale as
+    `global_quality_rank`) so the corpus is scored exactly once; the
+    PSI arithmetic then runs on the 10-row bin-count frame (the
+    10-row window for totals is driver-scale by construction).
+    Zero-count bins are floored at 1e-6 before the log ratio (the
+    standard PSI smoothing), keeping every term finite and the
+    decision thresholds meaningful.
+    """
+    from gaming_ai_analytics_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("is_ref"),
+        quality_score(F.col("text")).alias("q"),
+    ).localCheckpoint()
+    edges = scored.filter("is_ref").agg(
+        F.percentile(
+            "q", F.array(*[F.lit(x / 10.0) for x in range(1, 10)])
+        ).alias("_edges")
+    )
+    binned = scored.crossJoin(F.broadcast(edges)).select(
+        "is_ref",
+        F.size(
+            F.filter("_edges", lambda e: F.col("q") > e)
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("n_cur"),
+    )
+    w = Window.partitionBy()  # 10 rows — driver-scale by construction
+    p = F.greatest(
+        F.col("n_ref") / F.sum("n_ref").over(w), F.lit(1e-6)
+    )
+    c = F.greatest(
+        F.col("n_cur") / F.sum("n_cur").over(w), F.lit(1e-6)
+    )
+    return counts.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round((p - c) * F.log(p / c), 6).alias("psi_term"),
+    ).orderBy("bin")
+
+
+def _psi_oracle() -> str:
+    from gaming_ai_analytics_spark.functions.text_sql import QUALITY
+
+    return f"""
+    WITH scored AS (
+      SELECT doc_id % 2 = 0 AS is_ref, {QUALITY} AS q FROM documents),
+    e AS (
+      SELECT quantile_cont(q, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+             AS edges
+      FROM scored WHERE is_ref),
+    b AS (
+      SELECT is_ref,
+             CAST(len(list_filter(e.edges, x -> q > x)) AS INTEGER)
+               AS bin
+      FROM scored, e),
+    counts AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ref,
+             CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cur
+      FROM b GROUP BY 1),
+    t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM counts)
+    SELECT bin, n_ref, n_cur,
+           ROUND((GREATEST(n_ref * 1.0 / tr, 1e-6)
+                  - GREATEST(n_cur * 1.0 / tc, 1e-6))
+                 * LN(GREATEST(n_ref * 1.0 / tr, 1e-6)
+                      / GREATEST(n_cur * 1.0 / tc, 1e-6)), 6)
+             AS psi_term
+    FROM counts, t ORDER BY bin
+    """
+
+
+register("quality_psi_drift", q_quality_psi_drift, _psi_oracle())

@@ -179,6 +179,7 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "blocking_snm_candidates",
     "audience_overlap_sketch",
     "dedup_containment",
+    "quality_psi_drift",
     # r4 heads displaced by the two new r7 operators
     "dedup_simhash_pairs",
     "text_analysis_profile",

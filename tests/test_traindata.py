@@ -649,3 +649,55 @@ def test_lm_perplexity_reference_lang_scores_lowest(spark, sf_dir):
         res.filter((F.col("ppl") <= 1.0) | (F.col("ppl") > 257.0)).count()
         == 0
     )
+
+
+def _write_docs(spark, path, rows):
+    (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("s"))
+        .withColumn("n_chars", F.length("text"))
+        .write.parquet(f"{path}/documents.parquet")
+    )
+
+
+def test_psi_zero_when_slices_identical(spark, tmp_path):
+    """Identical score distributions in both parity slices: every bin
+    is balanced, so every PSI term is ~0."""
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_quality_psi_drift,
+    )
+
+    # doc 2k and 2k+1 share a text → ref/cur slices are distribution-
+    # identical by construction
+    texts = [
+        " ".join(f"w{j}" for j in range(5 + 7 * i)) for i in range(40)
+    ]
+    rows = [(2 * i, t) for i, t in enumerate(texts)] + [
+        (2 * i + 1, t) for i, t in enumerate(texts)
+    ]
+    _write_docs(spark, tmp_path, rows)
+    got = q_quality_psi_drift(spark, str(tmp_path)).collect()
+    assert sum(r.psi_term for r in got) < 0.01
+    assert all(r.n_ref == r.n_cur for r in got)
+
+
+def test_psi_flags_planted_shift(spark, tmp_path):
+    """Current slice systematically longer texts → mass leaves the low
+    bins for the high bins and total PSI crosses the 0.25 'shifted'
+    threshold."""
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_quality_psi_drift,
+    )
+
+    rows = [
+        (2 * i, " ".join(f"w{j}" for j in range(5 + i)))  # ref: short
+        for i in range(50)
+    ] + [
+        (2 * i + 1, " ".join(f"w{j}" for j in range(200 + i)))  # cur: long
+        for i in range(50)
+    ]
+    _write_docs(spark, tmp_path, rows)
+    got = q_quality_psi_drift(spark, str(tmp_path)).collect()
+    assert sum(r.psi_term for r in got) > 0.25
+    assert all(r.psi_term >= 0 or abs(r.psi_term) < 1e-9 for r in got)
