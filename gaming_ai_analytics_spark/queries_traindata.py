@@ -1656,3 +1656,81 @@ def _psi_oracle() -> str:
 
 
 register("quality_psi_drift", q_quality_psi_drift, _psi_oracle())
+
+
+# --------------------------------------------------------------------------
+# Inverted-index construction (bounded-state postings build)
+# --------------------------------------------------------------------------
+_POSTINGS_HEAD = 20  # checked sample: first k doc ids per term
+
+
+def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 index terms with document frequency and the head of each
+    sorted posting list — the search-index build step (term →
+    postings) every retrieval/RAG corpus pipeline runs, reduced to a
+    hash-checkable sample.
+
+    Scale shape: the naive build ``collect_list(doc_id)`` per term is
+    UNBOUNDED aggregate state — a stop-term's posting list is the
+    whole corpus in one reducer, the exact degenerate-state shape
+    `agg_percentile` exists to avoid. This plan never materializes a
+    full list: ``row_number`` and the per-term document-frequency
+    count ride ONE window exchange on the term key, the head filter
+    (`rn ≤ 20`) bounds every downstream group to 20 rows BY
+    CONSTRUCTION, and only then does `collect_list` run (state ≤ 20
+    ids per term at any corpus size). A full index export would shard
+    the tail the same way — (term, rn/shard_width) blocks — which is
+    this plan with the filter swapped for a bucket key; production
+    writers partition output files by term hash.
+    """
+    docs = _docs(spark, sf_dir)
+    postings = docs.select(
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("term"),
+        "doc_id",
+    )
+    w_rank = Window.partitionBy("term").orderBy("doc_id")
+    w_term = Window.partitionBy("term")
+    ranked = postings.select(
+        "term",
+        "doc_id",
+        F.row_number().over(w_rank).alias("_rn"),
+        F.count(F.lit(1)).over(w_term).alias("doc_freq"),
+    )
+    return (
+        ranked.filter(F.col("_rn") <= _POSTINGS_HEAD)
+        .groupBy("term", "doc_freq")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings_head")
+        )
+        .orderBy(F.desc("doc_freq"), "term")
+        .limit(50)
+    )
+
+
+register(
+    "inverted_index_postings",
+    q_inverted_index_postings,
+    f"""
+    WITH posting AS (
+      SELECT term, doc_id
+      FROM (SELECT doc_id, unnest(list_distinct({_TOKS})) AS term
+            FROM documents WHERE {_NONEMPTY})),
+    r AS (
+      SELECT term, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY term) AS doc_freq
+      FROM posting)
+    SELECT term, doc_freq,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+             AS postings_head
+    FROM r WHERE rn <= 20
+    GROUP BY 1, 2
+    ORDER BY doc_freq DESC, term LIMIT 50
+    """,
+)

@@ -180,6 +180,7 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "audience_overlap_sketch",
     "dedup_containment",
     "quality_psi_drift",
+    "inverted_index_postings",
     # r4 heads displaced by the two new r7 operators
     "dedup_simhash_pairs",
     "text_analysis_profile",

@@ -701,3 +701,25 @@ def test_psi_flags_planted_shift(spark, tmp_path):
     got = q_quality_psi_drift(spark, str(tmp_path)).collect()
     assert sum(r.psi_term for r in got) > 0.25
     assert all(r.psi_term >= 0 or abs(r.psi_term) < 1e-9 for r in got)
+
+
+def test_inverted_index_bounded_head_and_exact_df(spark, tmp_path):
+    """Posting heads are the FIRST k doc ids in sorted order while
+    doc_freq stays the full count — the bounded-state contract."""
+    from gaming_ai_analytics_spark.queries_traindata import (
+        _POSTINGS_HEAD,
+        q_inverted_index_postings,
+    )
+
+    # 'hot' appears in 30 docs (> head width), 'cold' in 3
+    rows = [(i, "hot filler%d" % i) for i in range(30)] + [
+        (100 + i, "cold other%d" % i) for i in range(3)
+    ]
+    _write_docs(spark, tmp_path, rows)
+    got = {
+        r.term: (r.doc_freq, r.postings_head)
+        for r in q_inverted_index_postings(spark, str(tmp_path)).collect()
+    }
+    assert got["hot"][0] == 30
+    assert got["hot"][1] == ",".join(str(i) for i in range(_POSTINGS_HEAD))
+    assert got["cold"] == (3, "100,101,102")
