@@ -1552,3 +1552,62 @@ register(
     ORDER BY 1, 2
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# Time-decayed user value (feature-store style point-in-time feature)
+# --------------------------------------------------------------------------
+_DECAY_TAU_DAYS = 7.0
+
+
+def q_user_value_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 users by exponentially time-decayed event value —
+    the feature-store staple (recency-weighted engagement: each
+    event contributes ``value · e^(−Δdays/τ)`` against the corpus
+    watermark, τ = 7 days) that a plain SUM/AVG can't express and a
+    true recursive EWMA doesn't need: the decayed sum is
+    order-independent, so it is ONE map-side-combinable aggregation —
+    no window, no per-user sort, mergeable across increments exactly
+    like `agg_incremental_merge`'s (count,sum) states (store
+    Σ v·e^(t/τ) unnormalized and re-anchor by multiplying
+    e^(−t_now/τ) — the standard trick; here the watermark anchor is
+    computed in-query). Δ is a whole-day integer on both engines
+    (DATE-truncated, the ns-vs-µs-proof pattern) so `exp` sees
+    identical arguments; the 5e-10 nudge before ROUND absorbs
+    last-ulp summation-order drift at the 4 dp boundary (the
+    `quality_score` rationale) and the top-100 orders by the ROUNDED
+    value. The watermark is a broadcast 1-row stat frame — one
+    justified extra reference of the narrow events projection.
+    """
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("date").alias("d"), "value"
+    )
+    tref = ev.agg(F.max("d").alias("d0"))
+    decayed = F.sum(
+        F.col("value")
+        * F.exp(-F.datediff("d0", "d") / F.lit(_DECAY_TAU_DAYS))
+    )
+    return (
+        ev.crossJoin(F.broadcast(tref))
+        .groupBy("user_id")
+        .agg(
+            F.round(decayed + F.lit(5e-10), 4).alias("decayed_value")
+        )
+        .orderBy(F.desc("decayed_value"), "user_id")
+        .limit(100)
+    )
+
+
+register(
+    "user_value_decay",
+    q_user_value_decay,
+    """
+    WITH tref AS (SELECT MAX(CAST(ts AS DATE)) AS d0 FROM events)
+    SELECT user_id,
+           ROUND(SUM(value * EXP(-date_diff('day', CAST(ts AS DATE), d0)
+                                  / 7.0)) + 5e-10, 4) AS decayed_value
+    FROM events, tref
+    GROUP BY 1
+    ORDER BY decayed_value DESC, user_id LIMIT 100
+    """,
+)

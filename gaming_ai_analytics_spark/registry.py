@@ -181,6 +181,7 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "dedup_containment",
     "quality_psi_drift",
     "inverted_index_postings",
+    "user_value_decay",
     # r4 heads displaced by the two new r7 operators
     "dedup_simhash_pairs",
     "text_analysis_profile",

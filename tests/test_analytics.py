@@ -1047,3 +1047,39 @@ def test_blocking_snm_window_semantics(spark, tmp_path):
         (4, 5),
     ]
     assert got == expected
+
+
+def test_user_value_decay_hand_computed(spark, tmp_path):
+    """Decayed sum matches the hand computation on a pinned fixture,
+    and recency dominates magnitude (τ=7d: a 100-value event 21 days
+    old is worth less than a 10-value event today)."""
+    import math
+
+    from gaming_ai_analytics_spark.queries_analytics import (
+        q_user_value_decay,
+    )
+
+    rows = [
+        (1, "2024-02-01 10:00:00", 10.0),   # Δ0
+        (1, "2024-01-25 10:00:00", 14.0),   # Δ7
+        (2, "2024-01-11 10:00:00", 100.0),  # Δ21
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double")
+    (
+        df.select(
+            "user_id",
+            F.to_timestamp("ts").alias("ts"),
+            "value",
+            F.monotonically_increasing_id().alias("event_id"),
+            F.lit("view").alias("event_type"),
+            F.lit("{}").alias("props"),
+        ).write.parquet(f"{tmp_path}/events.parquet")
+    )
+    got = {
+        r.user_id: r.decayed_value
+        for r in q_user_value_decay(spark, str(tmp_path)).collect()
+    }
+    exp1 = round(10.0 + 14.0 * math.exp(-1.0) + 5e-10, 4)
+    exp2 = round(100.0 * math.exp(-3.0) + 5e-10, 4)
+    assert got == {1: exp1, 2: exp2}
+    assert got[2] < got[1]  # 21-day-old 100 < today's 10 + decayed 14

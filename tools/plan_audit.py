@@ -38,6 +38,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #: the stated number of times — exceeding it still fails the audit, so
 #: a justified query cannot silently regress further.
 MULTI_SCAN_JUSTIFIED: dict[str, tuple[dict[str, int], str]] = {
+    "user_value_decay": (
+        {"events": 2},
+        "the decay watermark (corpus MAX date) is a broadcast 1-row "
+        "stat frame over the narrow (user,date,value) projection — "
+        "intrinsic second reference (queries_analytics.py)",
+    ),
     "frequent_itemset_pairs": (
         {"lineitem": 2},
         "total-basket lift denominator is a 1-row stat frame over a "
