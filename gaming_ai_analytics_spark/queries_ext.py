@@ -1629,3 +1629,93 @@ register(
     GROUP BY o_orderpriority
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# Point-in-time (validity-interval) dimension join
+# --------------------------------------------------------------------------
+def q_pit_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue attributed to the customer-segment version VALID AT
+    each order's date — the point-in-time join every SCD2 warehouse
+    and every leakage-safe feature store needs (`scd2_customer_segment`
+    builds the versioned dim; this is its consumption side — using
+    today's segment for a 1993 order is exactly the label-leakage
+    class `leakage_safe_split` guards against).
+
+    The versioned dim is derived deterministically from the fixture:
+    customers with key ≡ 0 (mod 20) switch to 'NEWSEG' on 1995-06-01
+    (two rows: the closed original validity and the open new one);
+    everyone else keeps one open-ended row. Scale shape: the join has
+    a proper EQUI key (custkey) with the validity interval as a
+    residual predicate, so it plans as a hash/sort-merge join — never
+    the pure-range BNL shape the plan audit hunts — and versions-per-
+    key is small by SCD2 construction, so the post-join filter fans
+    out ≤ |versions| rows per order. Orders carry exactly ONE valid
+    version each (half-open intervals [from, to) with a NULL open
+    end), pinned by the companion test and visible in the result:
+    per-(segment, version-flag) order counts and revenue reconcile to
+    the full orders table.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    switch = F.col("c_custkey") % 20 == 0
+    v_orig = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1990-01-01").cast("date").alias("valid_from"),
+        F.when(switch, F.lit("1995-06-01").cast("date")).alias("valid_to"),
+    )
+    v_new = cust.filter(switch).select(
+        F.col("c_custkey").alias("k"),
+        F.lit("NEWSEG").alias("segment"),
+        F.lit("1995-06-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    dim = v_orig.unionByName(v_new)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("od"),
+        "o_totalprice",
+    )
+    joined = orders.join(
+        dim,
+        (orders["o_custkey"] == dim["k"])
+        & (F.col("od") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("od") < F.col("valid_to"))),
+    )
+    return (
+        joined.groupBy(
+            "segment",
+            F.col("valid_to").isNull().alias("is_current_version"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("segment", "is_current_version")
+    )
+
+
+register(
+    "pit_dim_join",
+    q_pit_dim_join,
+    """
+    WITH dim AS (
+      SELECT c_custkey AS k, c_mktsegment AS segment,
+             CAST('1990-01-01' AS DATE) AS valid_from,
+             CASE WHEN c_custkey % 20 = 0
+                  THEN CAST('1995-06-01' AS DATE) END AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'NEWSEG',
+             CAST('1995-06-01' AS DATE), NULL
+      FROM customer WHERE c_custkey % 20 = 0)
+    SELECT segment, valid_to IS NULL AS is_current_version,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders JOIN dim
+      ON o_custkey = k
+     AND CAST(o_orderdate AS DATE) >= valid_from
+     AND (valid_to IS NULL OR CAST(o_orderdate AS DATE) < valid_to)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)

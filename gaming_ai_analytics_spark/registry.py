@@ -182,6 +182,7 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "quality_psi_drift",
     "inverted_index_postings",
     "user_value_decay",
+    "pit_dim_join",
     # r4 heads displaced by the two new r7 operators
     "dedup_simhash_pairs",
     "text_analysis_profile",

@@ -146,3 +146,18 @@ def test_observe_metrics_ride_the_append_pass(spark, sf_dir, cfg):
     # and the pipeline surfaces them
     res2 = pl.run_pipeline(spark, sf_dir, cfg)
     assert isinstance(res2.fact_metrics, dict)
+
+
+def test_pit_dim_join_exactly_one_version_per_order(spark, sf_dir):
+    """The half-open validity intervals tile time with no gap and no
+    overlap, so every order matches exactly one dim version and the
+    output reconciles to the full orders table."""
+    from gaming_ai_analytics_spark.queries_ext import q_pit_dim_join
+    from gaming_ai_analytics_spark.sources.star import load_table
+
+    out = q_pit_dim_join(spark, sf_dir).collect()
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r.n_orders for r in out) == n_orders
+    # the planted switch cohort actually splits across versions
+    segs = {(r.segment, r.is_current_version) for r in out}
+    assert ("NEWSEG", True) in segs
