@@ -1611,3 +1611,113 @@ register(
     ORDER BY decayed_value DESC, user_id LIMIT 100
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# A/B experiment evaluation (two-proportion z-test on conversion)
+# --------------------------------------------------------------------------
+def q_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on purchase conversion between two
+    hash-assigned experiment arms — the experiment-evaluation readout
+    every product-analytics stack ships next to funnels and cohorts
+    (`chisq_lang_source` is the k×k generalization; this is the
+    2×2 A/B special case with the signed pooled-variance z statistic
+    analysts actually read, plus the |z| > 1.96 call at α = 0.05).
+
+    Arm assignment is user-id parity (deterministic, mirrored in the
+    oracle — a stand-in for the experiment-bucketing hash, which
+    `split_assign` shows in full multiplicative form). Scale shape:
+    one pass — per-user conversion is a boolean MAX riding the
+    (arm, user) aggregation, arm totals reduce from it, and the
+    z arithmetic runs on a 2-row frame pivoted into one row. Nothing
+    driver-side, no join against a user dim; the 5e-10 nudge before
+    the 4 dp ROUND absorbs cross-engine last-ulp drift in the sqrt.
+    """
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", "value"
+    )
+    # conversion = ≥1 high-value purchase (plain purchase saturates at
+    # 100% on the fixture — zero variance, z undefined)
+    per_user = ev.groupBy(
+        (F.col("user_id") % 2 == 0).alias("arm_a"), F.col("user_id")
+    ).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 100),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    arms = per_user.groupBy("arm_a").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").alias("conv"),
+    )
+    one = arms.agg(
+        F.max(F.when(F.col("arm_a"), F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm_a"), F.col("conv"))).alias("conv_a"),
+        F.max(F.when(~F.col("arm_a"), F.col("n"))).alias("n_b"),
+        F.max(F.when(~F.col("arm_a"), F.col("conv"))).alias("conv_b"),
+    )
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    )
+    # zero-variance guard: pool ∈ {0,1} → z undefined → NULL (ANSI
+    # mode raises on the bare division)
+    z = F.when(
+        (pool > 0) & (pool < 1),
+        (p_a - p_b)
+        / F.sqrt(
+            pool * (1 - pool) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+        ),
+    )
+    return one.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(z + F.lit(5e-10), 4).alias("z_stat"),
+        F.coalesce(F.abs(z) > F.lit(1.96), F.lit(False)).alias(
+            "significant_95"
+        ),
+    )
+
+
+register(
+    "ab_conversion_ztest",
+    q_ab_conversion_ztest,
+    """
+    WITH per_user AS (
+      SELECT user_id % 2 = 0 AS arm_a, user_id,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 100
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY 1, 2),
+    arms AS (
+      SELECT arm_a, COUNT(*) AS n,
+             CAST(SUM(converted) AS BIGINT) AS conv
+      FROM per_user GROUP BY 1),
+    one AS (
+      SELECT MAX(CASE WHEN arm_a THEN n END) AS n_a,
+             MAX(CASE WHEN arm_a THEN conv END) AS conv_a,
+             MAX(CASE WHEN NOT arm_a THEN n END) AS n_b,
+             MAX(CASE WHEN NOT arm_a THEN conv END) AS conv_b
+      FROM arms),
+    z AS (
+      SELECT n_a, conv_a, n_b, conv_b,
+             CASE WHEN (conv_a + conv_b) > 0
+                       AND (conv_a + conv_b) < (n_a + n_b)
+                  THEN (conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
+                       / SQRT((conv_a + conv_b) * 1.0 / (n_a + n_b)
+                              * (1 - (conv_a + conv_b) * 1.0
+                                     / (n_a + n_b))
+                              * (1.0 / n_a + 1.0 / n_b))
+             END AS zr
+      FROM one)
+    SELECT n_a, conv_a, n_b, conv_b,
+           ROUND(zr + 5e-10, 4) AS z_stat,
+           COALESCE(ABS(zr) > 1.96, FALSE) AS significant_95
+    FROM z
+    """,
+)

@@ -183,6 +183,7 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "inverted_index_postings",
     "user_value_decay",
     "pit_dim_join",
+    "ab_conversion_ztest",
     # r4 heads displaced by the two new r7 operators
     "dedup_simhash_pairs",
     "text_analysis_profile",

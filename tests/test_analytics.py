@@ -1083,3 +1083,53 @@ def test_user_value_decay_hand_computed(spark, tmp_path):
     exp2 = round(100.0 * math.exp(-3.0) + 5e-10, 4)
     assert got == {1: exp1, 2: exp2}
     assert got[2] < got[1]  # 21-day-old 100 < today's 10 + decayed 14
+
+
+def _write_events(spark, path, rows):
+    (
+        spark.createDataFrame(
+            rows, "user_id long, event_type string, value double"
+        )
+        .withColumn("event_id", F.monotonically_increasing_id())
+        .withColumn("ts", F.to_timestamp(F.lit("2024-03-01 00:00:00")))
+        .withColumn("props", F.lit("{}"))
+        .write.parquet(f"{path}/events.parquet")
+    )
+
+
+def test_ab_ztest_known_statistic(spark, tmp_path):
+    """8/10 vs 2/10 conversion: z = 0.6/sqrt(0.5*0.5*0.2) ≈ 2.6833,
+    significant at 95%."""
+    import math
+
+    from gaming_ai_analytics_spark.queries_analytics import (
+        q_ab_conversion_ztest,
+    )
+
+    rows = []
+    for u in range(20):  # even users = arm A
+        arm_a = u % 2 == 0
+        idx = u // 2
+        converts = idx < 8 if arm_a else idx < 2
+        rows.append((u, "purchase", 500.0 if converts else 50.0))
+        rows.append((u, "view", 1.0))
+    _write_events(spark, tmp_path, rows)
+    r = q_ab_conversion_ztest(spark, str(tmp_path)).collect()[0]
+    assert (r.n_a, r.conv_a, r.n_b, r.conv_b) == (10, 8, 10, 2)
+    z_ref = 0.6 / math.sqrt(0.5 * 0.5 * 0.2)
+    assert abs(r.z_stat - round(z_ref + 5e-10, 4)) < 1e-9
+    assert r.significant_95 is True
+
+
+def test_ab_ztest_zero_variance_guard(spark, tmp_path):
+    """Every user converts: pooled variance is 0, z is NULL, the
+    significance call is False — not a DIVIDE_BY_ZERO crash (ANSI)."""
+    from gaming_ai_analytics_spark.queries_analytics import (
+        q_ab_conversion_ztest,
+    )
+
+    rows = [(u, "purchase", 500.0) for u in range(10)]
+    _write_events(spark, tmp_path, rows)
+    r = q_ab_conversion_ztest(spark, str(tmp_path)).collect()[0]
+    assert r.z_stat is None
+    assert r.significant_95 is False
