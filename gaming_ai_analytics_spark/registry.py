@@ -154,8 +154,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: Everything still owed a fresh driver row AFTER this round's window
 #: — the 39 remaining r4-green names (37 + the two displaced by the
 #: new r7 operators) plus the post-freeze r7 additions, pre-ordered as
-#: the r8 window plan (VERDICT r6 ask #8).  R8 COMPOSITION PLAN: these
-#: 48 + the 2 oldest r5-green names fill exactly 50 slots; after r8
+#: the r8 window plan (VERDICT r6 ask #8).  R8 COMPOSITION PLAN: the
+#: backlog now holds 56 names (the 11 extra-late-r7 operators joined
+#: its head), so the r8 window is exactly its FIRST 50 entries and the
+#: last 6 (tail of the analytics/warehouse cohort) roll to r9; after r8
 #: every name's last green row is ≥ r5.  Heads: the new operators, the
 #: displaced r4 heads, the three sf1
 #: bench-regression suspects (fresh rows double as correctness cover
