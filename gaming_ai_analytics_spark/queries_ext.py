@@ -1658,19 +1658,40 @@ def q_pit_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cust = load_table(spark, sf_dir, "customer")
     switch = F.col("c_custkey") % 20 == 0
-    v_orig = cust.select(
-        F.col("c_custkey").alias("k"),
-        F.col("c_mktsegment").alias("segment"),
-        F.lit("1990-01-01").cast("date").alias("valid_from"),
-        F.when(switch, F.lit("1995-06-01").cast("date")).alias("valid_to"),
+    d0 = F.lit("1990-01-01").cast("date")
+    d1 = F.lit("1995-06-01").cast("date")
+    dnull = F.lit(None).cast("date")
+    seg = F.col("c_mktsegment")
+    # one scan: each customer emits its 1- or 2-row version history
+    # as a map-side explode (a UNION of two filtered projections would
+    # read the dim twice for no reason)
+    ver = F.struct
+    history = F.when(
+        switch,
+        F.array(
+            ver(
+                seg.alias("segment"),
+                d0.alias("valid_from"),
+                d1.alias("valid_to"),
+            ),
+            ver(
+                F.lit("NEWSEG").alias("segment"),
+                d1.alias("valid_from"),
+                dnull.alias("valid_to"),
+            ),
+        ),
+    ).otherwise(
+        F.array(
+            ver(
+                seg.alias("segment"),
+                d0.alias("valid_from"),
+                dnull.alias("valid_to"),
+            )
+        )
     )
-    v_new = cust.filter(switch).select(
-        F.col("c_custkey").alias("k"),
-        F.lit("NEWSEG").alias("segment"),
-        F.lit("1995-06-01").cast("date").alias("valid_from"),
-        F.lit(None).cast("date").alias("valid_to"),
-    )
-    dim = v_orig.unionByName(v_new)
+    dim = cust.select(
+        F.col("c_custkey").alias("k"), F.explode(history).alias("v")
+    ).select("k", "v.segment", "v.valid_from", "v.valid_to")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", F.col("o_orderdate").cast("date").alias("od"),
         "o_totalprice",
