@@ -1734,3 +1734,114 @@ register(
     ORDER BY doc_freq DESC, term LIMIT 50
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# PMI collocations (Church & Hanks 1990)
+# --------------------------------------------------------------------------
+_PMI_MIN_PAIR = 5  # hapax guard: PMI explodes on once-seen pairs
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 collocations by pointwise mutual information —
+    `vocab_bigrams` ranks raw co-occurrence counts, which surfaces
+    function-word pairs; PMI (Church & Hanks 1990) normalizes by the
+    unigram marginals, ln(P(ab)/(P(a)P(b))), surfacing pairs that
+    co-occur BECAUSE they belong together (the standard collocation /
+    multiword-expression extractor in corpus pipelines).
+
+    Scale shape: unigrams and bigrams come from ONE scan — each doc
+    emits a single concatenated tagged array ('u'/token ++
+    'b'/bigram), one explode, one (kind, gram) count aggregation.
+    That counts frame is vocab-sized, not corpus-sized, so it is
+    localCheckpoint-ed once and consumed four ways (unigram side,
+    bigram side, both totals) without re-running the corpus scan.
+    PMI is computed in log space (ln c_ab + 2 ln T − ln B − ln c_a −
+    ln c_b, identical operation order in the oracle) — the direct
+    ratio c_ab·T²/(B·c_a·c_b) overflows int64 at corpus scale.
+    Hapax pairs are floored out (count ≥ 5); ordering is by the
+    ROUNDED pmi then the bigram, so the top-40 set is stable against
+    last-ulp ln drift (absorbed by the 5e-10 nudge).
+    """
+    from gaming_ai_analytics_spark.functions.text import word_ngrams
+
+    docs = _docs(spark, sf_dir)
+    tag = lambda kind: lambda g: F.struct(  # noqa: E731
+        F.lit(kind).alias("kind"), g.alias("gram")
+    )
+    tagged = docs.select(
+        F.explode(
+            F.concat(
+                F.transform(tokens(F.col("text")), tag("u")),
+                F.transform(word_ngrams(F.col("text"), 2), tag("b")),
+            )
+        ).alias("x")
+    ).select("x.kind", "x.gram")
+    counts = (
+        tagged.groupBy("kind", "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    uni = counts.filter(F.col("kind") == "u").select(
+        F.col("gram").alias("w"), F.col("n").alias("cw")
+    )
+    bi = counts.filter(
+        (F.col("kind") == "b") & (F.col("n") >= _PMI_MIN_PAIR)
+    ).select(
+        F.col("gram").alias("bigram"),
+        F.split(F.col("gram"), " ")[0].alias("w1"),
+        F.split(F.col("gram"), " ")[1].alias("w2"),
+        F.col("n").alias("pair_count"),
+    )
+    totals = counts.groupBy().pivot("kind", ["u", "b"]).sum("n")
+    a, c = uni.alias("a"), uni.alias("c")
+    pmi = (
+        F.log("pair_count")
+        + F.lit(2.0) * F.log("u")
+        - F.log("b")
+        - F.log("a.cw")
+        - F.log("c.cw")
+    )
+    return (
+        bi.join(a, F.col("w1") == F.col("a.w"))
+        .join(c, F.col("w2") == F.col("c.w"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bigram",
+            "pair_count",
+            F.round(pmi + F.lit(5e-10), 4).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "bigram")
+        .limit(40)
+    )
+
+
+register(
+    "pmi_collocations",
+    q_pmi_collocations,
+    f"""
+    WITH toks AS (
+      SELECT {_TOKS} AS t FROM documents WHERE {_NONEMPTY}),
+    ucnt AS (
+      SELECT w, COUNT(*) AS cw
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+    ut AS (SELECT SUM(cw) AS tt FROM ucnt),
+    g2 AS (
+      SELECT t[i] || ' ' || t[i+1] AS bigram,
+             t[i] AS w1, t[i+1] AS w2
+      FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 2)),
+    bcnt AS (
+      SELECT bigram, MIN(w1) AS w1, MIN(w2) AS w2, COUNT(*) AS n
+      FROM g2 GROUP BY 1),
+    bt AS (SELECT SUM(n) AS bb FROM bcnt)
+    SELECT bigram, n AS pair_count,
+           ROUND(LN(n) + 2.0 * LN(tt) - LN(bb) - LN(a.cw) - LN(c.cw)
+                 + 5e-10, 4) AS pmi
+    FROM bcnt
+    JOIN ucnt a ON w1 = a.w
+    JOIN ucnt c ON w2 = c.w, ut, bt
+    WHERE n >= {_PMI_MIN_PAIR}
+    ORDER BY pmi DESC, bigram LIMIT 40
+    """,
+)

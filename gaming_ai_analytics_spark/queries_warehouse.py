@@ -1350,3 +1350,62 @@ register(
     FROM lat GROUP BY 1 ORDER BY o_orderpriority
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit profile (Newcomb 1881 / Benford 1938)
+# --------------------------------------------------------------------------
+def q_benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals against
+    the Benford expectation log10(1 + 1/d) — the classic anomaly /
+    fabrication screen auditors run on money columns (naturally-grown
+    multiplicative amounts follow it; range-clamped synthetic ones,
+    like TPC-H prices, visibly don't — which is exactly what the
+    report is for).
+
+    Digit extraction is EXACT on both engines: the price is lifted to
+    integer cents (ROUND(p·100) on the bit-identical double, then a
+    BIGINT cast) and the digit is the first character of the
+    integer's decimal string — no log10-of-double boundary hazard
+    where 999.99999… and 1000 disagree about their digit. One scan,
+    one 9-group aggregate; the Benford column is closed-form per
+    digit. Shares round at 6 dp (the nine log10 constants sit ≥4e-9
+    from any rounding boundary, far beyond cross-engine libm drift).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.partitionBy()  # 9 rows — driver-scale by construction
+    return counts.select(
+        "digit",
+        "n_orders",
+        F.round(
+            F.col("n_orders") / F.sum("n_orders").over(w), 6
+        ).alias("observed_share"),
+        F.round(
+            F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 6
+        ).alias("benford_share"),
+    ).orderBy("digit")
+
+
+register(
+    "benford_price_digits",
+    q_benford_price_digits,
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice > 0),
+    counts AS (SELECT digit, COUNT(*) AS n_orders FROM d GROUP BY 1),
+    t AS (SELECT SUM(n_orders) AS tot FROM counts)
+    SELECT digit, n_orders,
+           ROUND(n_orders * 1.0 / tot, 6) AS observed_share,
+           ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford_share
+    FROM counts, t ORDER BY digit
+    """,
+)

@@ -155,9 +155,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: — the 39 remaining r4-green names (37 + the two displaced by the
 #: new r7 operators) plus the post-freeze r7 additions, pre-ordered as
 #: the r8 window plan (VERDICT r6 ask #8).  R8 COMPOSITION PLAN: the
-#: backlog now holds 56 names (the 11 extra-late-r7 operators joined
+#: backlog now holds 58 names (the 13 extra-late-r7 operators joined
 #: its head), so the r8 window is exactly its FIRST 50 entries and the
-#: last 6 (tail of the analytics/warehouse cohort) roll to r9; after r8
+#: last 8 (tail of the analytics/warehouse cohort) roll to r9; after r8
 #: every name's last green row is ≥ r5.  Heads: the new operators, the
 #: displaced r4 heads, the three sf1
 #: bench-regression suspects (fresh rows double as correctness cover
@@ -186,6 +186,8 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "user_value_decay",
     "pit_dim_join",
     "ab_conversion_ztest",
+    "pmi_collocations",
+    "benford_price_digits",
     # r4 heads displaced by the two new r7 operators
     "dedup_simhash_pairs",
     "text_analysis_profile",

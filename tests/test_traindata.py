@@ -723,3 +723,45 @@ def test_inverted_index_bounded_head_and_exact_df(spark, tmp_path):
     assert got["hot"][0] == 30
     assert got["hot"][1] == ",".join(str(i) for i in range(_POSTINGS_HEAD))
     assert got["cold"] == (3, "100,101,102")
+
+
+def test_pmi_ranks_association_over_frequency(spark, tmp_path):
+    """'zx zy' co-occurs 5× and NOWHERE else → near-max PMI; 'aa bb'
+    co-occurs 5× but both words are everywhere → PMI ≈ 0 and ranks
+    below. Hand-check the log-space arithmetic for the pure pair."""
+    import math
+
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_pmi_collocations,
+    )
+
+    rows = [(i, "zx zy") for i in range(5)]
+    rows += [(10 + i, "aa bb") for i in range(5)]
+    rows += [(20 + i, "aa cc aa dd") for i in range(20)]
+    rows += [(50 + i, "bb ee bb ff") for i in range(20)]
+    _write_docs(spark, tmp_path, rows)
+    got = {r.bigram: r for r in q_pmi_collocations(spark, str(tmp_path)).collect()}
+    assert set(got) >= {"zx zy", "aa bb"}
+    # corpus: T unigram tokens, B bigram tokens
+    T = 5 * 2 + 5 * 2 + 20 * 4 + 20 * 4
+    B = 5 * 1 + 5 * 1 + 20 * 3 + 20 * 3
+    ref = math.log(5) + 2.0 * math.log(T) - math.log(B) - 2 * math.log(5)
+    assert abs(got["zx zy"].pmi - round(ref + 5e-10, 4)) < 1e-9
+    assert got["zx zy"].pmi > got["aa bb"].pmi
+
+
+def test_benford_digit_extraction_exact_at_boundary(spark, tmp_path):
+    """999.995 lifts to integer cents 100000 (round-half-up) → digit 1,
+    where a log10(double) formulation can misfile it under 9."""
+    from gaming_ai_analytics_spark.queries_warehouse import (
+        q_benford_price_digits,
+    )
+
+    rows = [(1, 999.995), (2, 912.00), (3, 100.00), (4, 19.99)]
+    (
+        spark.createDataFrame(rows, "o_orderkey long, o_totalprice double")
+        .write.parquet(f"{tmp_path}/orders.parquet")
+    )
+    got = {r.digit: r.n_orders for r in q_benford_price_digits(
+        spark, str(tmp_path)).collect()}
+    assert got == {1: 3, 9: 1}
