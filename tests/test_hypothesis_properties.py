@@ -338,3 +338,52 @@ def test_hot_isolated_join_equals_plain_join(spark, left, right, hot, how):
     assert sorted(map(tuple, iso.collect()), key=key) == sorted(
         map(tuple, plain.collect()), key=key
     )
+
+
+# --- directed shingle containment -------------------------------------------
+_containment_docs = st.lists(
+    st.lists(st.integers(0, 6), min_size=0, max_size=12),  # token ids
+    min_size=0,
+    max_size=8,
+)
+
+
+@settings(**SETTINGS)
+@given(_containment_docs)
+def test_containment_pairs_matches_bruteforce(spark, token_docs):
+    """containment_pairs must equal the per-pair set arithmetic on
+    arbitrary small corpora (k=3 word shingles, threshold 0.5),
+    including empty docs, <k-token docs, and identical docs."""
+    from gaming_ai_analytics_spark.operators.dedup import containment_pairs
+
+    texts = [" ".join(f"t{t}" for t in toks) for toks in token_docs]
+    rows = [(i, s) for i, s in enumerate(texts)]
+    if not rows:
+        return
+
+    def shingles(toks):
+        return {
+            " ".join(f"t{t}" for t in toks[i : i + 3])
+            for i in range(len(toks) - 2)
+        }
+
+    sh = {i: shingles(t) for i, t in enumerate(token_docs)}
+    expected = {}
+    for i in sh:
+        for j in sh:
+            if i == j or not sh[i]:
+                continue
+            common = len(sh[i] & sh[j])
+            c = round(common / len(sh[i]) + 0, 6)
+            if common and c >= 0.5:
+                expected[(i, j)] = c
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_contained, r.id_container): r.containment
+        for r in containment_pairs(
+            df, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for k in got:
+        assert abs(got[k] - expected[k]) < 1e-9, (k, got[k], expected[k])
