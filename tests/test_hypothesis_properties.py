@@ -387,3 +387,103 @@ def test_containment_pairs_matches_bruteforce(spark, token_docs):
     assert set(got) == set(expected)
     for k in got:
         assert abs(got[k] - expected[k]) < 1e-9, (k, got[k], expected[k])
+
+
+# --- triangle counting -------------------------------------------------------
+_tri_edges = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)), max_size=25
+)
+
+
+@settings(**SETTINGS)
+@given(_tri_edges)
+def test_triangle_counts_matches_bruteforce(spark, raw_edges):
+    """Degree-ordered orientation must equal the O(n³) brute force on
+    arbitrary small graphs — self-loops dropped, duplicate edges
+    collapsed, per-node counts exact (each triangle counted once)."""
+    import itertools
+
+    from gaming_ai_analytics_spark.operators.graph import triangle_counts
+
+    edges = {
+        (min(a, b), max(a, b)) for a, b in raw_edges if a != b
+    }
+    if not edges:
+        return
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected: dict[int, int] = {}
+    for u, v, w in itertools.combinations(sorted(adj), 3):
+        if v in adj[u] and w in adj[u] and w in adj[v]:
+            for x in (u, v, w):
+                expected[x] = expected.get(x, 0) + 1
+    df = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in sorted(edges)],
+        "a string, b string",
+    )
+    got = {
+        int(r.node[1:]): r.triangles
+        for r in triangle_counts(df).collect()
+    }
+    assert got == expected
+
+
+# --- frequent itemset pairs ---------------------------------------------------
+_baskets = st.lists(
+    st.lists(st.integers(0, 5), min_size=0, max_size=6),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(**SETTINGS)
+@given(baskets=_baskets)
+def test_frequent_itemset_pairs_matches_bruteforce(
+    spark, tmp_path_factory, baskets
+):
+    """The a-priori + array-HOF plan equals per-basket enumeration on
+    arbitrary basket corpora — duplicate items inside a basket
+    collapse, singleton/empty baskets contribute no pairs but DO count
+    in the lift denominator, supports exact."""
+    import itertools
+    from collections import Counter
+
+    from gaming_ai_analytics_spark.queries_analytics import (
+        q_frequent_itemset_pairs,
+    )
+
+    rows = [
+        (o, p) for o, items in enumerate(baskets) for p in items
+    ]
+    if not rows:
+        return
+    path = tmp_path_factory.mktemp("fi")
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.parquet(f"{path}/lineitem.parquet")
+
+    sets = {o: set(items) for o, items in enumerate(baskets) if items}
+    isup = Counter(p for s in sets.values() for p in s)
+    psup: Counter = Counter()
+    for s in sets.values():
+        kept = sorted(p for p in s if isup[p] >= 2)
+        if 2 <= len(kept) <= 50:
+            psup.update(itertools.combinations(kept, 2))
+    n = len(sets)
+    expected = {
+        (a, b): (c, isup[a], isup[b])
+        for (a, b), c in psup.items()
+        if c >= 2
+    }
+    got = {
+        (r.part_a, r.part_b): (r.pair_support, r.support_a, r.support_b)
+        for r in q_frequent_itemset_pairs(spark, str(path)).collect()
+    }
+    assert got == expected
+    for r in q_frequent_itemset_pairs(spark, str(path)).collect():
+        ref = round(
+            (r.pair_support * n) / (r.support_a * r.support_b), 6
+        )
+        assert abs(r.lift - ref) < 1e-9
