@@ -72,103 +72,17 @@ def _load_all() -> None:
 #: checked window.  So the window is pinned EXPLICITLY: these names are
 #: moved to the front (in this order) after all modules register.
 #:
-#: ROUND-7 COMPOSITION (VERDICT r6 ask #1 — the staleness test went
-#: red by design when CORRECTNESS_r06 landed; this rotation is the
-#: first r7 commit).  Committed-history state at rotation time:
-#: 17 registered names with NO driver row ever (the two rows-only
-#: pure-ANN entries were RETIRED this round per VERDICT r6 ask #6 —
-#: folded into their ``_recall`` twins, see queries_llm.py), 30 names
-#: last green r3, 40 last green r4.  Priority order:
-#:   1. ``chunk_dedup_clean`` — the only real never-checked operator
-#:      (added mid-r6 after the window froze; new nontrivial oracle);
-#:   2. ``zorder_key_events`` + ``python_datasource_scan`` (the one
-#:      red r6 row — session-portability conf fixed this round, keep
-#:      it in the window per VERDICT r6 ask #2);
-#:   3. the 14 remaining never-checked language surfaces;
-#:   4. all 30 r3-stale entries (oldest evidence in the registry);
-#:   5. three r4 heads — the heavy dedup operators and the text
-#:      profile, highest-complexity first.
-#: Every name carries a full oracle — zero rows-only checks remain in
-#: the REGISTRY at all now.  The 37 remaining r4-green names form the
-#: r8 backlog below.
+#: ROUND-8 COMPOSITION (VERDICT r7 ask #1 — CORRECTNESS_r07 landed
+#: 50/50 green; this rotation is the first r8 commit).  The window is
+#: exactly the first 50 entries of the r7 backlog, as pre-planned
+#: there: 19 never-checked post-freeze r7 operators first (a fresh
+#: driver row is worth more than refreshing a stale-green one), then
+#: the 31 highest-priority r4-stale names (displaced r4 heads →
+#: bench-regression suspects → heavy operators → streaming cohort →
+#: analytics tail).  The last 8 backlog names (warehouse/analytics
+#: single-aggregation surfaces, all stable-tier) roll to r9.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- 1. never-checked: the real operator first -------------------
-    "chunk_dedup_clean",
-    "zorder_key_events",
-    # red r6 row; filterPushdown conf now set inside the query
-    "python_datasource_scan",
-    # -- never-checked language / streaming surfaces -----------------
-    "window_value_range_frame",
-    "join_null_safe",
-    "events_stream_stream_left_join",
-    "events_streaming_dedupe_ttl",
-    "set_except_all",
-    "set_intersect_all",
-    "union_by_name_evolution",
-    "try_arithmetic_safety",
-    "string_agg_langs",
-    "quantity_width_buckets",
-    "events_local_hour_profile",
-    "regex_token_mentions",
-    "token_array_hof_profile",
-    "content_hash_manifest",
-    # -- r3-stale (complete set, oldest evidence) --------------------
-    "agg_rollup",
-    "agg_scale_sketches",
-    "sql_ai_functions",
-    "pivot_lang_counts",
-    "dedup_exact_canonical",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "multimodal_frame_sample",
-    "doc_chunking",
-    "vocab_top_terms",
-    "tf_idf",
-    "sample_stratified",
-    "pii_redact",
-    "quality_repetition",
-    "decontaminate_eval_overlap",
-    "export_shards",
-    "traindata_curation_pipeline",
-    "events_tumbling_hourly",
-    "events_sliding_window",
-    "events_streaming_stateful_totals",
-    "events_streaming_dedupe",
-    "events_streaming_static_join",
-    "funnel_conversion",
-    "retention_cohorts",
-    "anomaly_zscore",
-    "agg_incremental_merge",
-    "latest_event_per_user",
-    "window_forward_fill",
-    "agg_sketch_rollup",
-    "dedup_cluster_assign",
-    # -- NEW r7 operators (zero evidence anywhere — a fresh driver row
-    # is worth more than refreshing an r4-green name) -----------------
-    "leakage_safe_split",
-    "dq_observed_metrics",
-    # -- r4 head (heaviest operator of the r4 cohort) ----------------
-    "dedup_minhash_lsh",
-)
-
-#: Everything still owed a fresh driver row AFTER this round's window
-#: — the 39 remaining r4-green names (37 + the two displaced by the
-#: new r7 operators) plus the post-freeze r7 additions, pre-ordered as
-#: the r8 window plan (VERDICT r6 ask #8).  R8 COMPOSITION PLAN: the
-#: backlog now holds 58 names (the 13 extra-late-r7 operators joined
-#: its head), so the r8 window is exactly its FIRST 50 entries and the
-#: last 8 (tail of the analytics/warehouse cohort) roll to r9; after r8
-#: every name's last green row is ≥ r5.  Heads: the new operators, the
-#: displaced r4 heads, the three sf1
-#: bench-regression suspects (fresh rows double as correctness cover
-#: for any perf fix), then the heavy operators, then language
-#: surfaces.
-ROTATION_BACKLOG: tuple[str, ...] = (
-    # NEW r7 operators added after the window froze (hot-key isolated
-    # skew join; incremental dedup against a persisted LSH index;
-    # trained quality-classifier distillation contract; deterministic
-    # weighted sampling; SemDeDup k-means-blocked embedding dedup) —
-    # zero driver evidence, head the r8 plan
+    # -- never-checked r7 operators (zero driver evidence) -----------
     "join_skew_isolated",
     "dedup_incremental_index",
     "quality_classifier_distill",
@@ -188,14 +102,15 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "ab_conversion_ztest",
     "pmi_collocations",
     "benford_price_digits",
-    # r4 heads displaced by the two new r7 operators
+    # -- r4 heads displaced by the two late-r7 operators -------------
     "dedup_simhash_pairs",
     "text_analysis_profile",
-    # bench-regression suspects (BENCH r6, host-suspect — re-proved r7)
+    # -- bench-regression suspects (BENCH r6; fresh rows double as
+    # correctness cover for any perf work this round) -----------------
     "fillna_after_left_join",
     "fact_build_transform",
     "window_topk_per_group",
-    # heavy operators / pipelines
+    # -- heavy operators / pipelines (r4-stale) -----------------------
     "join_chain_left",
     "join_salted_skew",
     "customer_rfm_segments",
@@ -213,17 +128,27 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "token_budget_select",
     "vocab_bigrams",
     "token_length_histogram",
-    # streaming cohort
+    # -- streaming cohort (r4-stale) ----------------------------------
     "events_streaming_tumbling",
     "events_session_window",
     "events_streaming_session",
     "events_stream_stream_join",
     "events_streaming_rate_alert",
-    # analytics / warehouse cohort
+    # -- analytics cohort (r4-stale) -----------------------------------
     "window_rolling_7d",
     "stat_regression",
     "source_lang_entropy",
     "event_path_transitions",
+)
+
+#: Everything still owed a fresh driver row AFTER this round's window,
+#: pre-ordered as the r9 window plan.  R9 COMPOSITION PLAN: these 8
+#: r4-green warehouse/analytics names head the r9 window; the
+#: remaining ~42 slots go to the r5-green cohort (which crosses the
+#: core-tier 3-round cap when CORRECTNESS_r08 lands), core-tier names
+#: first.  Post-freeze r8 additions join the head of this list, as in
+#: r7.
+ROTATION_BACKLOG: tuple[str, ...] = (
     "anomaly_mad",
     "trending_daily_topk",
     "user_lifetime_value",
@@ -233,6 +158,169 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "priority_class_mix",
     "late_ship_priority_counts",
 )
+
+#: --- Rotation tiers (VERDICT r7 ask #2) -------------------------------
+#:
+#: The staleness-cap arithmetic: at 207 registered names and a 50-slot
+#: window, one flat re-proof cycle takes ceil(207/50) = 5 rounds, so a
+#: single 3-round cap is arithmetically unsatisfiable at steady state —
+#: the backlog would absorb the remainder forever and the cap would
+#: assert only "the bookkeeping list was updated".  The registry is
+#: therefore TIERED:
+#:
+#:   * CORE_TIER (the frozenset below): every SURVEY §2
+#:     reference-mapped operator (scans/sinks, projection/filter/
+#:     scalar/sort surfaces, the join and aggregation ladders, the UDF
+#:     ladder, metric views, the pipeline) plus the heavy
+#:     dedup/ANN/graph/streaming/train-data paths — the operators whose
+#:     plans carry real risk.  Re-proved within CORE_STALENESS_CAP
+#:     rounds.
+#:   * stable tier (every other registered name): single-expression
+#:     language surfaces and analytics rollups whose plans have not
+#:     changed since their last green row.  Re-proved within
+#:     STALENESS_CAP_STABLE rounds, under a SOURCE-HASH GUARD: each
+#:     stable name's query-function source hash is recorded in
+#:     ``tests/stable_plan_hashes.json``; any change to the function
+#:     re-promotes the name to the core cap until a fresh green row
+#:     lands and the hash is re-recorded (tools/update_stable_hashes.py).
+#:     Never-checked names are overdue regardless of tier.
+#:
+#: Satisfiability (asserted by tests/test_registry.py): per-round slot
+#: demand at steady state is ceil(|core|/3) + ceil(|stable|/8)
+#: ≈ 33 + 14 = 47 ≤ 50, leaving ~3 slots/round of slack for new
+#: operators.  A flat 3-round cap would demand ceil(207/3) = 69 > 50.
+CORE_STALENESS_CAP = 3
+STALENESS_CAP_STABLE = 8
+
+CORE_TIER: frozenset[str] = frozenset({
+    # flagship / pipeline / metric views
+    "flagship_star_metrics",
+    "fact_build_transform",
+    "metric_view_region",
+    "metric_view_two_dims_where",
+    # §2.1 scans / §2.2 sinks
+    "csv_roundtrip_scan",
+    "jsonl_roundtrip_scan",
+    "orc_roundtrip_scan",
+    "python_datasource_scan",
+    "python_datasource_stream",
+    "zorder_key_events",
+    "binaryfile_ingest_scan",
+    # §2.3/2.4/2.7/2.8 projection / filter / scalar / sort-limit
+    "project_rename",
+    "derived_columns",
+    "filter_numeric_conjunction",
+    "filter_boolean_algebra",
+    "filter_isin",
+    "filter_null_guard",
+    "case_when_banding",
+    "scalar_string_functions",
+    "fillna_after_left_join",
+    "topk_orders",
+    # §2.5 join ladder
+    "join_flatten_dim",
+    "join_anti_incremental",
+    "join_inner",
+    "join_semi",
+    "join_chain_left",
+    "join_null_safe",
+    "events_asof_enrich",
+    "events_range_join",
+    "join_salted_skew",
+    "join_skew_isolated",
+    "pit_dim_join",
+    # §2.6 aggregation ladder
+    "agg_count_by_group",
+    "agg_avg_by_group",
+    "agg_conditional_ratio",
+    "agg_percentile",
+    "agg_scale_sketches",
+    "agg_distinct",
+    "agg_global_counts",
+    "agg_uniqueness_check",
+    "agg_rollup",
+    # §2.10 UDF ladder
+    "sql_ai_functions",
+    "grouped_zscore_applyinpandas",
+    "agg_geomean_udaf",
+    "mapinarrow_bytelen",
+    "doc_chunking_udtf",
+    # dedup / ANN / blocking (every path)
+    "dedup_exact_canonical",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_incremental_index",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_semantic",
+    "dedup_containment",
+    "dedup_cluster_assign",
+    "dedup_cluster_assign_star",
+    "chunk_dedup_clean",
+    "similarity_topk",
+    "similarity_topk_lsh_recall",
+    "similarity_topk_ivf_recall",
+    "blocking_snm_candidates",
+    "inverted_index_postings",
+    # graph / heavy analytics
+    "triangle_count_parts",
+    "pagerank_trade_graph",
+    "frequent_itemset_pairs",
+    "pareto_revenue_share",
+    "audience_overlap_sketch",
+    # streaming surface (whole cohort)
+    "events_tumbling_hourly",
+    "events_sliding_window",
+    "events_session_window",
+    "events_streaming_tumbling",
+    "events_streaming_session",
+    "events_streaming_dedupe",
+    "events_streaming_dedupe_ttl",
+    "events_streaming_stateful_totals",
+    "events_streaming_static_join",
+    "events_streaming_rate_alert",
+    "events_stream_stream_join",
+    "events_stream_stream_left_join",
+    # train-data pipeline heavies
+    "dataset_hash_split",
+    "leakage_safe_split",
+    "sample_weighted",
+    "quality_classifier_distill",
+    "lm_perplexity_score",
+    "quality_psi_drift",
+    "global_quality_rank",
+    "decontaminate_eval_overlap",
+    "traindata_curation_pipeline",
+    "export_shards",
+    "traindata_sequence_packing",
+    "tf_idf",
+    "text_analysis_profile",
+    "pii_redact",
+    "multimodal_frame_sample",
+    "multimodal_features",
+    "multimodal_resize",
+})
+
+
+def source_hash(name: str) -> str | None:
+    """sha256 of the registered query function's source text.
+
+    The stable tier's plan-change guard: a query's physical plan can
+    only change if its code (or Spark itself) changes, so a source
+    hash is a cheap, session-free proxy for a plan hash.  Returns
+    ``None`` when the source is unavailable (builtins, exec'd code) —
+    callers must treat that as "changed" (core cap)."""
+    import hashlib
+    import inspect
+    import textwrap
+
+    fn, _ = _REGISTRY[name]
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        return None
+    return hashlib.sha256(textwrap.dedent(src).encode()).hexdigest()
 
 
 def _apply_driver_window() -> None:

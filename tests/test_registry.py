@@ -25,16 +25,29 @@ from gaming_ai_analytics_spark import registry
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
-#: Staleness cap in rounds (VERDICT r6 ask #8, rationale written
-#: here): a full rotation of the ~190-name registry through a 50-slot
-#: window takes ceil(n/50) = 4 rounds, so a 2-round cap is
-#: arithmetically unsatisfiable at steady state — it would force the
-#: backlog list to carry ~90 names forever and the test to mean
-#: "did you update the list" rather than "is rotation on schedule".
-#: A 3-round cap keeps real pressure (every name re-proved at most
-#: one round behind the fastest possible cadence) while the backlog
-#: absorbs only the arithmetic remainder.
-STALENESS_CAP_ROUNDS = 3
+#: Per-tier staleness caps (VERDICT r7 ask #2 — the tier definitions,
+#: the satisfiability arithmetic, and the source-hash plan-change
+#: guard live in registry.py next to CORE_TIER).
+HASHES_PATH = pathlib.Path(__file__).with_name("stable_plan_hashes.json")
+
+
+def _effective_cap(name: str) -> int:
+    """Core cap for core-tier names AND for stable names whose source
+    hash drifted from (or was never recorded in) the committed
+    baseline — a changed function means a possibly-changed plan, so
+    the long stable leash no longer applies."""
+    if name in registry.CORE_TIER:
+        return registry.CORE_STALENESS_CAP
+    recorded = _recorded_hashes().get(name)
+    if recorded is None or recorded != registry.source_hash(name):
+        return registry.CORE_STALENESS_CAP
+    return registry.STALENESS_CAP_STABLE
+
+
+def _recorded_hashes() -> dict[str, str]:
+    if not HASHES_PATH.exists():
+        return {}
+    return json.loads(HASHES_PATH.read_text())
 
 
 def _commit_unix_ts(path: pathlib.Path) -> int | None:
@@ -130,12 +143,12 @@ def test_window_spends_no_slot_on_fresh_rows():
 
 
 def test_stale_queries_all_scheduled_or_queued():
-    """The staleness cap (``STALENESS_CAP_ROUNDS``), enforced against
-    committed history: every registered query whose last green driver
-    row is at least that many rounds behind the latest committed round
-    (or that has never had one) must be either in this round's
-    DRIVER_WINDOW or explicitly queued in ROTATION_BACKLOG.  Nothing
-    goes stale silently.
+    """The per-tier staleness caps, enforced against committed
+    history: every registered query whose last green driver row is at
+    least its tier's cap behind the latest committed round — or that
+    has never had one, regardless of tier — must be either in this
+    round's DRIVER_WINDOW or explicitly queued in ROTATION_BACKLOG.
+    Nothing goes stale silently.
 
     When a new CORRECTNESS_r{N}.json lands this test recomputes; the
     ``_rotation_pending`` guard converts the round-boundary state into
@@ -147,7 +160,7 @@ def test_stale_queries_all_scheduled_or_queued():
     stale = {
         q
         for q in registry.queries()
-        if last.get(q, 0) <= latest - STALENESS_CAP_ROUNDS
+        if q not in last or last[q] <= latest - _effective_cap(q)
     }
     uncovered = (
         stale - set(registry.DRIVER_WINDOW) - set(registry.ROTATION_BACKLOG)
@@ -155,6 +168,56 @@ def test_stale_queries_all_scheduled_or_queued():
     assert not uncovered, (
         f"stale queries fell off both the window and the backlog: "
         f"{sorted(uncovered)}"
+    )
+
+
+def test_tier_caps_arithmetically_satisfiable():
+    """The cap promise must be keepable at steady state: the per-round
+    slot demand implied by the tier sizes and caps has to fit the
+    50-slot window with slack for new operators.  This is the
+    structural fix for the r7 finding that a flat 3-round cap over 207
+    names can never be satisfied by a 50-slot window (ceil(207/3) = 69
+    slots/round > 50)."""
+    import math
+
+    names = set(registry.queries())
+    core = names & registry.CORE_TIER
+    stable = names - core
+    # every CORE_TIER name must actually be registered (typo guard)
+    assert registry.CORE_TIER <= names, (
+        f"CORE_TIER names not registered: "
+        f"{sorted(registry.CORE_TIER - names)}"
+    )
+    demand = math.ceil(
+        len(core) / registry.CORE_STALENESS_CAP
+    ) + math.ceil(len(stable) / registry.STALENESS_CAP_STABLE)
+    assert demand <= 50, (
+        f"tier caps unsatisfiable: steady-state demand {demand} slots "
+        f"(|core|={len(core)} cap {registry.CORE_STALENESS_CAP}, "
+        f"|stable|={len(stable)} cap {registry.STALENESS_CAP_STABLE}) "
+        f"> 50-slot window"
+    )
+
+
+def test_stable_tier_hashes_recorded_and_hashable():
+    """Every stable-tier name needs a recorded source hash for the
+    plan-change guard to mean anything: a missing or stale record
+    silently demotes the name to the core cap (safe direction), but a
+    build that leaves them missing wholesale has disabled the stable
+    tier.  Regenerate with tools/update_stable_hashes.py after a green
+    round."""
+    names = set(registry.queries())
+    stable = sorted(names - registry.CORE_TIER)
+    recorded = _recorded_hashes()
+    missing = [n for n in stable if n not in recorded]
+    assert not missing, (
+        f"stable-tier names without a recorded source hash "
+        f"(run tools/update_stable_hashes.py): {missing}"
+    )
+    unhashable = [n for n in stable if registry.source_hash(n) is None]
+    assert not unhashable, (
+        f"stable-tier names whose source cannot be hashed (move them "
+        f"to CORE_TIER): {unhashable}"
     )
 
 
