@@ -109,24 +109,32 @@ def logistic_score(weights: list[float], feature_cols: list[str]) -> Column:
 
 
 def binary_classification_report(
-    scored: DataFrame, label_col: str, score_col: str
+    scored: DataFrame, label_col: str, score_col: str,
+    score_decimals: int = 4,
 ) -> DataFrame:
     """One-row frame ``(n, n_pos, accuracy, auc)`` for a scored
-    binary-labeled frame — exact, with bounded state.
+    binary-labeled frame, with bounded state.
 
-    Accuracy thresholds the score at 0.5. AUC is the tie-aware
-    Mann-Whitney statistic computed WITHOUT ranking the corpus: scores
-    round to 4 decimals, the per-score (positives, negatives)
-    contingency is ≤ 10 001 rows, and one unpartitioned window over
-    that compact relation accumulates the negatives-strictly-below
-    term (single-reducer, but over a bounded input — the same shape as
-    the chi-square marginal windows). NULL ``auc`` when the frame is
+    Accuracy thresholds the score at 0.5 (exact). AUC is the tie-aware
+    Mann-Whitney statistic computed WITHOUT ranking the corpus, exact
+    AT ``score_decimals`` score resolution: scores are rounded to that
+    many decimals first, so pairs closer than the resolution count as
+    ties — relative to the unrounded scores the statistic is
+    approximate (ADVICE r7), biased toward 0.5 by at most the tie-mass
+    the rounding creates.  Tighten ``score_decimals`` to trade state
+    for resolution: the per-score (positives, negatives) contingency
+    is ≤ 10^d + 1 rows, and one unpartitioned window over that compact
+    relation accumulates the negatives-strictly-below term
+    (single-reducer, but over a bounded input — the same shape as the
+    chi-square marginal windows). NULL ``auc`` when the frame is
     single-class (no pair to rank)."""
     y = F.col(label_col).cast("double")
     hit = F.when(
         (F.col(score_col) >= 0.5) == (y == 1.0), 1.0
     ).otherwise(0.0)
-    per = scored.groupBy(F.round(F.col(score_col), 4).alias("_s")).agg(
+    per = scored.groupBy(
+        F.round(F.col(score_col), score_decimals).alias("_s")
+    ).agg(
         F.sum(y).alias("_p"),
         F.sum(F.lit(1.0) - y).alias("_n"),
         F.sum(hit).alias("_ok"),

@@ -981,31 +981,40 @@ register(
 def q_pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto (cumulative-concentration) report: suppliers ranked by
     revenue with each one's running share of the total — the
-    "which 20% carry 80%" analysis. One fact aggregation (map-side
-    combined), then rank + running sum + total all from a SINGLE
-    ordered window pass over the compact |suppliers|-row relation
-    (same sort satisfies the rank and the cumulative frame; the total
-    is the unbounded frame of the same partition — Catalyst plans one
-    Window operator, no second scan, per the one-scan audit). Top-20
-    emitted; the shares still reflect the WHOLE population."""
+    "which 20% carry 80%" analysis. Top-20 emitted; the shares still
+    reflect the WHOLE population.
+
+    Scale shape (VERDICT r7 ask #5 — the r4 form ran one unpartitioned
+    ordered window over the full |suppliers| relation, the last
+    unbounded-cardinality single-partition window in the registry):
+    only the DENOMINATOR needs the whole population, so the plan never
+    sorts it globally.  One fact aggregation (map-side combined) feeds
+    two branches off the SAME exchange (ReusedExchange — one lineitem
+    scan): a 1-row grand total, broadcast back, and a
+    TakeOrderedAndProject top-20 (per-partition heaps, no shuffle
+    sort).  The rank/running-share window then runs over the 20-row
+    post-limit frame — unpartitioned, but bounded by construction at
+    the emitted k, the same bounded-window class as the chi-square
+    marginals.  Plan-pinned in tests/test_analytics_plans.py: the
+    window's child is the limit, and the exchange is reused."""
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_suppkey").agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "_rev"
         )
     )
+    total = rev.agg(F.sum("_rev").alias("_tot"))
+    top = rev.orderBy(F.col("_rev").desc(), "l_suppkey").limit(20)
     w_ord = Window.orderBy(F.col("_rev").desc(), "l_suppkey")
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.partitionBy()
-    ranked = rev.select(
+    return top.crossJoin(F.broadcast(total)).select(
         F.row_number().over(w_ord).alias("rank"),
         "l_suppkey",
         F.round("_rev", 2).alias("revenue"),
-        F.round(
-            F.sum("_rev").over(w_cum) / F.sum("_rev").over(w_all), 6
-        ).alias("cum_share"),
+        F.round(F.sum("_rev").over(w_cum) / F.col("_tot"), 6).alias(
+            "cum_share"
+        ),
     )
-    return ranked.filter(F.col("rank") <= 20)
 
 
 register(

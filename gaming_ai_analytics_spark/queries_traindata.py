@@ -46,14 +46,23 @@ _NONEMPTY = "text IS NOT NULL AND LENGTH(TRIM(text)) > 0"
 # constants live here exactly once; editing them re-derives all four
 # sites (two Spark plans, two DuckDB oracles) together.
 _SPLIT_MUL, _SPLIT_ADD, _SPLIT_MOD = 1103515245, 12345, 10000
+#: Fold modulus: the largest prime below 2^32.  The key is reduced
+#: mod this BEFORE the multiply, bounding the product by
+#: (2^32)·_SPLIT_MUL < 2^63 — overflow-free over the FULL int64 key
+#: domain (the unfolded form overflows ANSI int64 arithmetic for keys
+#: above ~8.4e9, a realistic id at 100 TB).  Keys below the fold
+#: modulus are unchanged by it.
+_SPLIT_FOLD = 4294967291
 _SPLIT_TRAIN_LT, _SPLIT_VAL_LT = 9000, 9500
 
 
 def split_assign(key: Column) -> Column:
     """'train'/'val'/'test' from an int64 key: pure multiplicative-hash
-    arithmetic (overflow-free for realistic id ranges), so the same key
-    lands in the same split on any engine and any rerun."""
-    bucket = F.pmod(key * _SPLIT_MUL + _SPLIT_ADD, F.lit(_SPLIT_MOD))
+    arithmetic, overflow-free over the whole int64 domain (the key is
+    folded mod the largest 32-bit prime first), so the same key lands
+    in the same split on any engine and any rerun."""
+    folded = F.pmod(key, F.lit(_SPLIT_FOLD))
+    bucket = F.pmod(folded * _SPLIT_MUL + _SPLIT_ADD, F.lit(_SPLIT_MOD))
     return (
         F.when(bucket < _SPLIT_TRAIN_LT, "train")
         .when(bucket < _SPLIT_VAL_LT, "val")
@@ -62,8 +71,12 @@ def split_assign(key: Column) -> Column:
 
 
 def split_assign_sql(key: str) -> str:
-    """The identical assignment as portable SQL (oracle twin)."""
-    bucket = f"({key} * {_SPLIT_MUL} + {_SPLIT_ADD}) % {_SPLIT_MOD}"
+    """The identical assignment as portable SQL (oracle twin).
+
+    The double-% fold mirrors ``F.pmod`` for negative keys (SQL ``%``
+    keeps the dividend's sign; pmod is always non-negative)."""
+    folded = f"(({key} % {_SPLIT_FOLD} + {_SPLIT_FOLD}) % {_SPLIT_FOLD})"
+    bucket = f"({folded} * {_SPLIT_MUL} + {_SPLIT_ADD}) % {_SPLIT_MOD}"
     return (
         f"CASE WHEN {bucket} < {_SPLIT_TRAIN_LT} THEN 'train' "
         f"WHEN {bucket} < {_SPLIT_VAL_LT} THEN 'val' "
@@ -1125,8 +1138,9 @@ def q_dataset_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split by multiplicative key hash —
     the assignment every training pipeline needs to be STABLE across
     reruns and engines (a ``rand()`` split is neither). The bucket is
-    pure int64 arithmetic (``(doc_id * 1103515245 + 12345) mod 10000``,
-    overflow-free for any realistic id range), so the same document
+    pure int64 arithmetic (``((doc_id mod p32) * 1103515245 + 12345)
+    mod 10000``, overflow-free over the whole int64 id domain — see
+    ``split_assign``), so the same document
     lands in the same split on any engine — the oracle recomputes it
     verbatim. Map-only assignment; the summary aggregates on a 3-value
     key. At 100 TB the split column doubles as a partition column for

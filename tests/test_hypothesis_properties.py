@@ -6,6 +6,15 @@ handling, connected-components topology, top-k tournament equivalence.
 Spark round-trips are slow, so examples are capped and data kept tiny;
 the point is shape coverage (ties, empty sides, hubs, chains,
 singletons), not volume.
+
+DOCUMENTED GOTCHA — knife-edge rounding reference (ADVICE r6, keep it
+out of new reference impls): Spark's HALF_UP rounds the SHORTEST
+DECIMAL REPR of a double (BigDecimal.valueOf), while
+``decimal.Decimal(raw)`` quantizes the full binary expansion — for a
+knife-edge value like 0.115 (binary 0.11499999...) the two disagree.
+A pure-Python reference must use ``Decimal(repr(raw))`` (never
+``Decimal(raw)``, never Python's banker's ``round``) to match the
+engine; see the percentile property below.
 """
 
 from __future__ import annotations

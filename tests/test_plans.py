@@ -537,3 +537,31 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
 
     p = li.hint("rebalance")._jdf.queryExecution().optimizedPlan().toString()
     assert "rebalance" in p.lower(), p
+
+
+def test_pareto_window_is_bounded_and_exchange_reused(spark, sf_dir):
+    """VERDICT r7 ask #5: the Pareto report must not move the
+    unbounded |suppliers| relation to one partition.  Pinned shape:
+    top-20 via TakeOrderedAndProject (per-partition heaps), the
+    rank/running-share window consuming the 20-row post-limit frame
+    (the window's child subtree contains the limit), and the grand
+    total riding the SAME supplier-agg exchange (ReusedExchange in the
+    final AQE plan — exactly one executed fact scan)."""
+    from gaming_ai_analytics_spark.queries_analytics import (
+        q_pareto_revenue_share,
+    )
+
+    df = q_pareto_revenue_share(spark, sf_dir)
+    df.collect()  # ReusedExchange only appears in the FINAL AQE plan
+    plan = _plan(df)
+    assert "TakeOrderedAndProject(limit=20" in plan
+    assert "ReusedExchange" in plan
+    # the window is fed by the limit, not the full supplier relation:
+    # in the tree string the Window's subtree (everything after it up
+    # to the sibling total branch) must hit TakeOrderedAndProject
+    # before any full-relation Sort
+    win_at = plan.index("Window [row_number()")
+    take_at = plan.index("TakeOrderedAndProject", win_at)
+    assert "Sort [" not in plan[win_at:take_at], (
+        "global sort feeds the pareto window"
+    )

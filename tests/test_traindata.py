@@ -765,3 +765,45 @@ def test_benford_digit_extraction_exact_at_boundary(spark, tmp_path):
     got = {r.digit: r.n_orders for r in q_benford_price_digits(
         spark, str(tmp_path)).collect()}
     assert got == {1: 3, 9: 1}
+
+
+def test_split_assign_full_int64_domain_matches_oracle(spark):
+    """ADVICE r7: the unfolded multiplicative hash overflowed int64
+    for keys above ~8.4e9 (ANSI runtime error at 100 TB id ranges).
+    The folded form must (a) not raise anywhere in the int64 domain,
+    (b) agree bit-for-bit with the SQL oracle twin, and (c) be a
+    no-op change for keys below the fold modulus."""
+    import duckdb
+
+    from gaming_ai_analytics_spark import registry  # noqa: F401
+    from gaming_ai_analytics_spark.queries_traindata import (
+        _SPLIT_FOLD,
+        split_assign,
+        split_assign_sql,
+    )
+
+    keys = [
+        0, 1, 12345, 8_400_000_000, _SPLIT_FOLD - 1, _SPLIT_FOLD,
+        _SPLIT_FOLD + 7, 2**40 + 3, 2**62, 2**63 - 1,
+    ]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r.k: r.s
+        for r in df.select("k", split_assign(F.col("k")).alias("s")).collect()
+    }
+    want = {
+        k: s
+        for k, s in duckdb.sql(
+            "SELECT k, " + split_assign_sql("k") + " AS s "
+            "FROM (SELECT unnest($keys::BIGINT[]) AS k)",
+            params={"keys": keys},
+        ).fetchall()
+    }
+    assert got == want
+    # below the fold modulus the assignment is unchanged from the
+    # pre-fix rule (so committed fixture splits did not silently move)
+    for k in (0, 1, 12345, 8_400_000_000 % _SPLIT_FOLD):
+        if k < _SPLIT_FOLD:
+            b = (k * 1103515245 + 12345) % 10000
+            legacy = "train" if b < 9000 else ("val" if b < 9500 else "test")
+            assert got.get(k, legacy) == legacy
