@@ -227,14 +227,67 @@ def punctuation_ratio(col: Column) -> Column:
 def quality_score(col: Column) -> Column:
     """Composite document-quality heuristic in [0, 1]: favors texts of
     moderate length with low punctuation noise and a natural stopword
-    share — the usual pretraining-corpus filter shape."""
+    share — the usual pretraining-corpus filter shape.
+
+    FUSED formulation (r8, VERDICT r7 ask #4): all three terms come
+    from counting scans — two ``regexp_count`` passes plus one
+    separator count — with ZERO array or string allocation.  The r4–r7
+    form materialized a token array (split), a filtered copy of it
+    (stopword filter), and a full punctuation-stripped copy of the
+    text (regexp_replace) per row; counts are value-identical to
+    sizes/length-diffs of those structures (equivalence
+    property-tested vs the unfused term functions, which remain below
+    for the callers that need the structures).  Interleaved A/B at
+    sf1: see BASELINE.md §3.  Same composite, same epsilon, same
+    oracle (the SQL twin is unchanged — the VALUES are identical).
+    """
+    # one trim, referenced four times (let-bound against
+    # CollapseProject inlining the trim into every reference)
+    from gaming_ai_analytics_spark.functions.expr import let
+
+    def body(t: Column) -> Column:
+        # token count = separator runs + 1 on the trimmed text
+        n_tok = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+            F.regexp_count(t, F.lit(" +")) + 1
+        )
+        # standalone stopword tokens: space-or-edge delimited, the
+        # lookahead keeps consecutive stopwords countable ("a a").
+        # \A/\z, NOT ^/$: Java's $ also matches before a FINAL LINE
+        # TERMINATOR, which would count "the\n" — a token the
+        # whitespace-split filter does not match
+        n_stop = F.regexp_count(
+            F.lower(t),
+            F.lit("(?:\\A| )(?:" + "|".join(STOPWORDS) + ")(?= |\\z)"),
+        )
+        stop_ratio = F.when(n_tok == 0, 0.0).otherwise(n_stop / n_tok)
+        length_term = F.least(F.length(col) / 400.0, F.lit(1.0))
+        stop_term = F.least(stop_ratio * 5.0, F.lit(1.0))
+        n_punct = F.regexp_count(col, F.lit("[^a-zA-Z0-9 ]"))
+        punct_penalty = F.when(F.length(col) == 0, 0.0).otherwise(
+            n_punct / F.length(col)
+        )
+        score = (
+            0.5 * length_term
+            + 0.3 * stop_term
+            + 0.2 * (1.0 - punct_penalty)
+        )
+        # +5e-10 before rounding: the two oracle engines can disagree
+        # by 1 ulp on the composite, which flips ROUND at an exact
+        # .00005 boundary; the epsilon pushes both off the knife edge
+        # identically.
+        return F.round(score + 5e-10, 4)
+
+    return let(F.trim(col), body)
+
+
+def quality_score_unfused(col: Column) -> Column:
+    """The r4–r7 structure-materializing formulation of
+    :func:`quality_score` — kept as the equivalence-test reference and
+    the A/B baseline (BASELINE.md §3), NOT registered anywhere."""
     length_term = F.least(F.length(col) / 400.0, F.lit(1.0))
     stop_term = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
     punct_penalty = punctuation_ratio(col)
     score = 0.5 * length_term + 0.3 * stop_term + 0.2 * (1.0 - punct_penalty)
-    # +5e-10 before rounding: the two oracle engines can disagree by
-    # 1 ulp on the composite, which flips ROUND at an exact .00005
-    # boundary; the epsilon pushes both off the knife edge identically.
     return F.round(score + 5e-10, 4)
 
 

@@ -63,14 +63,19 @@ def _source_bytes(df: DataFrame) -> int | None:
         return None
 
 
-def _self_join_hinter(df: DataFrame):
-    """Return a frame-wrapper pinning ``shuffle_hash`` on the module's
+def _self_join_hinter(df: DataFrame, strategy: str = "shuffle_hash"):
+    """Return a frame-wrapper pinning a join strategy on the module's
     corpus-sized self-joins unless the source is provably toy-sized
-    (see PLANNER_TRUST_MAX_BYTES)."""
+    (see PLANNER_TRUST_MAX_BYTES).  ``shuffle_hash`` (default) for
+    joins whose per-partition build side is modest (candidate pairs,
+    per-doc array lookups); ``merge`` for joins of two FULL posting
+    frames, where a shuffle-hash build map is itself corpus-scale per
+    partition (the r8 sf10 heap-OOM class) — sort-merge spills to
+    disk instead."""
     size = _source_bytes(df)
     if size is not None and size < PLANNER_TRUST_MAX_BYTES:
         return lambda frame: frame
-    return lambda frame: frame.hint("shuffle_hash")
+    return lambda frame: frame.hint(strategy)
 
 
 # --------------------------------------------------------------------------
@@ -1119,4 +1124,105 @@ def containment_pairs(
     )
     return fwd.unionByName(rev).filter(
         F.col("containment") >= threshold
+    )
+
+
+def containment_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Directed containment pairs via PREFIX FILTERING — the bucketed
+    scale tier for :func:`containment_pairs` (VERDICT r7 ask #3), and
+    LOSSLESS: same output, full oracle.
+
+    The exact tier's posting self-join emits one row per (pair,
+    common shingle); on near-dup-heavy corpora that multiplicity is
+    ~|shingles-per-doc| per pair, the term that filled single-host
+    disk at sf10.  Prefix filtering (Chaudhuri/Ganti/Kaushik SSJoin
+    2006; Xiao et al. PPJoin 2008 — public papers) bounds candidate
+    generation instead: if c(A→B) = |S(A)∩S(B)|/|S(A)| ≥ t then B
+    holds at least ⌈t·nₐ⌉ of A's shingles, so ANY
+    (nₐ − ⌈t·nₐ⌉ + 1)-subset of S(A) intersects S(B).  Order each
+    doc's shingles by GLOBAL document frequency ascending (rarest
+    first, ties on the shingle hash) and index only that short prefix
+    — at t = 0.8 one-fifth of each doc — against the full posting
+    side.  Pair multiplicity collapses from |common shingles| to
+    |common PREFIX shingles| (rare by construction), and a
+    high-containment pair is still guaranteed ≥ 1 collision, so the
+    exact verify (array_intersect on the hashed-shingle arrays, per
+    direction) sees every qualifying pair.
+
+    Plan: map-only hashed-shingle postings → one posting shuffle on
+    the shingle key (global-df window) → one on the doc key (prefix
+    rank) → prefix⋈full posting join on the shingle key (hint-gated:
+    both sides are post-explode, the planner's pre-explode estimate
+    cannot be trusted — the r7 sf10 OOM class) → distinct ordered
+    candidates → array verify.  Every shuffle is key-partitioned;
+    nothing is global, nothing is quadratic in the corpus.
+    """
+    df = ensure_parallelism(df)
+    _hint = _self_join_hinter(df)
+    # the prefix⋈full posting join gets MERGE, not shuffle_hash: the
+    # full posting side is |docs|·|shingles-per-doc| rows, so a
+    # shuffle-hash build map is corpus-scale per partition (measured
+    # sf10: straight heap OOM); sort-merge spills
+    _mhint = _self_join_hinter(df, "merge")
+    arrays = _hashed_shingles(df, id_col, text_col, k)
+    posts = arrays.select(
+        "_id", F.size("_shs").alias("_na"), F.explode("_shs").alias("_h")
+    )
+    # global shingle df (rarity), then per-doc rarest-first rank
+    posts = posts.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("_h"))
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("_id").orderBy("_df", "_h")
+    )
+    # prefix length nₐ − ⌈t·nₐ⌉ + 1; the 1e-9 guard keeps float noise
+    # in t·nₐ from pushing a knife-edge integer product (0.8·10 =
+    # 8.000…002 in binary) up a notch, which would SHRINK the prefix
+    # below the lossless bound
+    pref_len = (
+        F.col("_na")
+        - F.ceil(F.lit(threshold) * F.col("_na") - F.lit(1e-9))
+        + 1
+    )
+    prefix = posts.withColumn("_rnk", rnk).filter(
+        F.col("_rnk") <= pref_len
+    )
+    # only (_id, _h) crosses the pair join — _na/_df/_rnk are
+    # prefix-selection scaffolding and would 2.5× every sorted,
+    # spilled, and buffered byte at corpus scale
+    cand = (
+        _mhint(prefix.select("_id", "_h")).alias("p")
+        .join(
+            _mhint(posts.select("_id", "_h")).alias("f"),
+            (F.col("p._h") == F.col("f._h"))
+            & (F.col("p._id") != F.col("f._id")),
+        )
+        .select(
+            F.col("p._id").alias("_ia"), F.col("f._id").alias("_ib")
+        )
+        .distinct()
+    )
+    sa = _hint(arrays).select(
+        F.col("_id").alias("_ia"), F.col("_shs").alias("_sa")
+    )
+    sb = _hint(arrays).select(
+        F.col("_id").alias("_ib"), F.col("_shs").alias("_sb")
+    )
+    return (
+        cand.join(sa, "_ia")
+        .join(sb, "_ib")
+        .select(
+            F.col("_ia").alias("id_contained"),
+            F.col("_ib").alias("id_container"),
+            F.round(
+                F.size(F.array_intersect("_sa", "_sb")) / F.size("_sa"), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
     )

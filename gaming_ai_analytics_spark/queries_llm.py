@@ -40,7 +40,7 @@ from gaming_ai_analytics_spark.operators.similarity import (
     topk_similar,
     topk_similar_lsh,
 )
-from gaming_ai_analytics_spark.registry import register
+from gaming_ai_analytics_spark.registry import oracle_for, register
 from gaming_ai_analytics_spark.sources.star import load_table
 
 
@@ -1595,4 +1595,31 @@ register(
     ) WHERE containment >= 0.8
     ORDER BY id_contained, id_container
     """,
+)
+
+
+def q_dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment at c ≥ 0.8 via the PREFIX-FILTERED scale
+    tier (`containment_pairs_prefix`) — lossless, so it carries the
+    SAME full oracle as `dedup_containment`: prefix filtering bounds
+    candidate multiplicity to common RARE shingles instead of all
+    common shingles, the term that filled single-host disk at sf10 on
+    the exact posting self-join. This is the 100 TB containment
+    path."""
+    from gaming_ai_analytics_spark.operators.dedup import (
+        containment_pairs_prefix,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    return containment_pairs_prefix(
+        docs, "doc_id", "text", k=3, threshold=0.8
+    ).orderBy("id_contained", "id_container")
+
+
+register(
+    "dedup_containment_prefix",
+    q_dedup_containment_prefix,
+    oracle_for("dedup_containment"),
 )

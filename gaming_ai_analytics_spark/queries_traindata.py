@@ -1864,3 +1864,171 @@ register(
     ORDER BY pmi DESC, bigram LIMIT 40
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# BPE merge-pair statistics (tokenizer training)
+# --------------------------------------------------------------------------
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of BPE merge statistics (Sennrich et al. 2016,
+    no end-of-word markers): the 30 most frequent ADJACENT CHARACTER
+    pairs across the corpus, weighted by word frequency — the
+    argmax-pair step a tokenizer trainer runs per merge.
+
+    Scale shape — the classic BPE trick, distributed: the corpus
+    collapses to the WORD-FREQUENCY table first (one shuffle with
+    map-side combine, output bounded by |vocab|, not corpus size);
+    character-pair generation then explodes the VOCAB ONLY
+    (~|vocab|·avg_len rows), so a 100 TB corpus pays corpus cost
+    exactly once regardless of word length or merge rounds.  Final
+    pair aggregation + TakeOrderedAndProject are vocab-bounded."""
+    docs = _docs(spark, sf_dir)
+    wc = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_f"))
+    )
+    pairs = wc.filter(F.length("w") >= 2).select(
+        "w",
+        "_f",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1),"
+                   " i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("_f").cast("long").alias("pair_count"),
+            F.countDistinct("w").alias("n_words"),
+        )
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(30)
+    )
+
+
+register(
+    "bpe_merge_pairs",
+    q_bpe_merge_pairs,
+    f"""
+    WITH toks AS (
+      SELECT {_TOKS} AS t FROM documents WHERE {_NONEMPTY}),
+    wc AS (
+      SELECT w, COUNT(*) AS f
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+    pairs AS (
+      SELECT substring(w, i, 2) AS pair, w, f
+      FROM (SELECT w, f, unnest(generate_series(1, length(w) - 1)) AS i
+            FROM wc WHERE length(w) >= 2))
+    SELECT pair, CAST(SUM(f) AS BIGINT) AS pair_count,
+           COUNT(DISTINCT w) AS n_words
+    FROM pairs GROUP BY 1
+    ORDER BY pair_count DESC, pair LIMIT 30
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# user event sequences (behavior-model training data)
+# --------------------------------------------------------------------------
+def q_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length per-user event sequences for sequence-model
+    training: each user's FIRST 32 event types in ingest order
+    (event_id — deterministic on any engine; the raw ns timestamp is
+    not oracle-portable and sub-µs order is not meaningful), plus the
+    user's total event count.
+
+    Scale shape: ONE window exchange on user_id computes both the
+    per-user total (unbounded-frame count) and the truncation rank;
+    the sequence aggregation then runs on the ≤32-rows-per-user
+    survivors, so the collect_list state is bounded at 32 by
+    construction — never 'all events of a hot user in one agg
+    buffer'."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    ranked = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("user_id"))
+        .alias("n_events"),
+    ).filter(F.col("_rn") <= 32)
+    seq = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("event_id", "event_type"))),
+            lambda x: x["event_type"],
+        ),
+    )
+    return ranked.groupBy("user_id", "n_events").agg(seq.alias("seq"))
+
+
+register(
+    "user_event_sequences",
+    q_user_event_sequences,
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_events
+      FROM events)
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           array_to_string(list(event_type ORDER BY event_id), ' ') AS seq
+    FROM ranked WHERE rn <= 32
+    GROUP BY user_id, n_events
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# stratified k-fold assignment (cross-validation splits)
+# --------------------------------------------------------------------------
+def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment with
+    per-stratum (source) fold balance readout: fold = the
+    ``split_assign`` multiplicative hash bucket mod 5 (same
+    engine-portable, overflow-free arithmetic — a rand() fold is
+    neither stable across reruns nor reproducible across engines).
+    Map-only assignment; the summary aggregates on a
+    |sources|×5-value key.  The readout is what a CV harness checks
+    before trusting fold metrics: folds within a stratum should hold
+    ~1/k of its documents each."""
+    docs = load_table(spark, sf_dir, "documents")
+    folded = F.pmod(F.col("doc_id"), F.lit(_SPLIT_FOLD))
+    fold = F.pmod(folded * _SPLIT_MUL + _SPLIT_ADD, F.lit(5))
+    per = docs.groupBy(
+        F.col("source"), fold.cast("int").alias("fold")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    w_src = Window.partitionBy("source")
+    return per.select(
+        "source",
+        "fold",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w_src), 4).alias(
+            "fold_share"
+        ),
+    )
+
+
+register(
+    "stratified_kfold",
+    q_stratified_kfold,
+    f"""
+    WITH assigned AS (
+      SELECT source,
+             CAST(((doc_id % {_SPLIT_FOLD} + {_SPLIT_FOLD})
+                   % {_SPLIT_FOLD} * {_SPLIT_MUL} + {_SPLIT_ADD}) % 5
+                  AS INT) AS fold
+      FROM documents),
+    per AS (
+      SELECT source, fold, COUNT(*) AS n_docs
+      FROM assigned GROUP BY 1, 2)
+    SELECT source, fold, n_docs,
+           ROUND(n_docs * 1.0 / SUM(n_docs) OVER (PARTITION BY source), 4)
+             AS fold_share
+    FROM per
+    """,
+)

@@ -149,6 +149,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: first.  Post-freeze r8 additions join the head of this list, as in
 #: r7.
 ROTATION_BACKLOG: tuple[str, ...] = (
+    # NEW r8 operators (zero driver evidence — head the r9 plan)
+    "dedup_containment_prefix",
+    "bpe_merge_pairs",
+    "user_event_sequences",
+    "stratified_kfold",
     "anomaly_mad",
     "trending_daily_topk",
     "user_lifetime_value",
@@ -255,6 +260,7 @@ CORE_TIER: frozenset[str] = frozenset({
     "dedup_embedding_lsh",
     "dedup_semantic",
     "dedup_containment",
+    "dedup_containment_prefix",
     "dedup_cluster_assign",
     "dedup_cluster_assign_star",
     "chunk_dedup_clean",
@@ -296,6 +302,8 @@ CORE_TIER: frozenset[str] = frozenset({
     "traindata_sequence_packing",
     "tf_idf",
     "text_analysis_profile",
+    "bpe_merge_pairs",
+    "user_event_sequences",
     "pii_redact",
     "multimodal_frame_sample",
     "multimodal_features",

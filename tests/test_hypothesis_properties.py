@@ -349,6 +349,50 @@ def test_hot_isolated_join_equals_plain_join(spark, left, right, hot, how):
     )
 
 
+# --- fused quality score ----------------------------------------------------
+_quality_texts = st.lists(
+    st.lists(  # a text = concatenated pieces (words, glue, stopwords)
+        st.sampled_from(
+            ["ab", "e", "!", ".", ",", "9", "\t", "\n", " ", "  ",
+             "the", "a", "of", "and", "to", "in"]
+        ),
+        max_size=20,
+    ).map("".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(**SETTINGS)
+@given(_quality_texts)
+def test_quality_score_fused_equals_unfused(spark, texts):
+    """The r8 fused (regexp_count-only) quality_score must be
+    value-identical to the structure-materializing r4–r7 form on
+    arbitrary text — including empty strings, whitespace-only, tabs
+    and newlines glued to stopwords (the Java ``$``-vs-``\\z`` trap),
+    consecutive stopwords, and stopwords embedded in longer words."""
+    from gaming_ai_analytics_spark.functions.text import (
+        quality_score,
+        quality_score_unfused,
+    )
+
+    texts = texts + [
+        "", "   ", "the", "a a a", "the\nend", "android of\tthe end ",
+        " of", "to\n", "a-b the.", "THE A OF",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    rows = df.select(
+        "i",
+        "text",
+        quality_score(F.col("text")).alias("fused"),
+        quality_score_unfused(F.col("text")).alias("unfused"),
+    ).collect()
+    for r in rows:
+        assert r.fused == r.unfused, (repr(r.text), r.fused, r.unfused)
+
+
 # --- directed shingle containment -------------------------------------------
 _containment_docs = st.lists(
     st.lists(st.integers(0, 6), min_size=0, max_size=12),  # token ids
@@ -396,6 +440,52 @@ def test_containment_pairs_matches_bruteforce(spark, token_docs):
     assert set(got) == set(expected)
     for k in got:
         assert abs(got[k] - expected[k]) < 1e-9, (k, got[k], expected[k])
+
+
+@settings(**SETTINGS)
+@given(_containment_docs)
+def test_containment_prefix_tier_matches_bruteforce(spark, token_docs):
+    """containment_pairs_prefix (the prefix-filtered scale tier) is
+    LOSSLESS: identical output to the per-pair set arithmetic at both
+    an exact-binary threshold (0.5) and a knife-edge float one (0.8,
+    where 0.8·nₐ lands just above the true integer product in binary —
+    the case the prefix-length epsilon guard exists for)."""
+    from gaming_ai_analytics_spark.operators.dedup import (
+        containment_pairs_prefix,
+    )
+
+    texts = [" ".join(f"t{t}" for t in toks) for toks in token_docs]
+    rows = [(i, s) for i, s in enumerate(texts)]
+    if not rows:
+        return
+
+    def shingles(toks):
+        return {
+            " ".join(f"t{t}" for t in toks[i : i + 3])
+            for i in range(len(toks) - 2)
+        }
+
+    sh = {i: shingles(t) for i, t in enumerate(token_docs)}
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for thr in (0.5, 0.8):
+        expected = {}
+        for i in sh:
+            for j in sh:
+                if i == j or not sh[i]:
+                    continue
+                common = len(sh[i] & sh[j])
+                c = round(common / len(sh[i]) + 0, 6)
+                if common and c >= thr:
+                    expected[(i, j)] = c
+        got = {
+            (r.id_contained, r.id_container): r.containment
+            for r in containment_pairs_prefix(
+                df, "doc_id", "text", threshold=thr
+            ).collect()
+        }
+        assert set(got) == set(expected), thr
+        for key in got:
+            assert abs(got[key] - expected[key]) < 1e-9, (thr, key)
 
 
 # --- triangle counting -------------------------------------------------------
