@@ -1171,6 +1171,16 @@ def containment_pairs_prefix(
     # sf10: straight heap OOM); sort-merge spills
     _mhint = _self_join_hinter(df, "merge")
     arrays = _hashed_shingles(df, id_col, text_col, k)
+    size = _source_bytes(df)
+    if size is None or size >= PLANNER_TRUST_MAX_BYTES:
+        # score-once at corpus scale (the global_quality_rank
+        # pattern): FOUR branches consume the shingle arrays (df
+        # postings, full postings, both verify sides) — uncheckpointed
+        # they are four full scans + four shingle computations that
+        # run as CONCURRENT stages, and the stacked sort/build memory
+        # of those stages is what pushed the sf10 probe over an
+        # 0.25 GB/core heap.  Checkpoint blocks live MEMORY_AND_DISK.
+        arrays = arrays.localCheckpoint()
     posts = arrays.select(
         "_id", F.size("_shs").alias("_na"), F.explode("_shs").alias("_h")
     )

@@ -1740,3 +1740,76 @@ register(
     ORDER BY 1, 2
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# distribution moments (engine-portable skewness/kurtosis)
+# --------------------------------------------------------------------------
+def q_distribution_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority distribution shape profile — count, mean, stddev,
+    skewness, excess kurtosis — the moments a DQ/drift monitor tracks
+    beside quantiles.
+
+    NOT the built-in ``skewness``/``kurtosis``: engines disagree on
+    bias correction (sample vs population estimators), so the
+    cross-engine-portable form computes POPULATION moments from
+    explicitly CENTERED power sums: pass 1 takes the per-group mean
+    rounded to 2 dp (rounding makes the centering constant BIT-EQUAL
+    on both engines — raw means differ by summation order); pass 2
+    aggregates Σ(x−μ̄)^k, which is numerically well-conditioned (raw
+    power sums of 5e5-scale prices reach 1e27 and cancellation in
+    m₃/m₄ would eat all the precision).  Plan: two fact aggregations
+    sharing one broadcast-joined 5-row mean frame — group-key
+    shuffles only, map-side combined, the exact shape that holds at
+    100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    mu = orders.groupBy("o_orderpriority").agg(
+        F.round(F.avg("o_totalprice"), 2).alias("_mu"),
+    )
+    d = F.col("o_totalprice") - F.col("_mu")
+    per = (
+        orders.join(F.broadcast(mu), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("_mu").alias("mean"),
+            F.sum(d * d).alias("_s2"),
+            F.sum(d * d * d).alias("_s3"),
+            F.sum(d * d * d * d).alias("_s4"),
+        )
+    )
+    m2 = F.col("_s2") / F.col("n")
+    m3 = F.col("_s3") / F.col("n")
+    m4 = F.col("_s4") / F.col("n")
+    return per.select(
+        "o_orderpriority",
+        "n",
+        "mean",
+        F.round(F.sqrt(m2) + 5e-10, 4).alias("stddev"),
+        F.round(m3 / F.pow(m2, 1.5) + 5e-10, 4).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3.0 + 5e-10, 4).alias("kurtosis_excess"),
+    )
+
+
+register(
+    "distribution_moments",
+    q_distribution_moments,
+    """
+    WITH mu AS (
+      SELECT o_orderpriority, ROUND(AVG(o_totalprice), 2) AS _mu
+      FROM orders GROUP BY 1),
+    per AS (
+      SELECT o.o_orderpriority, COUNT(*) AS n, MIN(_mu) AS mean,
+             SUM(POW(o_totalprice - _mu, 2)) AS s2,
+             SUM(POW(o_totalprice - _mu, 3)) AS s3,
+             SUM(POW(o_totalprice - _mu, 4)) AS s4
+      FROM orders o JOIN mu USING (o_orderpriority)
+      GROUP BY 1)
+    SELECT o_orderpriority, n, mean,
+           ROUND(SQRT(s2 / n) + 5e-10, 4) AS stddev,
+           ROUND((s3 / n) / POW(s2 / n, 1.5) + 5e-10, 4) AS skewness,
+           ROUND((s4 / n) / POW(s2 / n, 2) - 3.0 + 5e-10, 4)
+             AS kurtosis_excess
+    FROM per
+    """,
+)

@@ -154,6 +154,7 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "bpe_merge_pairs",
     "user_event_sequences",
     "stratified_kfold",
+    "distribution_moments",
     "anomaly_mad",
     "trending_daily_topk",
     "user_lifetime_value",
