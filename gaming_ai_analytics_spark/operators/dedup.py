@@ -1200,18 +1200,35 @@ def containment_pairs_prefix(
         - F.ceil(F.lit(threshold) * F.col("_na") - F.lit(1e-9))
         + 1
     )
-    prefix = posts.withColumn("_rnk", rnk).filter(
-        F.col("_rnk") <= pref_len
+    ranked = posts.withColumn("_rnk", rnk).drop("_df")
+    prefix = ranked.filter(F.col("_rnk") <= pref_len)
+    # PPJoin positional filter as a RESIDUAL join predicate (lossless):
+    # with both docs' shingles ranked by the same global (df, h)
+    # order, the pair's MINIMAL collision row satisfies
+    # common ≤ 1 + min(nₐ−i, n_b−j), and a qualifying pair needs
+    # common ≥ t·min(nₐ, n_b) — rows that cannot reach that bound
+    # drop INSIDE the join, before the candidate exchange (measured
+    # sf10: the unfiltered candidate STREAM, not the answer, is what
+    # filled the disk).  The minimal collision row always survives —
+    # any common shingle earlier in A's order is itself a prefix
+    # collision at a smaller (i, j) — so the distinct pair set is
+    # unchanged; only redundant multiplicity dies.
+    pos_ok = (
+        F.lit(1.0)
+        + F.least(
+            F.col("p._na") - F.col("p._rnk"),
+            F.col("f._na") - F.col("f._rnk"),
+        )
+        >= F.lit(threshold) * F.least(F.col("p._na"), F.col("f._na"))
+        - F.lit(1e-9)
     )
-    # only (_id, _h) crosses the pair join — _na/_df/_rnk are
-    # prefix-selection scaffolding and would 2.5× every sorted,
-    # spilled, and buffered byte at corpus scale
     cand = (
-        _mhint(prefix.select("_id", "_h")).alias("p")
+        _mhint(prefix).alias("p")
         .join(
-            _mhint(posts.select("_id", "_h")).alias("f"),
+            _mhint(ranked).alias("f"),
             (F.col("p._h") == F.col("f._h"))
-            & (F.col("p._id") != F.col("f._id")),
+            & (F.col("p._id") != F.col("f._id"))
+            & pos_ok,
         )
         .select(
             F.col("p._id").alias("_ia"), F.col("f._id").alias("_ib")

@@ -115,6 +115,7 @@ def topk_similar(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
+    cosine_band: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per probe. Probes stay on the driver side of
     the plan (broadcast or collected — small by contract); ranking uses
@@ -161,6 +162,14 @@ def topk_similar(
         scored = c.join(
             F.broadcast(p), F.col("vec_id") != F.col("probe_id")
         ).withColumn("cosine", sim)
+    if cosine_band is not None:
+        # hard-negative band: [lo, hi) on the ROUNDED cosine (what the
+        # oracle compares) — filters before the per-probe tournament,
+        # so the banded top-k costs the same scan as the plain one
+        lo, hi = cosine_band
+        scored = scored.filter(
+            (F.col("cosine") >= lo) & (F.col("cosine") < hi)
+        )
     return _topk_per_probe(scored, k, size_hint=c)
 
 

@@ -465,6 +465,51 @@ register(
 )
 
 
+#: Hard-negative band on the fixture's near-random geometry: p90 of
+#: probe cosines is ~0.16 and the max ~0.40, so [0.15, 0.30) is the
+#: "confusably similar but below the positive zone" slice.
+_HARDNEG_BAND = (0.15, 0.30)
+
+
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-probe hard-negative candidates for contrastive training:
+    the top-k corpus vectors whose cosine lands in a BAND below the
+    positive/near-dup zone — the standard negative sampler (random
+    negatives are too easy; near-dups are false negatives).  Same
+    map-only Arrow-matmul scoring plan as `similarity_topk` with the
+    band filter pushed below the per-probe tournament, so the banded
+    mine costs exactly the plain top-k's one corpus scan."""
+    from gaming_ai_analytics_spark.operators.similarity import topk_similar
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_similar(
+        emb, _probes(spark, sf_dir), k=_TOPK_K,
+        cosine_band=_HARDNEG_BAND,
+    )
+
+
+register(
+    "hard_negative_mining",
+    q_hard_negative_mining,
+    f"""
+    WITH scored AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+             ROUND(list_sum(list_transform(list_zip(c.embedding, p.embedding),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS cosine
+      FROM embeddings c
+      JOIN embeddings p ON p.vec_id < {_N_PROBES} AND c.vec_id <> p.vec_id
+    )
+    SELECT probe_id, rank, vec_id, cosine
+    FROM (SELECT probe_id, vec_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY probe_id
+                                    ORDER BY cosine DESC, vec_id) AS rank
+          FROM scored
+          WHERE cosine >= {_HARDNEG_BAND[0]} AND cosine < {_HARDNEG_BAND[1]})
+    WHERE rank <= {_TOPK_K}
+    """,
+)
+
+
 def _probe_rows(spark: SparkSession, sf_dir: str) -> list:
     """Driver-collected probe rows for the map-side LSH tier — the
     probe set is tiny by contract (``_N_PROBES`` rows), so collecting

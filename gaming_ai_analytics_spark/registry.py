@@ -155,6 +155,7 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "user_event_sequences",
     "stratified_kfold",
     "distribution_moments",
+    "hard_negative_mining",
     "anomaly_mad",
     "trending_daily_topk",
     "user_lifetime_value",
@@ -266,6 +267,7 @@ CORE_TIER: frozenset[str] = frozenset({
     "dedup_cluster_assign_star",
     "chunk_dedup_clean",
     "similarity_topk",
+    "hard_negative_mining",
     "similarity_topk_lsh_recall",
     "similarity_topk_ivf_recall",
     "blocking_snm_candidates",
