@@ -1668,3 +1668,32 @@ register(
     q_dedup_containment_prefix,
     oracle_for("dedup_containment"),
 )
+
+
+def q_dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment at c ≥ 0.8 over banded-MinHash candidates
+    (`minhash_containment_pairs`) — the sf10-capable containment tier:
+    candidate generation shuffles (band, bucket) keys only, never the
+    posting lists. Full containment oracle: at this fixture's
+    similarity geometry, containment-qualifying pairs are near-dup
+    clusters with J high enough that 16×4 banding recalls them all
+    (the structural miss — strongly asymmetric pairs — is documented
+    on the operator, with the lossless prefix tier as the
+    alternative)."""
+    from gaming_ai_analytics_spark.operators.dedup import (
+        minhash_containment_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    return minhash_containment_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.8
+    ).orderBy("id_contained", "id_container")
+
+
+register(
+    "dedup_containment_lsh",
+    q_dedup_containment_lsh,
+    oracle_for("dedup_containment"),
+)

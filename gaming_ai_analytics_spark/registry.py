@@ -151,6 +151,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 ROTATION_BACKLOG: tuple[str, ...] = (
     # NEW r8 operators (zero driver evidence — head the r9 plan)
     "dedup_containment_prefix",
+    "dedup_containment_lsh",
     "bpe_merge_pairs",
     "user_event_sequences",
     "stratified_kfold",
@@ -263,6 +264,7 @@ CORE_TIER: frozenset[str] = frozenset({
     "dedup_semantic",
     "dedup_containment",
     "dedup_containment_prefix",
+    "dedup_containment_lsh",
     "dedup_cluster_assign",
     "dedup_cluster_assign_star",
     "chunk_dedup_clean",

@@ -477,15 +477,16 @@ def test_containment_prefix_tier_matches_bruteforce(spark, token_docs):
                 c = round(common / len(sh[i]) + 0, 6)
                 if common and c >= thr:
                     expected[(i, j)] = c
-        got = {
-            (r.id_contained, r.id_container): r.containment
-            for r in containment_pairs_prefix(
-                df, "doc_id", "text", threshold=thr
-            ).collect()
-        }
-        assert set(got) == set(expected), thr
-        for key in got:
-            assert abs(got[key] - expected[key]) < 1e-9, (thr, key)
+        for df_order in (False, True):  # hash order AND rarity order
+            got = {
+                (r.id_contained, r.id_container): r.containment
+                for r in containment_pairs_prefix(
+                    df, "doc_id", "text", threshold=thr, df_order=df_order
+                ).collect()
+            }
+            assert set(got) == set(expected), (thr, df_order)
+            for key in got:
+                assert abs(got[key] - expected[key]) < 1e-9, (thr, key)
 
 
 # --- triangle counting -------------------------------------------------------
