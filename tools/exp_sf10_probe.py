@@ -75,7 +75,14 @@ def main() -> None:
     from gaming_ai_analytics_spark import registry
     from gaming_ai_analytics_spark.session import get_spark
 
-    spark = get_spark("sf10-probe")
+    # sf10 results can exceed the 1g default result cap (the LSH
+    # containment answer is ~50 M directed pairs); the probe's
+    # materialization is like-for-like with DuckDB's fetchall, so the
+    # cap is raised rather than the sink weakened.  Run this tool
+    # with SPARK_GRAFT_DRIVER_MEM=32g.
+    spark = get_spark(
+        "sf10-probe", extra_conf={"spark.driver.maxResultSize": "8g"}
+    )
     qs = registry.queries()
 
     results: dict[str, dict] = {}

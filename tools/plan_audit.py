@@ -130,6 +130,30 @@ MULTI_SCAN_JUSTIFIED: dict[str, tuple[dict[str, int], str]] = {
         "banded candidate self-join: signature relation referenced "
         "twice (a × b) by definition",
     ),
+    "dedup_containment_lsh": (
+        {"documents": 2},
+        "same banded candidate self-join shape as dedup_minhash_lsh "
+        "(band relation a × b); only the verify arithmetic differs",
+    ),
+    "dedup_containment_prefix": (
+        {"documents": 2},
+        "prefix and full posting sides reference the ranked posting "
+        "relation twice by definition; above the toy gate a "
+        "localCheckpoint of the hashed-shingle arrays collapses ALL "
+        "branches to one physical corpus scan (operators/dedup.py)",
+    ),
+    "distribution_moments": (
+        {"orders": 2},
+        "two-pass centered moments by construction: pass 1 is the "
+        "5-row broadcast mean frame (rounded so the centering "
+        "constant is engine-portable), pass 2 the centered power "
+        "sums — raw one-pass power sums cancel catastrophically",
+    ),
+    "hard_negative_mining": (
+        {"embeddings": 2},
+        "corpus and probe set both come from the embeddings fixture "
+        "(same intrinsic shape as similarity_topk)",
+    ),
     "dedup_simhash_pairs": (
         {"documents": 2},
         "recall contract: SimHash candidates vs exact Jaccard pairs — "
