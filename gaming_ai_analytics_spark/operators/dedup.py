@@ -1245,8 +1245,8 @@ def containment_pairs_prefix(
     low-shuffle option for corpora with flat shingle df.  Both
     orderings are lossless; both are property-tested against brute
     force.  Fixture honesty note: at sf10 the 36 k-shingle vocabulary
-    saturates — any single shingle posts ~10 k docs, so the candidate
-    set of ANY lossless shingle method is ≳10⁹ pairs and exceeds
+    saturates (500 k docs, median shingle df ~800), so the candidate
+    stream of ANY lossless shingle method is ≳10⁹ rows and exceeds
     single-host disk; the prefix tier still beats the exact tier by
     the per-pair multiplicity factor (~80 common shingles per pair on
     this corpus — measured: the exact tier's pair join emits ~80×
