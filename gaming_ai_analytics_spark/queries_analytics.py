@@ -1730,3 +1730,68 @@ register(
     FROM z
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# multi-touch attribution
+# --------------------------------------------------------------------------
+def q_funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every distinct event type a
+    converting user touched BEFORE their first qualifying purchase
+    (value > 100 — plain purchase saturates on this fixture, see
+    `ab_conversion_ztest`) shares the conversion credit equally —
+    the standard product-analytics alternative to last-touch.
+    Ordering anchors on event_id (ingest order), which is
+    engine-portable; the raw ns timestamp is not (`user_event_sequences`
+    documents the same choice).
+
+    Scale shape: first-conversion is a filtered groupBy(user) MIN
+    (map-combined), joined back on the user key; touchpoints dedupe
+    on (user, type); the per-user touch count rides a bounded window
+    over ≤|event_types| rows per user; final credit aggregates on the
+    |event_types|-sized key. No global sorts, no driver state."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", "event_id", "value"
+    )
+    conv = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 100))
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("_conv_eid"))
+    )
+    touches = (
+        ev.join(conv, "user_id")
+        .filter(F.col("event_id") < F.col("_conv_eid"))
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    w_user = Window.partitionBy("user_id")
+    credited = touches.withColumn(
+        "_credit", F.lit(1.0) / F.count(F.lit(1)).over(w_user)
+    )
+    return credited.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("users_touched"),
+        F.round(F.sum("_credit") + 5e-10, 4).alias("credit"),
+    )
+
+
+register(
+    "funnel_attribution",
+    q_funnel_attribution,
+    """
+    WITH conv AS (
+      SELECT user_id, MIN(event_id) AS conv_eid
+      FROM events WHERE event_type = 'purchase' AND value > 100
+      GROUP BY 1),
+    touches AS (
+      SELECT DISTINCT e.user_id, e.event_type
+      FROM events e JOIN conv USING (user_id)
+      WHERE e.event_id < conv_eid),
+    credited AS (
+      SELECT event_type,
+             1.0 / COUNT(*) OVER (PARTITION BY user_id) AS credit
+      FROM touches)
+    SELECT event_type, COUNT(*) AS users_touched,
+           ROUND(SUM(credit) + 5e-10, 4) AS credit
+    FROM credited GROUP BY 1
+    """,
+)

@@ -157,6 +157,7 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "stratified_kfold",
     "distribution_moments",
     "hard_negative_mining",
+    "funnel_attribution",
     "anomaly_mad",
     "trending_daily_topk",
     "user_lifetime_value",
@@ -195,8 +196,10 @@ ROTATION_BACKLOG: tuple[str, ...] = (
 #:
 #: Satisfiability (asserted by tests/test_registry.py): per-round slot
 #: demand at steady state is ceil(|core|/3) + ceil(|stable|/8)
-#: ≈ 33 + 14 = 47 ≤ 50, leaving ~3 slots/round of slack for new
-#: operators.  A flat 3-round cap would demand ceil(207/3) = 69 > 50.
+#: = ceil(102/3) + ceil(112/8) = 34 + 14 = 48 ≤ 50 at the
+#: end-of-r8 registry (214 names; the test recomputes from the live
+#: registry, so growth that breaks the bound fails loudly).  A flat
+#: 3-round cap would demand ceil(214/3) = 72 > 50.
 CORE_STALENESS_CAP = 3
 STALENESS_CAP_STABLE = 8
 
