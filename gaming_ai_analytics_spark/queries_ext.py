@@ -1781,13 +1781,17 @@ def q_distribution_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     m2 = F.col("_s2") / F.col("n")
     m3 = F.col("_s3") / F.col("n")
     m4 = F.col("_s4") / F.col("n")
+    # zero-variance guard: 0/0 is NaN in Spark but engines disagree —
+    # a degenerate group's shape stats are undefined, emit NULL on both
+    def _shape(expr):
+        return F.when(F.col("_s2") == 0, F.lit(None).cast("double"))                 .otherwise(F.round(expr + 5e-10, 4))
     return per.select(
         "o_orderpriority",
         "n",
         "mean",
         F.round(F.sqrt(m2) + 5e-10, 4).alias("stddev"),
-        F.round(m3 / F.pow(m2, 1.5) + 5e-10, 4).alias("skewness"),
-        F.round(m4 / (m2 * m2) - 3.0 + 5e-10, 4).alias("kurtosis_excess"),
+        _shape(m3 / F.pow(m2, 1.5)).alias("skewness"),
+        _shape(m4 / (m2 * m2) - 3.0).alias("kurtosis_excess"),
     )
 
 
@@ -1807,9 +1811,12 @@ register(
       GROUP BY 1)
     SELECT o_orderpriority, n, mean,
            ROUND(SQRT(s2 / n) + 5e-10, 4) AS stddev,
-           ROUND((s3 / n) / POW(s2 / n, 1.5) + 5e-10, 4) AS skewness,
-           ROUND((s4 / n) / POW(s2 / n, 2) - 3.0 + 5e-10, 4)
-             AS kurtosis_excess
+           CASE WHEN s2 = 0 THEN NULL
+                ELSE ROUND((s3 / n) / POW(s2 / n, 1.5) + 5e-10, 4)
+           END AS skewness,
+           CASE WHEN s2 = 0 THEN NULL
+                ELSE ROUND((s4 / n) / POW(s2 / n, 2) - 3.0 + 5e-10, 4)
+           END AS kurtosis_excess
     FROM per
     """,
 )
