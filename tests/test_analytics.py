@@ -1133,3 +1133,35 @@ def test_ab_ztest_zero_variance_guard(spark, tmp_path):
     r = q_ab_conversion_ztest(spark, str(tmp_path)).collect()[0]
     assert r.z_stat is None
     assert r.significant_95 is False
+
+
+def test_funnel_attribution_edges(spark, tmp_path):
+    """A converter whose FIRST event is the qualifying purchase has no
+    touchpoints and contributes no credit; a two-touch converter
+    splits credit 0.5/0.5; post-conversion events earn nothing."""
+    from gaming_ai_analytics_spark.queries_analytics import (
+        q_funnel_attribution,
+    )
+
+    rows = [
+        # user 1: signup, error, then qualifying purchase, then more
+        (1, 1, "signup", 0.0), (2, 1, "error", 0.0),
+        (3, 1, "purchase", 150.0), (4, 1, "click", 0.0),
+        # user 2: converts on their very first event
+        (5, 2, "purchase", 200.0), (6, 2, "signup", 0.0),
+        # user 3: never qualifies (low-value purchase only)
+        (7, 3, "signup", 0.0), (8, 3, "purchase", 50.0),
+    ]
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(e, base, u, t, v) for e, u, t, v in rows]
+    (
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double"
+        ).write.parquet(f"{tmp_path}/events.parquet")
+    )
+    got = {r.event_type: (r.users_touched, r.credit)
+           for r in q_funnel_attribution(spark, str(tmp_path)).collect()}
+    assert got == {"signup": (1, 0.5), "error": (1, 0.5)}

@@ -807,3 +807,68 @@ def test_split_assign_full_int64_domain_matches_oracle(spark):
             b = (k * 1103515245 + 12345) % 10000
             legacy = "train" if b < 9000 else ("val" if b < 9500 else "test")
             assert got.get(k, legacy) == legacy
+
+
+def test_bpe_merge_pairs_counts_known_corpus(spark, tmp_path):
+    """Hand-checkable corpus: frequency-weighted adjacent char pairs,
+    vocab-only explosion semantics (repeat words weight their pairs by
+    corpus frequency, not once per distinct word)."""
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_bpe_merge_pairs,
+    )
+
+    rows = [(1, "aab aab ab", "en", "web", 10),
+            (2, "aab", "en", "web", 3), (3, "x", "en", "web", 1)]
+    (
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+            " n_chars int"
+        ).write.parquet(f"{tmp_path}/documents.parquet")
+    )
+    got = {r.pair: (r.pair_count, r.n_words) for r in q_bpe_merge_pairs(
+        spark, str(tmp_path)).collect()}
+    # 'aab' freq 3 (pairs aa, ab), 'ab' freq 1 (pair ab)
+    assert got["aa"] == (3, 1)
+    assert got["ab"] == (3 + 1, 2)
+    assert "x" not in "".join(got)  # 1-char word contributes nothing
+
+
+def test_user_event_sequences_truncates_at_32(spark, tmp_path):
+    """A 40-event user keeps total count 40 but a 32-element sequence,
+    in event_id order."""
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_user_event_sequences,
+    )
+
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base, 7, f"e{i:02d}", 1.0) for i in range(40)]
+    (
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double"
+        ).write.parquet(f"{tmp_path}/events.parquet")
+    )
+    r = q_user_event_sequences(spark, str(tmp_path)).collect()[0]
+    assert r.n_events == 40
+    seq = r.seq.split(" ")
+    assert len(seq) == 32
+    assert seq == [f"e{i:02d}" for i in range(32)]  # ingest order
+
+
+def test_stratified_kfold_shares_sum_to_one(spark, sf_dir):
+    """Per-stratum fold shares are a partition of unity and the fold
+    ids live in [0, 5)."""
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_stratified_kfold,
+    )
+
+    rows = q_stratified_kfold(spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        assert 0 <= r.fold < 5
+        by_src.setdefault(r.source, 0.0)
+        by_src[r.source] += r.fold_share
+    for src, tot in by_src.items():
+        assert abs(tot - 1.0) < 5e-4, (src, tot)  # 4dp rounding drift
