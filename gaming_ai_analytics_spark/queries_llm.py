@@ -1697,3 +1697,48 @@ register(
     q_dedup_containment_lsh,
     oracle_for("dedup_containment"),
 )
+
+
+def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding health profile — the complement of
+    `embedding_norm_profile`: mean/std/min/max for each of the 64
+    coordinates, the check that catches dead dimensions (std ≈ 0),
+    un-centered features, and variance collapse before a whitening or
+    quantization step trusts the geometry.
+
+    Scale shape: one posexplode (64× fan-out of an 8-byte float — far
+    cheaper than the text shingle explodes) into a map-side-combined
+    aggregation on a 64-value key. Variance via avg(v²) − avg(v)²
+    (values are O(1/√dim); no cancellation at this magnitude, and the
+    identical formula runs on both engines)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("v").cast("double")
+    return (
+        emb.select(F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.round(F.avg(v) + 5e-10, 6).alias("mean_v"),
+            F.round(
+                F.sqrt(F.avg(v * v) - F.pow(F.avg(v), 2)) + 5e-10, 6
+            ).alias("std_v"),
+            F.round(F.min(v), 6).alias("min_v"),
+            F.round(F.max(v), 6).alias("max_v"),
+        )
+    )
+
+
+register(
+    "embedding_dim_profile",
+    q_embedding_dim_profile,
+    """
+    WITH vals AS (
+      SELECT u.i AS dim, CAST(embedding[u.i + 1] AS DOUBLE) AS v
+      FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) u)
+    SELECT dim,
+           ROUND(AVG(v) + 5e-10, 6) AS mean_v,
+           ROUND(SQRT(AVG(v * v) - POW(AVG(v), 2)) + 5e-10, 6) AS std_v,
+           ROUND(MIN(v), 6) AS min_v,
+           ROUND(MAX(v), 6) AS max_v
+    FROM vals GROUP BY 1
+    """,
+)

@@ -2032,3 +2032,51 @@ register(
     FROM per
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# per-source quantile normalization of the quality score
+# --------------------------------------------------------------------------
+def q_quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize the quality score WITHIN each source:
+    percent_rank maps every source's score distribution onto [0, 1],
+    so a cross-source quality threshold compares like with like (raw
+    scores are incomparable across sources when one source's corpus
+    is systematically longer or cleaner — the mixture-balancing
+    gotcha). Per-source window sort — partitions are sources, so the
+    sort distributes across the source key and no partition sees more
+    than one source's documents; the GLOBAL analog at corpus scale is
+    `global_quality_rank`'s bucketed form."""
+    from gaming_ai_analytics_spark.functions.text import quality_score
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", quality_score(F.col("text")).alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    return docs.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.round(F.percent_rank().over(w) + 5e-10, 6).alias("q_uniform"),
+    )
+
+
+def _qqn_oracle() -> str:
+    from gaming_ai_analytics_spark.functions.text_sql import QUALITY
+
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, source, {QUALITY} AS quality
+      FROM documents WHERE {_NONEMPTY})
+    SELECT doc_id, source, quality,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY source
+                 ORDER BY quality, doc_id) + 5e-10, 6) AS q_uniform
+    FROM scored
+    """
+
+
+register(
+    "quality_quantile_normalize",
+    q_quality_quantile_normalize,
+    _qqn_oracle(),
+)

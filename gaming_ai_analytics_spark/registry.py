@@ -158,6 +158,8 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "distribution_moments",
     "hard_negative_mining",
     "funnel_attribution",
+    "embedding_dim_profile",
+    "quality_quantile_normalize",
     "anomaly_mad",
     "trending_daily_topk",
     "user_lifetime_value",
