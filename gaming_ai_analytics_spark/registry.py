@@ -198,10 +198,12 @@ ROTATION_BACKLOG: tuple[str, ...] = (
 #:
 #: Satisfiability (asserted by tests/test_registry.py): per-round slot
 #: demand at steady state is ceil(|core|/3) + ceil(|stable|/8)
-#: = ceil(102/3) + ceil(112/8) = 34 + 14 = 48 ≤ 50 at the
-#: end-of-r8 registry (214 names; the test recomputes from the live
-#: registry, so growth that breaks the bound fails loudly).  A flat
-#: 3-round cap would demand ceil(214/3) = 72 > 50.
+#: = ceil(102/3) + ceil(115/8) = 34 + 15 = 49 ≤ 50 at the
+#: end-of-r8 registry (217 names; the test recomputes from the live
+#: registry, so growth that breaks the bound fails loudly — one slot
+#: of slack remains, so r9 should either extend the stable cap or
+#: grow mostly stable-tier).  A flat 3-round cap would demand
+#: ceil(217/3) = 73 > 50.
 CORE_STALENESS_CAP = 3
 STALENESS_CAP_STABLE = 8
 
