@@ -320,6 +320,60 @@ def _jaccard() -> Column:
     )
 
 
+def _banded_candidates_with_arrays(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    num_hashes: int,
+    bands: int,
+    left_name: str,
+    right_name: str,
+) -> DataFrame:
+    """Shared scaffolding of both banded-MinHash tiers: the
+    (band, bucket) candidate self-join plus the two hinted
+    shingle-array verify joins — returns distinct candidate pairs
+    ``(left_name, right_name, _sa, _sb)`` with ``left < right``, ready
+    for tier-specific scoring (Jaccard or directed containment).
+    Lives in ONE place so a band-join tuning (the hint work this
+    module keeps accumulating) cannot silently diverge between tiers.
+
+    shuffle_hash-hinted like ngram_jaccard_pairs' posting join (r7
+    sf10 probe): band entries are a bands× EXPLODE of a map-only
+    signature frame, so Catalyst's size estimate predates the fan-out
+    and at sf10 it statically broadcast all three corpus-sized joins
+    in this plan (~GB-scale build maps in an 8g JVM — OOM one notch
+    up). Band-bucket co-partitioning is the plan LSH wants anyway;
+    AQE still splits skewed buckets. The verify joins carry HASHED
+    shingles (see _hashed_shingles); per-doc arrays are corpus-sized
+    too — same hint (the array payload makes a broadcast build map
+    even fatter than the row count suggests)."""
+    df = ensure_parallelism(df)
+    band_entries = _band_entries(df, id_col, text_col, k, num_hashes, bands)
+    _hint = _self_join_hinter(df)
+    a, b = _hint(band_entries).alias("a"), _hint(band_entries).alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias(left_name), F.col("b._id").alias(right_name)
+        )
+        .distinct()
+    )
+    shingle_arrays = _hashed_shingles(df, id_col, text_col, k)
+    sa = _hint(shingle_arrays).select(
+        F.col("_id").alias(left_name), F.col("_shs").alias("_sa")
+    )
+    sb = _hint(shingle_arrays).select(
+        F.col("_id").alias(right_name), F.col("_shs").alias("_sb")
+    )
+    return candidates.join(sa, left_name).join(sb, right_name)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -335,46 +389,14 @@ def minhash_lsh_pairs(
     16 bands × 4 rows ⇒ collision probability 1-(1-j⁴)¹⁶ — ~0.98 at
     j=0.7, ~0.56 at j=0.5: tune bands to the target threshold. The
     bucket join shuffles (band_id, band_hash) keys only; verification
-    touches candidate pairs, never the full n² space.
-    """
-    df = ensure_parallelism(df)
-    band_entries = _band_entries(df, id_col, text_col, k, num_hashes, bands)
-
-    # shuffle_hash-hinted like ngram_jaccard_pairs' posting join (r7 sf10
-    # probe): band_entries is a bands× EXPLODE of a map-only signature
-    # frame, so Catalyst's size estimate predates the fan-out and at
-    # 5M docs it statically broadcast all three corpus-sized joins in
-    # this plan (~GB-scale build maps in an 8g JVM — survived at sf10,
-    # OOM at the next notch). Band-bucket co-partitioning is the plan
-    # LSH wants anyway; AQE still splits skewed buckets.
-    _hint = _self_join_hinter(df)
-    a, b = _hint(band_entries).alias("a"), _hint(band_entries).alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
-    )
-
-    # verification carries HASHED shingles (see _hashed_shingles);
-    # per-doc shingle arrays are corpus-sized too — same hint (the
-    # array payload makes a broadcast build map even fatter than the
-    # row count suggests)
-    shingle_arrays = _hashed_shingles(df, id_col, text_col, k)
-    sa = _hint(shingle_arrays).select(
-        F.col("_id").alias("id_a"), F.col("_shs").alias("_sa")
-    )
-    sb = _hint(shingle_arrays).select(
-        F.col("_id").alias("id_b"), F.col("_shs").alias("_sb")
+    touches candidate pairs, never the full n² space. Candidate and
+    verify scaffolding shared with the containment tier
+    (:func:`_banded_candidates_with_arrays`)."""
+    scored = _banded_candidates_with_arrays(
+        df, id_col, text_col, k, num_hashes, bands, "id_a", "id_b"
     )
     return (
-        candidates.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard", F.round(_jaccard(), 6))
+        scored.withColumn("jaccard", F.round(_jaccard(), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -410,37 +432,14 @@ def minhash_containment_pairs(
     for those use :func:`containment_pairs_prefix` (lossless) where
     data volume allows, or an asymmetric-LSH scheme.  Measured sf10:
     completes where both exact-pair plans exceed single-host disk."""
-    df = ensure_parallelism(df)
-    band_entries = _band_entries(df, id_col, text_col, k, num_hashes, bands)
-    _hint = _self_join_hinter(df)
-    a, b = _hint(band_entries).alias("a"), _hint(band_entries).alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(F.col("a._id").alias("_ia"), F.col("b._id").alias("_ib"))
-        .distinct()
-    )
-    shingle_arrays = _hashed_shingles(df, id_col, text_col, k)
-    sa = _hint(shingle_arrays).select(
-        F.col("_id").alias("_ia"), F.col("_shs").alias("_sa")
-    )
-    sb = _hint(shingle_arrays).select(
-        F.col("_id").alias("_ib"), F.col("_shs").alias("_sb")
-    )
-    scored = (
-        candidates.join(sa, "_ia")
-        .join(sb, "_ib")
-        .select(
-            "_ia",
-            "_ib",
-            F.size(F.array_intersect("_sa", "_sb")).alias("_common"),
-            F.size("_sa").alias("_na"),
-            F.size("_sb").alias("_nb"),
-        )
+    scored = _banded_candidates_with_arrays(
+        df, id_col, text_col, k, num_hashes, bands, "_ia", "_ib"
+    ).select(
+        "_ia",
+        "_ib",
+        F.size(F.array_intersect("_sa", "_sb")).alias("_common"),
+        F.size("_sa").alias("_na"),
+        F.size("_sb").alias("_nb"),
     )
     fwd = scored.select(
         F.col("_ia").alias("id_contained"),
@@ -1280,7 +1279,10 @@ def containment_pairs_prefix(
         # run as CONCURRENT stages, and the stacked sort/build memory
         # of those stages is what pushed the sf10 probe over an
         # 0.25 GB/core heap.  Checkpoint blocks live MEMORY_AND_DISK.
-        arrays = arrays.localCheckpoint()
+        # eager=False: the default eager checkpoint runs the full
+        # corpus job at PLAN-CONSTRUCTION time, which a plan dump /
+        # audit / explain would pay without ever executing the query
+        arrays = arrays.localCheckpoint(eager=False)
     # prefix length nₐ − ⌈t·nₐ⌉ + 1; the 1e-9 guard keeps float noise
     # in t·nₐ from pushing a knife-edge integer product (0.8·10 =
     # 8.000…002 in binary) up a notch, which would SHRINK the prefix
@@ -1333,6 +1335,14 @@ def containment_pairs_prefix(
         >= F.lit(threshold) * F.least(F.col("p._na"), F.col("f._na"))
         - F.lit(1e-9)
     )
+    # candidates canonicalize to UNORDERED (least, greatest) pairs
+    # before the distinct: either qualifying direction guarantees the
+    # pair a surviving prefix collision (via that direction's prefix
+    # side), so one canonical row carries both — and the verify stage
+    # then joins the corpus-scale arrays and intersects each pair
+    # ONCE, emitting both directions from the same row (the score-once
+    # shape the exact tier already uses), instead of paying the
+    # heaviest stage twice for the (A,B)/(B,A) twins
     cand = (
         _mhint(prefix).alias("p")
         .join(
@@ -1342,7 +1352,8 @@ def containment_pairs_prefix(
             & pos_ok,
         )
         .select(
-            F.col("p._id").alias("_ia"), F.col("f._id").alias("_ib")
+            F.least(F.col("p._id"), F.col("f._id")).alias("_ia"),
+            F.greatest(F.col("p._id"), F.col("f._id")).alias("_ib"),
         )
         .distinct()
     )
@@ -1352,15 +1363,25 @@ def containment_pairs_prefix(
     sb = _hint(arrays).select(
         F.col("_id").alias("_ib"), F.col("_shs").alias("_sb")
     )
-    return (
+    scored = (
         cand.join(sa, "_ia")
         .join(sb, "_ib")
         .select(
-            F.col("_ia").alias("id_contained"),
-            F.col("_ib").alias("id_container"),
-            F.round(
-                F.size(F.array_intersect("_sa", "_sb")) / F.size("_sa"), 6
-            ).alias("containment"),
+            "_ia",
+            "_ib",
+            F.size(F.array_intersect("_sa", "_sb")).alias("_common"),
+            F.size("_sa").alias("_na"),
+            F.size("_sb").alias("_nb"),
         )
-        .filter(F.col("containment") >= threshold)
     )
+    fwd = scored.select(
+        F.col("_ia").alias("id_contained"),
+        F.col("_ib").alias("id_container"),
+        F.round(F.col("_common") / F.col("_na"), 6).alias("containment"),
+    )
+    rev = scored.select(
+        F.col("_ib").alias("id_contained"),
+        F.col("_ia").alias("id_container"),
+        F.round(F.col("_common") / F.col("_nb"), 6).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)

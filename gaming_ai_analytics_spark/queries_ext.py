@@ -1763,8 +1763,12 @@ def q_distribution_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles only, map-side combined, the exact shape that holds at
     100 TB."""
     orders = load_table(spark, sf_dir, "orders")
+    # the centering constant gets the knife-edge nudge TOO: the two
+    # engines sum in different orders, and a raw mean one ulp either
+    # side of an exact .005 boundary would center the two passes 0.01
+    # apart — poisoning all five output columns at once
     mu = orders.groupBy("o_orderpriority").agg(
-        F.round(F.avg("o_totalprice"), 2).alias("_mu"),
+        F.round(F.avg("o_totalprice") + 5e-10, 2).alias("_mu"),
     )
     d = F.col("o_totalprice") - F.col("_mu")
     per = (
@@ -1800,7 +1804,7 @@ register(
     q_distribution_moments,
     """
     WITH mu AS (
-      SELECT o_orderpriority, ROUND(AVG(o_totalprice), 2) AS _mu
+      SELECT o_orderpriority, ROUND(AVG(o_totalprice) + 5e-10, 2) AS _mu
       FROM orders GROUP BY 1),
     per AS (
       SELECT o.o_orderpriority, COUNT(*) AS n, MIN(_mu) AS mean,

@@ -56,13 +56,32 @@ _SPLIT_FOLD = 4294967291
 _SPLIT_TRAIN_LT, _SPLIT_VAL_LT = 9000, 9500
 
 
+def hash_bucket(key: Column, mod: int) -> Column:
+    """THE fold-then-multiply bucket hash every deterministic
+    assignment in this module derives from (splits, k-folds): fold
+    the key mod the largest 32-bit prime (overflow-free over the
+    whole int64 domain), then the LCG multiply, mod ``mod``.  The
+    STRUCTURE lives exactly once — an overflow-strategy change here
+    re-derives every Spark and SQL site together."""
+    folded = F.pmod(key, F.lit(_SPLIT_FOLD))
+    return F.pmod(folded * _SPLIT_MUL + _SPLIT_ADD, F.lit(mod))
+
+
+def hash_bucket_sql(key: str, mod: int) -> str:
+    """The identical bucket hash as portable SQL (oracle twin).
+
+    The double-% fold mirrors ``F.pmod`` for negative keys (SQL ``%``
+    keeps the dividend's sign; pmod is always non-negative)."""
+    folded = f"(({key} % {_SPLIT_FOLD} + {_SPLIT_FOLD}) % {_SPLIT_FOLD})"
+    return f"({folded} * {_SPLIT_MUL} + {_SPLIT_ADD}) % {mod}"
+
+
 def split_assign(key: Column) -> Column:
     """'train'/'val'/'test' from an int64 key: pure multiplicative-hash
-    arithmetic, overflow-free over the whole int64 domain (the key is
-    folded mod the largest 32-bit prime first), so the same key lands
-    in the same split on any engine and any rerun."""
-    folded = F.pmod(key, F.lit(_SPLIT_FOLD))
-    bucket = F.pmod(folded * _SPLIT_MUL + _SPLIT_ADD, F.lit(_SPLIT_MOD))
+    arithmetic, overflow-free over the whole int64 domain (see
+    :func:`hash_bucket`), so the same key lands in the same split on
+    any engine and any rerun."""
+    bucket = hash_bucket(key, _SPLIT_MOD)
     return (
         F.when(bucket < _SPLIT_TRAIN_LT, "train")
         .when(bucket < _SPLIT_VAL_LT, "val")
@@ -71,12 +90,8 @@ def split_assign(key: Column) -> Column:
 
 
 def split_assign_sql(key: str) -> str:
-    """The identical assignment as portable SQL (oracle twin).
-
-    The double-% fold mirrors ``F.pmod`` for negative keys (SQL ``%``
-    keeps the dividend's sign; pmod is always non-negative)."""
-    folded = f"(({key} % {_SPLIT_FOLD} + {_SPLIT_FOLD}) % {_SPLIT_FOLD})"
-    bucket = f"({folded} * {_SPLIT_MUL} + {_SPLIT_ADD}) % {_SPLIT_MOD}"
+    """The identical assignment as portable SQL (oracle twin)."""
+    bucket = f"({hash_bucket_sql(key, _SPLIT_MOD)})"
     return (
         f"CASE WHEN {bucket} < {_SPLIT_TRAIN_LT} THEN 'train' "
         f"WHEN {bucket} < {_SPLIT_VAL_LT} THEN 'val' "
@@ -1997,8 +2012,7 @@ def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     before trusting fold metrics: folds within a stratum should hold
     ~1/k of its documents each."""
     docs = load_table(spark, sf_dir, "documents")
-    folded = F.pmod(F.col("doc_id"), F.lit(_SPLIT_FOLD))
-    fold = F.pmod(folded * _SPLIT_MUL + _SPLIT_ADD, F.lit(5))
+    fold = hash_bucket(F.col("doc_id"), 5)
     per = docs.groupBy(
         F.col("source"), fold.cast("int").alias("fold")
     ).agg(F.count(F.lit(1)).alias("n_docs"))
@@ -2019,9 +2033,7 @@ register(
     f"""
     WITH assigned AS (
       SELECT source,
-             CAST(((doc_id % {_SPLIT_FOLD} + {_SPLIT_FOLD})
-                   % {_SPLIT_FOLD} * {_SPLIT_MUL} + {_SPLIT_ADD}) % 5
-                  AS INT) AS fold
+             CAST(({hash_bucket_sql("doc_id", 5)}) AS INT) AS fold
       FROM documents),
     per AS (
       SELECT source, fold, COUNT(*) AS n_docs

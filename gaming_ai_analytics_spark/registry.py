@@ -323,24 +323,83 @@ CORE_TIER: frozenset[str] = frozenset({
 })
 
 
-def source_hash(name: str) -> str | None:
-    """sha256 of the registered query function's source text.
+#: Shared modules whose edits can change a stable query's VALUES
+#: without touching the query function itself — the guard closure.
+#: Boundary rationale: value-changing edits concentrate in the
+#: expression helpers (text/text_sql/expr/vectors/constants) and the
+#: split/bucket arithmetic; operator-module edits that only re-shape
+#: plans (hints, exchange strategy) do not change values, and value
+#: correctness is what the staleness evidence asserts.  r8 lesson:
+#: the original fn-only hash was falsified by the very round that
+#: introduced it — quality_score and split_assign were rewritten
+#: while their stable-tier callers kept byte-identical sources.
+_HASH_CLOSURE_FILES = (
+    "functions/text.py",
+    "functions/text_sql.py",
+    "functions/expr.py",
+    "functions/vectors.py",
+    "constants.py",
+)
 
-    The stable tier's plan-change guard: a query's physical plan can
-    only change if its code (or Spark itself) changes, so a source
-    hash is a cheap, session-free proxy for a plan hash.  Returns
-    ``None`` when the source is unavailable (builtins, exec'd code) —
-    callers must treat that as "changed" (core cap)."""
+_closure_digest_cache: list[str] = []
+
+
+def _closure_digest() -> str:
+    if _closure_digest_cache:
+        return _closure_digest_cache[0]
+    import hashlib
+    import pathlib
+
+    h = hashlib.sha256()
+    base = pathlib.Path(__file__).resolve().parent
+    for rel in _HASH_CLOSURE_FILES:
+        f = base / rel
+        if f.exists():
+            h.update(f.read_bytes())
+    # shared split/bucket arithmetic lives inside a query module —
+    # hash those helper functions' sources too (lazy import: by the
+    # time any caller hashes, registration has completed)
+    import inspect
+    import textwrap
+
+    from gaming_ai_analytics_spark import queries_traindata as _qt
+
+    for helper in (
+        _qt.hash_bucket, _qt.hash_bucket_sql,
+        _qt.split_assign, _qt.split_assign_sql,
+    ):
+        h.update(textwrap.dedent(inspect.getsource(helper)).encode())
+    _closure_digest_cache.append(h.hexdigest())
+    return _closure_digest_cache[0]
+
+
+def source_hash(name: str) -> str | None:
+    """sha256 of the registered query's VALUE-DEFINING text: the query
+    function's source, its oracle SQL, and the shared expression-helper
+    closure (``_HASH_CLOSURE_FILES``).
+
+    The stable tier's change guard: a stable query's recorded hash
+    asserts "this exact definition is the one that was proved green" —
+    any edit to the function, its oracle, or a shared value helper
+    drifts the hash and re-promotes the name to the core staleness
+    cap until re-proved.  Returns ``None`` when the source is
+    unavailable (builtins, exec'd code) — callers must treat that as
+    "changed" (core cap)."""
     import hashlib
     import inspect
     import textwrap
 
-    fn, _ = _REGISTRY[name]
+    fn, oracle = _REGISTRY[name]
     try:
         src = inspect.getsource(fn)
     except (OSError, TypeError):
         return None
-    return hashlib.sha256(textwrap.dedent(src).encode()).hexdigest()
+    payload = (
+        textwrap.dedent(src)
+        + "\x00" + (oracle or "")
+        + "\x00" + _closure_digest()
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()
 
 
 def _apply_driver_window() -> None:

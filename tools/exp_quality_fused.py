@@ -56,7 +56,7 @@ def main() -> None:
     for sf in sfs:
         sf_dir = SF_DIRS[sf]
 
-        def run(scorer) -> float:
+        def run(scorer) -> tuple[float, float, int]:
             docs = load_nonempty_documents(spark, sf_dir)  # fresh lineage
             t0 = time.perf_counter()
             row = docs.agg(
@@ -69,19 +69,26 @@ def main() -> None:
         # warm both arms once (JIT, file listing), then interleave
         run(quality_score_unfused), run(quality_score)
         times = {"unfused": [], "fused": []}
-        sums = set()
+        sums, ns = [], set()
         for _ in range(ROUNDS):
             dt, s, n = run(quality_score_unfused)
             times["unfused"].append(round(dt, 3))
-            sums.add((s, n))
+            sums.append(s); ns.add(n)
             dt, s, n = run(quality_score)
             times["fused"].append(round(dt, 3))
-            sums.add((s, n))
-        assert len(sums) == 1, f"arms disagree: {sums}"  # value parity
+            sums.append(s); ns.add(n)
+        # value parity within last-ulp tolerance: the final double SUM
+        # merges mapper partials in nondeterministic order, so two
+        # runs of the SAME plan can differ by an ulp — per-row
+        # equality is hypothesis-pinned; here we assert the corpus
+        # sums agree to relative 1e-12 and counts exactly
+        assert len(ns) == 1, f"row counts disagree: {ns}"
+        lo, hi = min(sums), max(sums)
+        assert hi - lo <= abs(hi) * 1e-12, f"arms disagree: {lo} vs {hi}"
         med = {k: sorted(v)[len(v) // 2] for k, v in times.items()}
         print(json.dumps({
             "exp": "quality_fused_ab", "sf": sf,
-            "rows": next(iter(sums))[1],
+            "rows": next(iter(ns)),
             "median_s": med,
             "speedup": round(med["unfused"] / med["fused"], 2),
             "all_runs": times,
