@@ -1824,3 +1824,64 @@ register(
     FROM per
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# referential-integrity orphan check (DQ)
+# --------------------------------------------------------------------------
+def q_dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity DQ readout for the star's two load-bearing
+    foreign keys: lineitems whose order is missing, orders whose
+    customer is missing, and orders with zero lineitems (the
+    no-children case a fact-build silently drops). The check the DQ
+    gate runs after every load — `dq_uniqueness_violations` guards
+    keys, this guards EDGES.
+
+    Scale shape: three LEFT ANTI joins (each a key-partitioned hash
+    join whose output is only the violations — at a healthy 100 TB
+    load, near-zero rows move after the probe) reduced to one-row
+    counts and unioned into a 3-row report. Anti-join beats a
+    count-distinct reconciliation: no giant distinct state, and AQE
+    broadcast-converts whichever side shrinks below threshold."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check"),
+            F.count(F.lit(1)).alias("n_violations"),
+        )
+
+    li_orphans = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"], "left_anti"
+    )
+    order_orphans = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"], "left_anti"
+    )
+    childless = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"], "left_anti"
+    )
+    return (
+        one("lineitem_without_order", li_orphans)
+        .unionByName(one("order_without_customer", order_orphans))
+        .unionByName(one("order_without_lineitems", childless))
+    )
+
+
+register(
+    "dq_referential_orphans",
+    q_dq_referential_orphans,
+    """
+    SELECT 'lineitem_without_order' AS check, COUNT(*) AS n_violations
+    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'order_without_customer', COUNT(*)
+    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'order_without_lineitems', COUNT(*)
+    FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+    """,
+)

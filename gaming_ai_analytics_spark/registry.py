@@ -160,6 +160,7 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "funnel_attribution",
     "embedding_dim_profile",
     "quality_quantile_normalize",
+    "dq_referential_orphans",
     "anomaly_mad",
     "trending_daily_topk",
     "user_lifetime_value",
