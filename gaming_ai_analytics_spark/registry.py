@@ -72,84 +72,21 @@ def _load_all() -> None:
 #: checked window.  So the window is pinned EXPLICITLY: these names are
 #: moved to the front (in this order) after all modules register.
 #:
-#: ROUND-8 COMPOSITION (VERDICT r7 ask #1 — CORRECTNESS_r07 landed
-#: 50/50 green; this rotation is the first r8 commit).  The window is
-#: exactly the first 50 entries of the r7 backlog, as pre-planned
-#: there: 19 never-checked post-freeze r7 operators first (a fresh
-#: driver row is worth more than refreshing a stale-green one), then
-#: the 31 highest-priority r4-stale names (displaced r4 heads →
-#: bench-regression suspects → heavy operators → streaming cohort →
-#: analytics tail).  The last 8 backlog names (warehouse/analytics
-#: single-aggregation surfaces, all stable-tier) roll to r9.
+#: ROUND-9 COMPOSITION (VERDICT r8 ask #1 — CORRECTNESS_r08 landed
+#: 50/50 green; the r8 artifacts are committed, so this rotation is
+#: the first substantive r9 commit).  Exactly the r8 backlog's
+#: pre-planned head: the 11 never-driver-checked r8 operators first
+#:(two of which — ``stratified_kfold`` and
+#: ``quality_quantile_normalize`` — are also being FIXED this round,
+#: so the fresh row proves the corrected plan), then the 8 rolled
+#: r4-green warehouse/analytics names, then 31 of the 32 r5-green
+#: core-tier names (which cross the 3-round core cap now that
+#: CORRECTNESS_r08 is committed).  ``orc_roundtrip_scan`` — the
+#: lowest-risk member of that cohort (schema-pinned format
+#: round-trip, byte-identical plan since r5) — rolls to the backlog
+#: head; the heavy ``dedup_cluster_assign_star`` takes its slot.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- never-checked r7 operators (zero driver evidence) -----------
-    "join_skew_isolated",
-    "dedup_incremental_index",
-    "quality_classifier_distill",
-    "sample_weighted",
-    "dedup_semantic",
-    "lm_perplexity_score",
-    "pagerank_trade_graph",
-    "frequent_itemset_pairs",
-    "triangle_count_parts",
-    "blocking_snm_candidates",
-    "audience_overlap_sketch",
-    "dedup_containment",
-    "quality_psi_drift",
-    "inverted_index_postings",
-    "user_value_decay",
-    "pit_dim_join",
-    "ab_conversion_ztest",
-    "pmi_collocations",
-    "benford_price_digits",
-    # -- r4 heads displaced by the two late-r7 operators -------------
-    "dedup_simhash_pairs",
-    "text_analysis_profile",
-    # -- bench-regression suspects (BENCH r6; fresh rows double as
-    # correctness cover for any perf work this round) -----------------
-    "fillna_after_left_join",
-    "fact_build_transform",
-    "window_topk_per_group",
-    # -- heavy operators / pipelines (r4-stale) -----------------------
-    "join_chain_left",
-    "join_salted_skew",
-    "customer_rfm_segments",
-    "dq_completeness_profile",
-    "quantile_profile",
-    "multimodal_features",
-    "multimodal_resize",
-    "bm25_term_scores",
-    "embedding_norm_profile",
-    "lang_confusion_matrix",
-    "dedup_rate_by_source",
-    "dup_similarity_histogram",
-    "traindata_sequence_packing",
-    "quality_gate_rules",
-    "token_budget_select",
-    "vocab_bigrams",
-    "token_length_histogram",
-    # -- streaming cohort (r4-stale) ----------------------------------
-    "events_streaming_tumbling",
-    "events_session_window",
-    "events_streaming_session",
-    "events_stream_stream_join",
-    "events_streaming_rate_alert",
-    # -- analytics cohort (r4-stale) -----------------------------------
-    "window_rolling_7d",
-    "stat_regression",
-    "source_lang_entropy",
-    "event_path_transitions",
-)
-
-#: Everything still owed a fresh driver row AFTER this round's window,
-#: pre-ordered as the r9 window plan.  R9 COMPOSITION PLAN: these 8
-#: r4-green warehouse/analytics names head the r9 window; the
-#: remaining ~42 slots go to the r5-green cohort (which crosses the
-#: core-tier 3-round cap when CORRECTNESS_r08 lands), core-tier names
-#: first.  Post-freeze r8 additions join the head of this list, as in
-#: r7.
-ROTATION_BACKLOG: tuple[str, ...] = (
-    # NEW r8 operators (zero driver evidence — head the r9 plan)
+    # -- never-checked r8 operators (zero driver evidence) -----------
     "dedup_containment_prefix",
     "dedup_containment_lsh",
     "bpe_merge_pairs",
@@ -161,6 +98,7 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "embedding_dim_profile",
     "quality_quantile_normalize",
     "dq_referential_orphans",
+    # -- rolled r4-green warehouse/analytics names --------------------
     "anomaly_mad",
     "trending_daily_topk",
     "user_lifetime_value",
@@ -169,6 +107,102 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "returned_item_customers",
     "priority_class_mix",
     "late_ship_priority_counts",
+    # -- r5-green core tier (crosses the 3-round cap at r9) -----------
+    "flagship_star_metrics",
+    "filter_numeric_conjunction",
+    "filter_boolean_algebra",
+    "filter_isin",
+    "filter_null_guard",
+    "project_rename",
+    "derived_columns",
+    "scalar_string_functions",
+    "case_when_banding",
+    "join_flatten_dim",
+    "join_anti_incremental",
+    "join_inner",
+    "join_semi",
+    "agg_count_by_group",
+    "agg_avg_by_group",
+    "agg_conditional_ratio",
+    "agg_distinct",
+    "agg_global_counts",
+    "agg_uniqueness_check",
+    "topk_orders",
+    "events_asof_enrich",
+    "events_range_join",
+    "metric_view_region",
+    "metric_view_two_dims_where",
+    "csv_roundtrip_scan",
+    "jsonl_roundtrip_scan",
+    "similarity_topk",
+    "similarity_topk_lsh_recall",
+    "similarity_topk_ivf_recall",
+    "global_quality_rank",
+    "dedup_cluster_assign_star",
+)
+
+#: Everything still owed a fresh driver row AFTER this round's window,
+#: pre-ordered as the r10 window plan (exactly 50 names): the one
+#: rolled r5-core scan, the 10 r6-green core names (they cross the
+#: 3-round cap when CORRECTNESS_r09 lands), then the oldest stable
+#: cohorts — all 18 r5-stable and the 21 registration-order heads of
+#: the r6-stable set (the r5-stable names hit the 10-round stable cap
+#: at r15; scheduling them at r10 keeps the whole stable tier on a
+#: comfortable cadence).  Post-freeze r9 additions join the head of
+#: this list, as in r7/r8.
+ROTATION_BACKLOG: tuple[str, ...] = (
+    # r9-touched plans (fresh row owed; new r9 operators join here too)
+    "leakage_safe_split",  # fingerprint lever re-plan (r9)
+    # rolled r5-core
+    "orc_roundtrip_scan",
+    # r6-green core tier (stale when CORRECTNESS_r09 lands)
+    "agg_percentile",
+    "agg_geomean_udaf",
+    "grouped_zscore_applyinpandas",
+    "mapinarrow_bytelen",
+    "dedup_embedding_lsh",
+    "binaryfile_ingest_scan",
+    "python_datasource_stream",
+    "doc_chunking_udtf",
+    "dataset_hash_split",
+    "pareto_revenue_share",
+    # r5-stable cohort (oldest stable evidence)
+    "window_running_sum",
+    "window_lag_delta",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "events_daily_rollup",
+    "agg_cube",
+    "window_value_functions",
+    "stat_correlation",
+    "translate_dim_names",
+    "dq_range_violations",
+    "dq_uniqueness_violations",
+    "events_json_props",
+    "unpivot_measures",
+    "window_ntile_pctrank",
+    "scd2_customer_segment",
+    "domain_cap_sample",
+    "dedup_survivors",
+    # r6-stable heads (registration order)
+    "skew_top_keys",
+    "fuzzy_part_name_pairs",
+    "events_props_variant",
+    "approx_topk_contract",
+    "xml_csv_roundtrip",
+    "group_by_all_sql",
+    "parameterized_sql",
+    "bitmap_distinct_users",
+    "corpus_drift_kl",
+    "doc_rarity_score",
+    "embedding_quantization_profile",
+    "mixture_rebalance",
+    "sample_exact_k_per_group",
+    "timeseries_gap_fill",
+    "weekly_active_users",
+    "recursive_cte_spine",
+    "order_aging_report",
 )
 
 #: --- Rotation tiers (VERDICT r7 ask #2) -------------------------------
@@ -197,16 +231,20 @@ ROTATION_BACKLOG: tuple[str, ...] = (
 #:     lands and the hash is re-recorded (tools/update_stable_hashes.py).
 #:     Never-checked names are overdue regardless of tier.
 #:
-#: Satisfiability (asserted by tests/test_registry.py): per-round slot
-#: demand at steady state is ceil(|core|/3) + ceil(|stable|/8)
-#: = ceil(102/3) + ceil(115/8) = 34 + 15 = 49 ≤ 50 at the
-#: end-of-r8 registry (217 names; the test recomputes from the live
-#: registry, so growth that breaks the bound fails loudly — one slot
-#: of slack remains, so r9 should either extend the stable cap or
-#: grow mostly stable-tier).  A flat 3-round cap would demand
-#: ceil(217/3) = 73 > 50.
+#: Satisfiability (asserted by tests/test_registry.py, which
+#: RECOMPUTES the demand from the live registry — the authoritative
+#: numbers live in that test's output, not here).  At the start-of-r9
+#: registry (218 names, |core|=102, |stable|=116) the per-round slot
+#: demand is ceil(102/3) + ceil(116/10) = 34 + 12 = 46 ≤ 50, leaving
+#: 4 slots of slack for r9 growth (VERDICT r8 ask #2: the previous
+#: 8-round stable cap put demand at 49/50, one core operator from the
+#: bound).  The stable cap can be this long precisely because of the
+#: source-hash guard: a stable name is only on the long leash while
+#: its value-defining source is byte-identical to what was last
+#: proved green — any edit re-promotes it to the 3-round core cap.
+#: A flat 3-round cap would demand ceil(218/3) = 73 > 50.
 CORE_STALENESS_CAP = 3
-STALENESS_CAP_STABLE = 8
+STALENESS_CAP_STABLE = 10
 
 CORE_TIER: frozenset[str] = frozenset({
     # flagship / pipeline / metric views

@@ -165,9 +165,32 @@ def test_stale_queries_all_scheduled_or_queued():
     uncovered = (
         stale - set(registry.DRIVER_WINDOW) - set(registry.ROTATION_BACKLOG)
     )
+    # Distinguish the two failure causes in the message: a stable-tier
+    # name can go "stale" purely because its recorded source hash
+    # drifted (an edit to the function, its oracle, or a shared value
+    # helper in registry._HASH_CLOSURE_FILES demotes it to the core
+    # cap).  That case has a copy-paste fix; genuine rotation debt
+    # does not.
+    drifted = sorted(
+        n for n in uncovered
+        if n not in registry.CORE_TIER
+        and _recorded_hashes().get(n) != registry.source_hash(n)
+    )
+    hint = (
+        (
+            f"\nOf these, {drifted} are stable-tier names whose source "
+            f"hash drifted from tests/stable_plan_hashes.json (edited "
+            f"query fn / oracle / shared helper). After re-verifying "
+            f"them green (python tools/verify_local.py "
+            f"/root/testdata/sf0.01 <names>), regenerate the baseline:"
+            f"\n    python tools/update_stable_hashes.py"
+        )
+        if drifted
+        else ""
+    )
     assert not uncovered, (
         f"stale queries fell off both the window and the backlog: "
-        f"{sorted(uncovered)}"
+        f"{sorted(uncovered)}{hint}"
     )
 
 
