@@ -1871,17 +1871,29 @@ def q_dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle uses NOT EXISTS, not NOT IN (ADVICE r8): NOT IN over a
+# subquery containing any NULL returns zero rows for the WHOLE check —
+# engine disagreement with Spark's left_anti exactly on the dirty
+# inputs a DQ check exists for.  NOT EXISTS has left_anti's null
+# semantics (a NULL FK never equals anything, so it counts as an
+# orphan on both engines).
 register(
     "dq_referential_orphans",
     q_dq_referential_orphans,
     """
     SELECT 'lineitem_without_order' AS check, COUNT(*) AS n_violations
-    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
     UNION ALL
     SELECT 'order_without_customer', COUNT(*)
-    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
     UNION ALL
     SELECT 'order_without_lineitems', COUNT(*)
-    FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey)
     """,
 )

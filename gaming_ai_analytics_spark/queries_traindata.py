@@ -62,7 +62,17 @@ def hash_bucket(key: Column, mod: int) -> Column:
     the key mod the largest 32-bit prime (overflow-free over the
     whole int64 domain), then the LCG multiply, mod ``mod``.  The
     STRUCTURE lives exactly once — an overflow-strategy change here
-    re-derives every Spark and SQL site together."""
+    re-derives every Spark and SQL site together.
+
+    CONSTRAINT on ``mod`` (ADVICE r8, high): both LCG constants are
+    divisible by 15 (gcd(_SPLIT_MUL, _SPLIT_ADD) = 15·823), so for
+    any ``mod`` sharing a factor d with 15 the output only ever hits
+    residues ≡ 0 (mod d) — ``hash_bucket(key, 5)`` is CONSTANT 0 and
+    mod 10000 hits only multiples of 5.  Small-k assignments must
+    band the 10000-bucket space instead (:func:`kfold_assign`);
+    threshold-style consumers (``split_assign``) are unaffected
+    because the reachable multiples-of-5 stay uniform across any
+    multiple-of-5 threshold."""
     folded = F.pmod(key, F.lit(_SPLIT_FOLD))
     return F.pmod(folded * _SPLIT_MUL + _SPLIT_ADD, F.lit(mod))
 
@@ -97,6 +107,28 @@ def split_assign_sql(key: str) -> str:
         f"WHEN {bucket} < {_SPLIT_VAL_LT} THEN 'val' "
         f"ELSE 'test' END"
     )
+
+
+def kfold_assign(key: Column, k: int) -> Column:
+    """Fold ∈ [0, k) from k equal-width BANDS of the 10000-bucket
+    space — ``floor(bucket / (10000/k))`` — NOT ``hash_bucket(key, k)``:
+    the raw small-modulus residue is degenerate for any k sharing a
+    factor with 15 (ADVICE r8 high — k=5 put every key in fold 0
+    while the SQL twin agreed, so the oracle gate stayed green on a
+    broken assignment).  Banding uses the bucket's high-order
+    information; the reachable multiples-of-5 are uniform within each
+    band, so folds balance at ~1/k.  ``k`` must divide _SPLIT_MOD."""
+    assert _SPLIT_MOD % k == 0, f"k={k} must divide {_SPLIT_MOD}"
+    width = _SPLIT_MOD // k
+    return F.floor(hash_bucket(key, _SPLIT_MOD) / F.lit(width))
+
+
+def kfold_assign_sql(key: str, k: int) -> str:
+    """The identical fold banding as portable SQL (oracle twin).
+    Integer division via FLOOR over an exact small-int quotient."""
+    assert _SPLIT_MOD % k == 0, f"k={k} must divide {_SPLIT_MOD}"
+    width = _SPLIT_MOD // k
+    return f"FLOOR(({hash_bucket_sql(key, _SPLIT_MOD)}) / {width})"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2003,16 +2035,17 @@ register(
 # --------------------------------------------------------------------------
 def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 5-fold cross-validation assignment with
-    per-stratum (source) fold balance readout: fold = the
-    ``split_assign`` multiplicative hash bucket mod 5 (same
-    engine-portable, overflow-free arithmetic — a rand() fold is
-    neither stable across reruns nor reproducible across engines).
-    Map-only assignment; the summary aggregates on a
-    |sources|×5-value key.  The readout is what a CV harness checks
-    before trusting fold metrics: folds within a stratum should hold
-    ~1/k of its documents each."""
+    per-stratum (source) fold balance readout: fold = a 2000-wide
+    BAND of the shared 10000-bucket hash space (:func:`kfold_assign`
+    — same engine-portable, overflow-free arithmetic as
+    ``split_assign``; a rand() fold is neither stable across reruns
+    nor reproducible across engines, and the raw ``bucket % 5``
+    residue is degenerate — ADVICE r8 high).  Map-only assignment;
+    the summary aggregates on a |sources|×5-value key.  The readout
+    is what a CV harness checks before trusting fold metrics: folds
+    within a stratum should hold ~1/k of its documents each."""
     docs = load_table(spark, sf_dir, "documents")
-    fold = hash_bucket(F.col("doc_id"), 5)
+    fold = kfold_assign(F.col("doc_id"), 5)
     per = docs.groupBy(
         F.col("source"), fold.cast("int").alias("fold")
     ).agg(F.count(F.lit(1)).alias("n_docs"))
@@ -2033,7 +2066,7 @@ register(
     f"""
     WITH assigned AS (
       SELECT source,
-             CAST(({hash_bucket_sql("doc_id", 5)}) AS INT) AS fold
+             CAST(({kfold_assign_sql("doc_id", 5)}) AS INT) AS fold
       FROM documents),
     per AS (
       SELECT source, fold, COUNT(*) AS n_docs

@@ -136,3 +136,66 @@ def test_skew_top_keys_ranks_planted_hot_key(spark):
     assert out[0].user_id == 99 and out[0].rows == 50
     assert abs(out[0].share - round(50 / 60, 6)) < 1e-9
     assert len(out) == 10
+
+
+def test_dq_referential_orphans_null_fk_cross_engine(spark, tmp_path):
+    """ADVICE r8: the oracle's previous NOT IN form returned ZERO rows
+    for a whole check whenever the referenced subquery contained a
+    NULL — disagreeing with Spark's left_anti exactly on dirty data.
+    Pin both engines on a fixture with (a) a NULL FK on the probe
+    side, (b) a NULL key on the build side, and (c) genuine orphans:
+    the NOT EXISTS oracle and the anti-join must agree that NULL FKs
+    count as orphans."""
+    import duckdb
+
+    from gaming_ai_analytics_spark import registry
+    from gaming_ai_analytics_spark.queries_ext import (
+        q_dq_referential_orphans,
+    )
+
+    (
+        spark.createDataFrame(
+            # one valid child, one orphan (order 404), one NULL FK
+            [(1, 10), (2, 404), (3, None)],
+            "l_linenumber long, l_orderkey long",
+        ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    )
+    (
+        spark.createDataFrame(
+            # order 10 valid; order 20 childless + orphan custkey;
+            # order 30 childless + NULL custkey; NULL orderkey row
+            [(10, 100), (20, 999), (30, None), (None, 100)],
+            "o_orderkey long, o_custkey long",
+        ).write.parquet(f"{tmp_path}/orders.parquet")
+    )
+    (
+        spark.createDataFrame(
+            [(100,), (None,)], "c_custkey long"
+        ).write.parquet(f"{tmp_path}/customer.parquet")
+    )
+
+    got = {
+        r.check: r.n_violations
+        for r in q_dq_referential_orphans(spark, str(tmp_path)).collect()
+    }
+    # NULL l_orderkey and NULL o_custkey are orphans (never match);
+    # the NULL o_orderkey order matches no lineitem
+    assert got == {
+        "lineitem_without_order": 2,       # 404 + NULL
+        "order_without_customer": 2,       # 999 + NULL
+        "order_without_lineitems": 3,      # 20, 30, NULL
+    }
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer"):
+        con.execute(  # Spark writes a directory per table
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM '{tmp_path}/{t}.parquet/*.parquet'"
+        )
+    oracle = {
+        check: n
+        for check, n in con.execute(
+            registry.oracle_for("dq_referential_orphans")
+        ).fetchall()
+    }
+    assert oracle == got

@@ -872,3 +872,53 @@ def test_stratified_kfold_shares_sum_to_one(spark, sf_dir):
         by_src[r.source] += r.fold_share
     for src, tot in by_src.items():
         assert abs(tot - 1.0) < 5e-4, (src, tot)  # 4dp rounding drift
+
+
+def test_stratified_kfold_actually_stratifies(spark, sf_dir):
+    """The assignment must USE all k folds with ~1/k balance — the
+    guard the shares-sum-to-one test can't provide (ADVICE r8 medium:
+    per-source shares trivially sum to 1 even with every row in fold
+    0, which is exactly what the pre-fix ``bucket % 5`` produced)."""
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_stratified_kfold,
+    )
+
+    rows = q_stratified_kfold(spark, sf_dir).collect()
+    assert {r.fold for r in rows} == {0, 1, 2, 3, 4}
+    # global balance: ~0.2 per fold (strata on the tiny fixture are
+    # 10-docs small, so per-stratum shares are binomially noisy; the
+    # corpus-level share is the stable signal)
+    per_fold: dict = {}
+    total = 0
+    for r in rows:
+        per_fold[r.fold] = per_fold.get(r.fold, 0) + r.n_docs
+        total += r.n_docs
+        # hard degeneracy guard per stratum: never ALL docs one fold
+        assert r.fold_share < 1.0, (r.source, r.fold, r.fold_share)
+    for fold, n in per_fold.items():
+        assert n / total < 0.35, (fold, n / total)
+
+
+def test_kfold_assign_balanced_over_full_key_domain(spark):
+    """Property check straight at the helper: over a contiguous and a
+    sparse int64 key range, every fold appears and the max/min fold
+    count ratio stays near 1 (the pre-fix residue form put 100% of
+    keys in fold 0)."""
+    from gaming_ai_analytics_spark.queries_traindata import kfold_assign
+
+    import pyspark.sql.functions as F
+
+    for keys in (
+        spark.range(0, 20_000).select(F.col("id").alias("k")),
+        spark.range(0, 20_000).select(
+            (F.col("id") * 7_777_777_777 + 3).alias("k")
+        ),
+    ):
+        counts = dict(
+            keys.select(kfold_assign(F.col("k"), 5).alias("fold"))
+            .groupBy("fold")
+            .count()
+            .collect()
+        )
+        assert set(counts) == {0, 1, 2, 3, 4}, counts
+        assert max(counts.values()) / min(counts.values()) < 1.2, counts
