@@ -565,3 +565,31 @@ def test_pareto_window_is_bounded_and_exchange_reused(spark, sf_dir):
     assert "Sort [" not in plan[win_at:take_at], (
         "global sort feeds the pareto window"
     )
+
+
+def test_quantile_normalize_window_is_bucketed(spark, sf_dir):
+    """VERDICT r8 ask #3: the per-source quantile normalization must
+    NOT sort a whole source's corpus slice in one reducer.  Pinned
+    shape: the only window is keyed on (source, _bkt) — the exact
+    integer-bucket range partitioning — its feeding exchange hashes
+    both keys, and the prefix offsets arrive via BroadcastExchange
+    (never a shuffle join).  A percent_rank window or any
+    source-only partitioning is the r8 scale hazard reappearing."""
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_quality_quantile_normalize,
+    )
+
+    df = q_quality_quantile_normalize(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "percent_rank" not in plan
+    win_at = plan.index("Window [row_number()")
+    spec = plan[win_at:plan.index("\n", win_at)]
+    assert "source" in spec and "_bkt" in spec, spec
+    assert "BroadcastExchange" in plan
+    # every corpus exchange must carry the bucket key — a
+    # source-only hashpartitioning is the one-task-per-source sort
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "_bkt" in m.group(1), m.group(0)
