@@ -27,7 +27,26 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
 def normalize_text(col: Column) -> Column:
     """Canonical form for dedup/fingerprinting: lowercase, strip
-    non-alphanumerics, collapse whitespace."""
+    non-alphanumerics, collapse whitespace.
+
+    FUSED single-regex form (r9, VERDICT r8 ask #4): one
+    ``regexp_replace('[^a-z0-9]+', ' ')`` pass replaces the previous
+    strip-then-collapse pair.  Value-identical by the run argument:
+    after ``lower``, view the text as alternating maximal runs of
+    alphanumerics and non-alphanumerics (spaces included in the
+    latter) — the two-pass form maps each non-alnum run to all-spaces
+    then collapses it to one space; the fused class maps the same run
+    to one space directly; ``trim`` handles the edge runs identically
+    (hypothesis-pinned against :func:`normalize_text_2pass`).  The
+    SQL twin (text_sql.NORM) keeps the two-pass spelling — the VALUES
+    are identical, so the oracle is unchanged."""
+    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+
+
+def normalize_text_2pass(col: Column) -> Column:
+    """The r4–r8 two-regex formulation of :func:`normalize_text` —
+    kept as the equivalence-test reference and the fingerprint-A/B
+    baseline arm (BASELINE.md §3), NOT registered anywhere."""
     c = F.lower(col)
     c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
     c = F.regexp_replace(c, " +", " ")

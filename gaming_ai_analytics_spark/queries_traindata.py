@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gaming_ai_analytics_spark.functions.text import (
-    doc_fingerprint,
+    normalize_text,
     pii_match_count,
     redact_pii,
     repetition_metrics,
@@ -1276,12 +1276,24 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints keep this registration SQL-expressible for the
     oracle.  ``n_clusters`` rides along so consumers can see the
     dedup mass per split (docs − clusters = duplicates bound to their
-    representative's split)."""
+    representative's split).
+
+    Fingerprint lever (r9, VERDICT r8 ask #4): the fingerprint is
+    ONLY a grouping key here — never an output value — so it is
+    ``xxhash64`` of the fused single-regex ``normalize_text``, not
+    ``md5`` of the two-regex form: any injective recoding of the
+    normalized text induces the same cluster partition, hence the
+    same min-doc_id representatives and the same splits.  Interleaved
+    A/B (tools/exp_fingerprint_ab.py, BASELINE.md §3): 2.47× at sf1
+    and 12.8× at sf10 over the r8 form (the two dropped per-row
+    intermediate string allocations dominate under sf10 memory
+    pressure).  The oracle groups by the normalized STRING itself —
+    same partition, identical 3-row output."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
     clusters = (
-        docs.groupBy(doc_fingerprint(F.col("text")).alias("_fp"))
+        docs.groupBy(F.xxhash64(normalize_text(F.col("text"))).alias("_fp"))
         .agg(
             F.min("doc_id").alias("_rep"),
             F.count(F.lit(1)).alias("_n_docs"),
@@ -1443,7 +1455,7 @@ register(
     q_leakage_safe_split,
     f"""
     WITH c AS (
-      SELECT md5({_NORM}) AS fp, MIN(doc_id) AS rep,
+      SELECT {_NORM} AS fp, MIN(doc_id) AS rep,
              COUNT(*) AS n_docs, SUM(n_chars) AS chars
       FROM documents WHERE text IS NOT NULL
       GROUP BY 1)

@@ -587,3 +587,44 @@ def test_frequent_itemset_pairs_matches_bruteforce(
             (r.pair_support * n) / (r.support_a * r.support_b), 6
         )
         assert abs(r.lift - ref) < 1e-9
+
+
+# --- fused text normalization -----------------------------------------------
+_norm_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("abYZ09 .!-_\t\n") + ["é", "漢"]),
+        max_size=24,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(**SETTINGS)
+@given(_norm_texts)
+def test_normalize_text_fused_equals_2pass(spark, texts):
+    """The r9 fused single-regex normalize_text must be
+    value-identical to the r4–r8 strip-then-collapse pair on
+    arbitrary text — mixed junk/space runs, unicode, edge runs,
+    empty and whitespace-only strings.  The SQL oracle twin (NORM)
+    keeps the two-pass spelling, so this equivalence is what keeps
+    every fingerprint oracle green."""
+    from gaming_ai_analytics_spark.functions.text import (
+        normalize_text,
+        normalize_text_2pass,
+    )
+
+    texts = texts + [
+        "", " ", "  a  b  ", "a!!b", "!a!", "Hello, World!\n",
+        "é é", "a\t\nb", "...", "A-1_b 2", "漢字 test",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    rows = df.select(
+        "text",
+        normalize_text(F.col("text")).alias("fused"),
+        normalize_text_2pass(F.col("text")).alias("twopass"),
+    ).collect()
+    for r in rows:
+        assert r.fused == r.twopass, (repr(r.text), r.fused, r.twopass)
