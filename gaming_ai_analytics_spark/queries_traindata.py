@@ -1988,6 +1988,178 @@ register(
 
 
 # --------------------------------------------------------------------------
+# iterative BPE trainer (N greedy merge rounds, ONE corpus scan)
+# --------------------------------------------------------------------------
+#: Merge rounds for the registered iterative trainer.  The oracle is
+#: UNROLLED per round, so this is a registration-time constant.
+BPE_ROUNDS = 8
+#: Token separator inside the segmentation string: the unit-separator
+#: control char, absent from natural text (words containing it are
+#: filtered identically on both engines — cheap insurance, zero rows
+#: on real corpora).
+_BPE_SEP = "\x1f"
+
+
+def bpe_train(wc: DataFrame, rounds: int) -> list[tuple]:
+    """Run ``rounds`` greedy BPE merges over a word-frequency frame
+    ``(w string, f long)`` — Sennrich et al. 2016, no end-of-word
+    markers — and return [(round, lhs, rhs, merged, pair_count)].
+
+    Distributed iteration shape (VERDICT r8 ask #5): the corpus was
+    already collapsed to the vocab-bounded word-frequency table by
+    the caller; every round here touches ONLY vocab-sized frames —
+    a 100 TB corpus pays corpus cost exactly once regardless of the
+    number of merge rounds (test-pinned in
+    tests/test_traindata.py::test_bpe_iterations_single_corpus_scan).
+
+    Per round: (1) adjacent-pair counts weighted by word frequency
+    (explode bounded by Σ|word|, one vocab shuffle, map-side
+    combined), (2) the argmax pair collected to the driver — ONE row
+    per round, a documented bounded merge; it must come to the driver
+    because it parameterizes the next round's merge expression —
+    (3) the merge applied per word as a left-to-right fold over the
+    segmentation string (``F.aggregate``; greedy non-overlapping by
+    construction: a merged token ``lhs||rhs`` can never re-match as
+    ``lhs`` within the same pass), (4) ``localCheckpoint`` so round
+    r+1's plan starts from materialized vocab rows instead of
+    re-evaluating r stacked fold lambdas (keeps total work O(rounds),
+    not O(rounds²)).
+
+    The segmentation lives as a ``chr(31)``-joined STRING, not an
+    array: the fold accumulator is then a flat concat/endswith chain
+    — and the DuckDB oracle twin can express the identical fold with
+    ``list_reduce`` (whose accumulator must be element-typed)."""
+    sep = _BPE_SEP
+    toks = wc.filter(~F.contains("w", F.lit(sep))).select(
+        "w",
+        "f",
+        F.expr(
+            "array_join(transform(sequence(1, length(w)),"
+            " i -> substring(w, i, 1)), chr(31))"
+        ).alias("seg"),
+    ).localCheckpoint()
+    merges: list[tuple] = []
+    for r in range(1, rounds + 1):
+        t = F.split("seg", sep)
+        best = (
+            toks.select("f", t.alias("t"))
+            .filter(F.size("t") >= 2)
+            .select(
+                "f",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(t)-1),"
+                        " i -> struct(t[i-1] AS lhs, t[i] AS rhs))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("f").alias("cnt"))
+            .orderBy(F.desc("cnt"), "lhs", "rhs")
+            .limit(1)
+            .collect()
+        )
+        if not best:  # every word fully merged — converged early
+            break
+        lhs, rhs, cnt = best[0].lhs, best[0].rhs, int(best[0].cnt)
+        merges.append((r, lhs, rhs, lhs + rhs, cnt))
+        fold = F.aggregate(
+            F.split("seg", sep),
+            F.lit(""),
+            lambda acc, x: F.when(acc == "", x)
+            .when(
+                (x == F.lit(rhs))
+                & ((acc == F.lit(lhs)) | acc.endswith(sep + lhs)),
+                F.concat(acc, F.lit(rhs)),
+            )
+            .otherwise(F.concat(acc, F.lit(sep), x)),
+        )
+        toks = toks.withColumn("seg", fold).localCheckpoint()
+    return merges
+
+
+def q_bpe_merge_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-round BPE tokenizer-trainer loop (VERDICT r8 ask #5 — the
+    iterative extension of ``bpe_merge_pairs``): ONE corpus scan
+    collapses the corpus to the word-frequency table, then
+    :func:`bpe_train` runs ``BPE_ROUNDS`` greedy merges over
+    vocab-sized frames only.  Output = the merge table a tokenizer
+    ships: (merge_round, lhs, rhs, merged, pair_count), pair counts
+    measured on the segmentation BEFORE that round's merge."""
+    docs = _docs(spark, sf_dir)
+    wc = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    merges = bpe_train(wc, BPE_ROUNDS)
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, lhs string, rhs string,"
+        " merged string, pair_count long",
+    )
+
+
+def _bpe_iterations_oracle(rounds: int) -> str:
+    """The UNROLLED oracle: one CTE chain per merge round.  Each
+    round replays the identical greedy fold with ``list_reduce``
+    (accumulator = the chr(31)-joined segmentation string) and picks
+    the same (cnt DESC, lhs, rhs) argmax; a LEFT JOIN ON TRUE keeps
+    the chain alive if a round has no pairs (empty best ⇒
+    segmentation passes through unchanged ⇒ zero output rows for
+    that and later rounds — matching the Spark loop's early break)."""
+    parts = [f"""
+    WITH toks AS (
+      SELECT {_TOKS} AS t FROM documents WHERE {_NONEMPTY}),
+    wc AS (
+      SELECT w, COUNT(*) AS f
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+    toks0 AS (
+      SELECT w, f,
+             array_to_string(list_transform(generate_series(1, length(w)),
+                                            i -> substring(w, i, 1)),
+                             chr(31)) AS seg
+      FROM wc WHERE strpos(w, chr(31)) = 0)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    pairs{r} AS (
+      SELECT t[i] AS lhs, t[i+1] AS rhs, SUM(f) AS cnt
+      FROM (SELECT f, string_split(seg, chr(31)) AS t FROM toks{r - 1}),
+           UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+      GROUP BY 1, 2),
+    best{r} AS (
+      SELECT lhs, rhs, cnt FROM pairs{r}
+      ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+    toks{r} AS (
+      SELECT w, f,
+             CASE WHEN b.lhs IS NULL THEN seg ELSE
+               list_reduce(list_prepend('', string_split(seg, chr(31))),
+                 (acc, x) -> CASE
+                   WHEN acc = '' THEN x
+                   WHEN x = b.rhs AND (acc = b.lhs
+                        OR ends_with(acc, chr(31) || b.lhs))
+                     THEN acc || b.rhs
+                   ELSE acc || chr(31) || x END)
+             END AS seg
+      FROM toks{r - 1} LEFT JOIN best{r} b ON TRUE)""")
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS merge_round, lhs, rhs,"
+        f" lhs || rhs AS merged, CAST(cnt AS BIGINT) AS pair_count"
+        f" FROM best{r}"
+        for r in range(1, rounds + 1)
+    )
+    parts.append(f"\n    {selects} ORDER BY merge_round")
+    return "".join(parts)
+
+
+register(
+    "bpe_merge_iterations",
+    q_bpe_merge_iterations,
+    _bpe_iterations_oracle(BPE_ROUNDS),
+)
+
+
+# --------------------------------------------------------------------------
 # user event sequences (behavior-model training data)
 # --------------------------------------------------------------------------
 def q_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -152,6 +152,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: this list, as in r7/r8.
 ROTATION_BACKLOG: tuple[str, ...] = (
     # r9-touched plans (fresh row owed; new r9 operators join here too)
+    "bpe_merge_iterations",  # NEW r9 (zero driver evidence)
     "leakage_safe_split",  # fingerprint lever re-plan (r9)
     # rolled r5-core
     "orc_roundtrip_scan",
@@ -354,6 +355,7 @@ CORE_TIER: frozenset[str] = frozenset({
     "tf_idf",
     "text_analysis_profile",
     "bpe_merge_pairs",
+    "bpe_merge_iterations",
     "user_event_sequences",
     "pii_redact",
     "multimodal_frame_sample",

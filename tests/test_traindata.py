@@ -922,3 +922,66 @@ def test_kfold_assign_balanced_over_full_key_domain(spark):
         )
         assert set(counts) == {0, 1, 2, 3, 4}, counts
         assert max(counts.values()) / min(counts.values()) < 1.2, counts
+
+
+def _parquet_scan_executions(spark, needle: str) -> int:
+    """Count completed SQL executions whose physical plan scans a
+    path containing ``needle`` (SQLAppStatusStore — the same data the
+    Spark UI's SQL tab shows)."""
+    store = spark._jsparkSession.sharedState().statusStore()
+    execs = store.executionsList()
+    return sum(
+        1
+        for i in range(execs.size())
+        if needle in execs.apply(i).physicalPlanDescription()
+    )
+
+
+def test_bpe_iterations_single_corpus_scan(spark, tmp_path):
+    """VERDICT r8 ask #5: merge rounds must never re-touch the
+    corpus.  Pinned by counting SQL executions that scan the fixture
+    parquet: 2 rounds and 6 rounds trigger the SAME number of
+    corpus-scanning executions (the one word-frequency collapse) —
+    every per-round job runs off checkpointed vocab frames."""
+    from gaming_ai_analytics_spark.queries_traindata import bpe_train
+
+    (
+        spark.createDataFrame(
+            [(i, "abab low low lower") for i in range(50)],
+            "doc_id long, text string",
+        ).write.parquet(f"{tmp_path}/corpus.parquet")
+    )
+
+    def run(rounds: int) -> int:
+        wc = (
+            spark.read.parquet(f"{tmp_path}/corpus.parquet")
+            .select(F.explode(F.split("text", " ")).alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("f"))
+        )
+        before = _parquet_scan_executions(spark, "corpus.parquet")
+        merges = bpe_train(wc, rounds)
+        after = _parquet_scan_executions(spark, "corpus.parquet")
+        assert len(merges) == rounds  # plenty of pairs in the fixture
+        return after - before
+
+    scans_2, scans_6 = run(2), run(6)
+    assert scans_2 == scans_6, (scans_2, scans_6)
+    assert scans_2 == 1, scans_2  # exactly the word-freq collapse
+
+
+def test_bpe_iterations_greedy_merge_semantics(spark):
+    """The fold must implement Sennrich's greedy non-overlapping
+    merge: 'aaaa' under pair (a,a) becomes [aa, aa], never [aa, a, a]
+    or a triple-merge; and a merged token never re-matches as the
+    pair's left side within the same pass."""
+    from gaming_ai_analytics_spark.queries_traindata import bpe_train
+
+    wc = spark.createDataFrame(
+        [("aaaa", 10), ("aab", 1)], "w string, f long"
+    )
+    merges = bpe_train(wc, 2)
+    # round 1: (a,a) count = 3*10 + 1 = 31 -> aaaa=[aa,aa], aab=[aa,b]
+    assert merges[0][1:] == ("a", "a", "aa", 31)
+    # round 2: (aa,aa) count 10 vs (aa,b) count 1
+    assert merges[1][1:] == ("aa", "aa", "aaaa", 10)
