@@ -2000,7 +2000,9 @@ BPE_ROUNDS = 8
 _BPE_SEP = "\x1f"
 
 
-def bpe_train(wc: DataFrame, rounds: int) -> list[tuple]:
+def bpe_train(
+    wc: DataFrame, rounds: int, return_state: bool = False
+) -> list[tuple] | tuple[list[tuple], DataFrame]:
     """Run ``rounds`` greedy BPE merges over a word-frequency frame
     ``(w string, f long)`` — Sennrich et al. 2016, no end-of-word
     markers — and return [(round, lhs, rhs, merged, pair_count)].
@@ -2075,6 +2077,8 @@ def bpe_train(wc: DataFrame, rounds: int) -> list[tuple]:
             .otherwise(F.concat(acc, F.lit(sep), x)),
         )
         toks = toks.withColumn("seg", fold).localCheckpoint()
+    if return_state:  # (merges, final per-word segmentation frame)
+        return merges, toks
     return merges
 
 
@@ -2156,6 +2160,58 @@ register(
     "bpe_merge_iterations",
     q_bpe_merge_iterations,
     _bpe_iterations_oracle(BPE_ROUNDS),
+)
+
+
+def q_bpe_vocab_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained tokenizer APPLIED: the 30 most frequent words with
+    their final segmentation after the ``BPE_ROUNDS`` greedy merges —
+    the readout a tokenizer trainer ships next to the merge table
+    (``bpe_merge_iterations``) and the sanity check that frequent
+    words actually coalesce.  Same one-corpus-scan shape: training
+    state is the vocab-bounded segmentation frame, and the output is
+    a 30-row TakeOrderedAndProject of it."""
+    docs = _docs(spark, sf_dir)
+    wc = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    _, toks = bpe_train(wc, BPE_ROUNDS, return_state=True)
+    return (
+        toks.select(
+            "w",
+            F.col("f").cast("long").alias("f"),
+            F.replace(F.col("seg"), F.lit(_BPE_SEP), F.lit(" ")).alias(
+                "segmentation"
+            ),
+            F.size(F.split("seg", _BPE_SEP)).alias("n_tokens"),
+        )
+        .orderBy(F.desc("f"), "w")
+        .limit(30)
+    )
+
+
+def _bpe_segmentation_oracle(rounds: int) -> str:
+    """The terminal state of the SAME unrolled CTE chain the merge
+    oracle uses: toks{rounds} IS the trained segmentation."""
+    chain = _bpe_iterations_oracle(rounds)
+    # keep the WITH chain, swap the final merge-table SELECT for the
+    # segmentation readout
+    head = chain[: chain.rindex("\n    SELECT CAST(1 AS INT)")]
+    return head + f"""
+    SELECT w, CAST(f AS BIGINT) AS f,
+           replace(seg, chr(31), ' ') AS segmentation,
+           CAST(len(string_split(seg, chr(31))) AS INT) AS n_tokens
+    FROM toks{rounds}
+    ORDER BY f DESC, w LIMIT 30
+    """
+
+
+register(
+    "bpe_vocab_segmentation",
+    q_bpe_vocab_segmentation,
+    _bpe_segmentation_oracle(BPE_ROUNDS),
 )
 
 

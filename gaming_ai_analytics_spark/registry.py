@@ -153,6 +153,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 ROTATION_BACKLOG: tuple[str, ...] = (
     # r9-touched plans (fresh row owed; new r9 operators join here too)
     "bpe_merge_iterations",  # NEW r9 (zero driver evidence)
+    "bpe_vocab_segmentation",  # NEW r9 (zero driver evidence)
     "leakage_safe_split",  # fingerprint lever re-plan (r9)
     # rolled r5-core
     "orc_roundtrip_scan",
@@ -356,6 +357,7 @@ CORE_TIER: frozenset[str] = frozenset({
     "text_analysis_profile",
     "bpe_merge_pairs",
     "bpe_merge_iterations",
+    "bpe_vocab_segmentation",
     "user_event_sequences",
     "pii_redact",
     "multimodal_frame_sample",

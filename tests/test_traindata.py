@@ -985,3 +985,29 @@ def test_bpe_iterations_greedy_merge_semantics(spark):
     assert merges[0][1:] == ("a", "a", "aa", 31)
     # round 2: (aa,aa) count 10 vs (aa,b) count 1
     assert merges[1][1:] == ("aa", "aa", "aaaa", 10)
+
+
+def test_bpe_vocab_segmentation_consistent_with_merges(spark, sf_dir):
+    """The applied segmentation must be reachable from the merge
+    table: every multi-token word's adjacent token pairs are NOT in
+    the learned merge list (otherwise the trainer would have merged
+    them... at its frequency rank or the word still carries an
+    unapplied merge), and concatenating a word's tokens restores the
+    word."""
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_bpe_merge_iterations,
+        q_bpe_vocab_segmentation,
+    )
+
+    merges = {
+        (r.lhs, r.rhs) for r in q_bpe_merge_iterations(spark, sf_dir).collect()
+    }
+    rows = q_bpe_vocab_segmentation(spark, sf_dir).collect()
+    assert rows and len(rows) <= 30
+    for r in rows:
+        toks = r.segmentation.split(" ")
+        assert "".join(toks) == r.w
+        assert r.n_tokens == len(toks)
+        # greedy-exhaustion: no learned merge still applicable
+        for i in range(len(toks) - 1):
+            assert (toks[i], toks[i + 1]) not in merges, (r.w, toks)
