@@ -84,7 +84,8 @@ def _load_all() -> None:
 #: CORRECTNESS_r08 is committed).  ``orc_roundtrip_scan`` — the
 #: lowest-risk member of that cohort (schema-pinned format
 #: round-trip, byte-identical plan since r5) — rolls to the backlog
-#: head; the heavy ``dedup_cluster_assign_star`` takes its slot.
+#: (behind the new/re-planned r9 names); the heavy
+#: ``dedup_cluster_assign_star`` takes its slot.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- never-checked r8 operators (zero driver evidence) -----------
     "dedup_containment_prefix",
