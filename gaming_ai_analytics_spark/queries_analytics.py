@@ -1745,26 +1745,35 @@ def q_funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable; the raw ns timestamp is not (`user_event_sequences`
     documents the same choice).
 
-    Scale shape: first-conversion is a filtered groupBy(user) MIN
-    (map-combined), joined back on the user key; touchpoints dedupe
-    on (user, type); the per-user touch count rides a bounded window
-    over ≤|event_types| rows per user; final credit aggregates on the
-    |event_types|-sized key. No global sorts, no driver state."""
+    Scale shape (r9 single-scan form — the r8 plan joined a
+    groupBy(user) MIN frame back to a SECOND events scan): the
+    first-conversion anchor is a conditional-min window
+    (``min(CASE qualifying THEN event_id END) OVER (user)`` — NULL
+    for never-converting users, so the ``<`` filter drops them like
+    the old inner join did), which needs the SAME user-key exchange
+    the old join needed — but then hash(user) satisfies every
+    downstream requirement (the (user, type) dedup aggregate via the
+    subset rule, and the per-user count window), so the WHOLE plan is
+    ONE events scan + ONE corpus exchange + the |event_types|-sized
+    final aggregate (plan-pinned in tests/test_plans.py).  The
+    per-user state is bounded at ≤|event_types| rows after the
+    dedup."""
     ev = load_events(spark, sf_dir).select(
         "user_id", "event_type", "event_id", "value"
     )
-    conv = (
-        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 100))
-        .groupBy("user_id")
-        .agg(F.min("event_id").alias("_conv_eid"))
-    )
+    w_user = Window.partitionBy("user_id")
+    conv_eid = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("value") > 100),
+            F.col("event_id"),
+        )
+    ).over(w_user)
     touches = (
-        ev.join(conv, "user_id")
+        ev.withColumn("_conv_eid", conv_eid)
         .filter(F.col("event_id") < F.col("_conv_eid"))
         .select("user_id", "event_type")
         .distinct()
     )
-    w_user = Window.partitionBy("user_id")
     credited = touches.withColumn(
         "_credit", F.lit(1.0) / F.count(F.lit(1)).over(w_user)
     )

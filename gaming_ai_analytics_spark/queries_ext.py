@@ -1837,38 +1837,61 @@ def q_dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate runs after every load — `dq_uniqueness_violations` guards
     keys, this guards EDGES.
 
-    Scale shape: three LEFT ANTI joins (each a key-partitioned hash
-    join whose output is only the violations — at a healthy 100 TB
-    load, near-zero rows move after the probe) reduced to one-row
-    counts and unioned into a 3-row report. Anti-join beats a
-    count-distinct reconciliation: no giant distinct state, and AQE
-    broadcast-converts whichever side shrinks below threshold."""
+    Scale shape (r9): the two orderkey-edge checks fold into ONE
+    FULL OUTER join — an unmatched lineitem row (order side NULL) is
+    a lineitem orphan, an unmatched order row (lineitem side NULL) is
+    a childless order, each appearing exactly once — so lineitem
+    shuffles ONCE and orders twice instead of the r8 three-anti-join
+    plan's 2×/3× (the remaining two orders scans are intrinsic: the
+    two FK edges probe DIFFERENT key columns, each scan pruned to its
+    one int column).  NULL FKs never equal anything, so they land on
+    the unmatched side — the same orphan semantics as left_anti and
+    the NOT EXISTS oracle.  The customer-edge check stays a LEFT ANTI
+    join (violations-only output).  Both joins reduce to counts
+    before the 3-row union, so post-probe row movement is
+    violations-only at a healthy load."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
     )
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
 
-    def one(name: str, df: DataFrame) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("check"),
-            F.count(F.lit(1)).alias("n_violations"),
-        )
-
-    li_orphans = li.join(
-        orders, li["l_orderkey"] == orders["o_orderkey"], "left_anti"
+    edge = li.withColumn("_l", F.lit(1)).join(
+        orders.select("o_orderkey").withColumn("_o", F.lit(1)),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "full_outer",
+    )
+    edge_counts = edge.agg(
+        F.sum(F.when(F.col("_o").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("_li_orphans"),
+        F.sum(F.when(F.col("_l").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("_childless"),
     )
     order_orphans = orders.join(
         cust, orders["o_custkey"] == cust["c_custkey"], "left_anti"
-    )
-    childless = orders.join(
-        li, orders["o_orderkey"] == li["l_orderkey"], "left_anti"
-    )
-    return (
-        one("lineitem_without_order", li_orphans)
-        .unionByName(one("order_without_customer", order_orphans))
-        .unionByName(one("order_without_lineitems", childless))
-    )
+    ).agg(F.count(F.lit(1)).alias("_cust_orphans"))
+
+    report = edge_counts.crossJoin(order_orphans)  # 1 row × 1 row
+    return report.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lineitem_without_order").alias("check"),
+                    F.col("_li_orphans").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("order_without_customer").alias("check"),
+                    F.col("_cust_orphans").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("order_without_lineitems").alias("check"),
+                    F.col("_childless").alias("n_violations"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.check", "r.n_violations")
 
 
 # Oracle uses NOT EXISTS, not NOT IN (ADVICE r8): NOT IN over a

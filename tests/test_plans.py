@@ -593,3 +593,30 @@ def test_quantile_normalize_window_is_bucketed(spark, sf_dir):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "_bkt" in m.group(1), m.group(0)
+
+
+def test_funnel_attribution_single_scan_one_corpus_exchange(spark, sf_dir):
+    """r9 plan pin: the conversion anchor is a conditional-min window
+    sharing the ONE user-key exchange — not a groupBy frame joined
+    back to a second events scan (the r8 shape).  hash(user_id) then
+    satisfies both the (user, type) dedup (subset rule) and the
+    credit window, so the only other exchange is the
+    |event_types|-sized final aggregate."""
+    from gaming_ai_analytics_spark.queries_analytics import (
+        q_funnel_attribution,
+    )
+
+    df = q_funnel_attribution(spark, sf_dir)
+    plan = _formatted(df)
+    # one Location line per distinct file scan in the formatted dump
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert "Join" not in plan  # no self-join back to the corpus
+    import re
+
+    # formatted dumps put the Exchange args on "Arguments:" lines
+    corpus_exchanges = [
+        m.group(1)
+        for m in re.finditer(r"hashpartitioning\(([^,]*)", plan)
+        if "user_id" in m.group(1)
+    ]
+    assert len(corpus_exchanges) == 1, plan

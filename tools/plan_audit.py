@@ -38,6 +38,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #: the stated number of times — exceeding it still fails the audit, so
 #: a justified query cannot silently regress further.
 MULTI_SCAN_JUSTIFIED: dict[str, tuple[dict[str, int], str]] = {
+    "dq_referential_orphans": (
+        {"orders": 2},
+        "the two remaining orders scans probe DIFFERENT FK columns "
+        "(o_orderkey against lineitem in the full-outer edge pass, "
+        "o_custkey against customer in the anti-join), each pruned "
+        "to its one int column — r9 folded the two orderkey-edge "
+        "checks into one full-outer pass, taking lineitem 2→1 and "
+        "orders 3→2 (queries_ext.py)",
+    ),
     "user_value_decay": (
         {"events": 2},
         "the decay watermark (corpus MAX date) is a broadcast 1-row "
