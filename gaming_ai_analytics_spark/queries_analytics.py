@@ -1745,34 +1745,39 @@ def q_funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable; the raw ns timestamp is not (`user_event_sequences`
     documents the same choice).
 
-    Scale shape (r9 single-scan form — the r8 plan joined a
-    groupBy(user) MIN frame back to a SECOND events scan): the
-    first-conversion anchor is a conditional-min window
-    (``min(CASE qualifying THEN event_id END) OVER (user)`` — NULL
-    for never-converting users, so the ``<`` filter drops them like
-    the old inner join did), which needs the SAME user-key exchange
-    the old join needed — but then hash(user) satisfies every
-    downstream requirement (the (user, type) dedup aggregate via the
-    subset rule, and the per-user count window), so the WHOLE plan is
-    ONE events scan + ONE corpus exchange + the |event_types|-sized
-    final aggregate (plan-pinned in tests/test_plans.py).  The
-    per-user state is bounded at ≤|event_types| rows after the
-    dedup."""
+    Scale shape (r9 single-scan bounded-state form): ONE map-side
+    combined aggregation on (user, type) carries BOTH facts every
+    later step needs — the type's first event id and the type's
+    first QUALIFYING purchase id (conditional min, NULL when none) —
+    so the raw corpus reduces to ≤|users|·|event_types| rows before
+    anything crosses the wire.  The per-user conversion anchor is
+    then a min-window over that aggregated frame (≤|event_types|
+    rows per user — a hot 10⁸-event bot still reduces map-side to
+    ≤|event_types| rows, where the r8 plan's join probe and a naive
+    conditional-min window over raw events would buffer or reshuffle
+    its whole history), the touch filter compares the two ids, and
+    the credit window rides the same bounded frame.  Two corpus-side
+    exchanges of the AGGREGATED relation (its (user,type) partial
+    then the user-keyed window), one events scan, no join —
+    plan-pinned in tests/test_plans.py."""
     ev = load_events(spark, sf_dir).select(
         "user_id", "event_type", "event_id", "value"
     )
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("_first_eid"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 100),
+                F.col("event_id"),
+            )
+        ).alias("_q_eid"),
+    )
     w_user = Window.partitionBy("user_id")
-    conv_eid = F.min(
-        F.when(
-            (F.col("event_type") == "purchase") & (F.col("value") > 100),
-            F.col("event_id"),
-        )
-    ).over(w_user)
     touches = (
-        ev.withColumn("_conv_eid", conv_eid)
-        .filter(F.col("event_id") < F.col("_conv_eid"))
+        per_type.withColumn("_conv_eid", F.min("_q_eid").over(w_user))
+        .filter(F.col("_first_eid") < F.col("_conv_eid"))
         .select("user_id", "event_type")
-        .distinct()
     )
     credited = touches.withColumn(
         "_credit", F.lit(1.0) / F.count(F.lit(1)).over(w_user)

@@ -1861,11 +1861,18 @@ def q_dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         li["l_orderkey"] == F.col("o_orderkey"),
         "full_outer",
     )
+    # coalesce: SUM over an EMPTY join is NULL where the r8 count(*)
+    # was 0 — and empty/zero-row loads are precisely where a DQ gate
+    # runs (r9 review finding; the oracle's COUNT(*) returns 0)
     edge_counts = edge.agg(
-        F.sum(F.when(F.col("_o").isNull(), 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("_o").isNull(), 1).otherwise(0)), F.lit(0)
+        )
         .cast("long")
         .alias("_li_orphans"),
-        F.sum(F.when(F.col("_l").isNull(), 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("_l").isNull(), 1).otherwise(0)), F.lit(0)
+        )
         .cast("long")
         .alias("_childless"),
     )

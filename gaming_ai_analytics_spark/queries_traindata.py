@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gaming_ai_analytics_spark.functions.text import (
-    normalize_text,
+    doc_fingerprint,
     pii_match_count,
     redact_pii,
     repetition_metrics,
@@ -133,6 +133,20 @@ def kfold_assign_sql(key: str, k: int) -> str:
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_nonempty_documents(spark, sf_dir)
+
+
+def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus collapsed to its word-frequency table ``(w, f)`` —
+    the ONE corpus scan every BPE query starts from (map-side
+    combined, output bounded by |vocab|).  Lives once so the three
+    BPE registrations can't silently diverge on tokenization or the
+    non-empty filter (r9 review finding)."""
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1278,22 +1292,24 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup mass per split (docs − clusters = duplicates bound to their
     representative's split).
 
-    Fingerprint lever (r9, VERDICT r8 ask #4): the fingerprint is
-    ONLY a grouping key here — never an output value — so it is
-    ``xxhash64`` of the fused single-regex ``normalize_text``, not
-    ``md5`` of the two-regex form: any injective recoding of the
-    normalized text induces the same cluster partition, hence the
-    same min-doc_id representatives and the same splits.  Interleaved
-    A/B (tools/exp_fingerprint_ab.py, BASELINE.md §3): 2.47× at sf1
-    and 12.8× at sf10 over the r8 form (the two dropped per-row
-    intermediate string allocations dominate under sf10 memory
-    pressure).  The oracle groups by the normalized STRING itself —
-    same partition, identical 3-row output."""
+    Fingerprint lever (r9, VERDICT r8 ask #4): the cost was the
+    two-regex + md5 pass; the win is the FUSED single-regex
+    ``normalize_text`` (A/B: tools/exp_fingerprint_ab.py /
+    BASELINE.md §3 — 11.7× at sf10 from the regex fuse alone, the
+    two dropped per-row intermediate string allocations dominate
+    under memory pressure).  The group key stays 128-bit ``md5``:
+    the A/B's third arm (xxhash64, +9% over md5) was REJECTED in
+    review — a 64-bit key expects ~dozens of birthday collisions at
+    the 10¹⁰-document design point, and a collision silently merges
+    two unrelated clusters (wrong representative → wrong split),
+    which is exactly the failure this operator exists to prevent.
+    The key is grouping-only, so the oracle groups by the normalized
+    STRING itself — same partition, identical 3-row output."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
     clusters = (
-        docs.groupBy(F.xxhash64(normalize_text(F.col("text"))).alias("_fp"))
+        docs.groupBy(doc_fingerprint(F.col("text")).alias("_fp"))
         .agg(
             F.min("doc_id").alias("_rep"),
             F.count(F.lit(1)).alias("_n_docs"),
@@ -1941,12 +1957,7 @@ def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~|vocab|·avg_len rows), so a 100 TB corpus pays corpus cost
     exactly once regardless of word length or merge rounds.  Final
     pair aggregation + TakeOrderedAndProject are vocab-bounded."""
-    docs = _docs(spark, sf_dir)
-    wc = (
-        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("_f"))
-    )
+    wc = _word_counts(spark, sf_dir).withColumnRenamed("f", "_f")
     pairs = wc.filter(F.length("w") >= 2).select(
         "w",
         "_f",
@@ -2090,13 +2101,7 @@ def q_bpe_merge_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-sized frames only.  Output = the merge table a tokenizer
     ships: (merge_round, lhs, rhs, merged, pair_count), pair counts
     measured on the segmentation BEFORE that round's merge."""
-    docs = _docs(spark, sf_dir)
-    wc = (
-        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("f"))
-    )
-    merges = bpe_train(wc, BPE_ROUNDS)
+    merges = bpe_train(_word_counts(spark, sf_dir), BPE_ROUNDS)
     return spark.createDataFrame(
         merges,
         "merge_round int, lhs string, rhs string,"
@@ -2171,13 +2176,9 @@ def q_bpe_vocab_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     words actually coalesce.  Same one-corpus-scan shape: training
     state is the vocab-bounded segmentation frame, and the output is
     a 30-row TakeOrderedAndProject of it."""
-    docs = _docs(spark, sf_dir)
-    wc = (
-        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("f"))
+    _, toks = bpe_train(
+        _word_counts(spark, sf_dir), BPE_ROUNDS, return_state=True
     )
-    _, toks = bpe_train(wc, BPE_ROUNDS, return_state=True)
     return (
         toks.select(
             "w",

@@ -143,14 +143,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
 )
 
 #: Everything still owed a fresh driver row AFTER this round's window,
-#: pre-ordered as the r10 window plan (exactly 50 names): the one
-#: rolled r5-core scan, the 10 r6-green core names (they cross the
-#: 3-round cap when CORRECTNESS_r09 lands), then the oldest stable
-#: cohorts — all 18 r5-stable and the 21 registration-order heads of
-#: the r6-stable set (the r5-stable names hit the 10-round stable cap
-#: at r15; scheduling them at r10 keeps the whole stable tier on a
-#: comfortable cadence).  Post-freeze r9 additions join the head of
-#: this list, as in r7/r8.
+#: pre-ordered as the r10 window plan (exactly 50 names: 3 r9-touched
+#: + 1 rolled r5-core + 10 r6-core + 18 r5-stable + 18 r6-stable):
+#: the new/re-planned r9 names first, the one rolled r5-core scan,
+#: the 10 r6-green core names (they cross the 3-round cap when
+#: CORRECTNESS_r09 lands), then the oldest stable cohorts — all 18
+#: r5-stable and the first 18 registration-order r6-stable names
+#: (the r5-stable names hit the 10-round stable cap at r15;
+#: scheduling them at r10 keeps the whole stable tier on a
+#: comfortable cadence).
 ROTATION_BACKLOG: tuple[str, ...] = (
     # r9-touched plans (fresh row owed; new r9 operators join here too)
     "bpe_merge_iterations",  # NEW r9 (zero driver evidence)
@@ -206,6 +207,7 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "weekly_active_users",
     "recursive_cte_spine",
     "order_aging_report",
+    "chisq_lang_source",
 )
 
 #: --- Rotation tiers (VERDICT r7 ask #2) -------------------------------

@@ -595,13 +595,13 @@ def test_quantile_normalize_window_is_bucketed(spark, sf_dir):
         assert "_bkt" in m.group(1), m.group(0)
 
 
-def test_funnel_attribution_single_scan_one_corpus_exchange(spark, sf_dir):
-    """r9 plan pin: the conversion anchor is a conditional-min window
-    sharing the ONE user-key exchange — not a groupBy frame joined
-    back to a second events scan (the r8 shape).  hash(user_id) then
-    satisfies both the (user, type) dedup (subset rule) and the
-    credit window, so the only other exchange is the
-    |event_types|-sized final aggregate."""
+def test_funnel_attribution_single_scan_bounded_state(spark, sf_dir):
+    """r9 plan pin: one events scan, no self-join back to the corpus
+    (the r8 shape), and — the skew guard — a PARTIAL (user, type)
+    aggregate sits BELOW the first exchange, so a hot user's raw
+    event history reduces map-side to ≤|event_types| rows before
+    anything shuffles or windows (a conditional-min window over raw
+    events would buffer the whole history in one task)."""
     from gaming_ai_analytics_spark.queries_analytics import (
         q_funnel_attribution,
     )
@@ -611,12 +611,22 @@ def test_funnel_attribution_single_scan_one_corpus_exchange(spark, sf_dir):
     # one Location line per distinct file scan in the formatted dump
     assert plan.count("Location: InMemoryFileIndex") == 1, plan
     assert "Join" not in plan  # no self-join back to the corpus
+    # the map-side combine: a partial_min keyed on (user, type)
+    # appears in the plan (Spark only emits partial_* below the
+    # aggregate's exchange, so its presence IS the skew guard)
+    assert "partial_min(event_id" in plan, plan
+    # no Window sits below the partial aggregate in the tree: in the
+    # top-down numbered tree the Scan is the LAST node and the
+    # windows sit strictly above the first HashAggregate/Exchange
+    # pair, i.e. every Window index is smaller than the partial
+    # aggregate's index (tree prints parents before children)
+    tree = plan.split("\n\n")[0]
+    assert tree.rindex("Window") < tree.index("HashAggregate (2)"), tree
     import re
 
-    # formatted dumps put the Exchange args on "Arguments:" lines
-    corpus_exchanges = [
-        m.group(1)
-        for m in re.finditer(r"hashpartitioning\(([^,]*)", plan)
-        if "user_id" in m.group(1)
-    ]
-    assert len(corpus_exchanges) == 1, plan
+    # the corpus-side exchange carries the aggregated relation: an
+    # exchange keyed (user_id, event_type) exists
+    args = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any(
+        "user_id" in a and "event_type" in a for a in args
+    ), args

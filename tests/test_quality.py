@@ -199,3 +199,45 @@ def test_dq_referential_orphans_null_fk_cross_engine(spark, tmp_path):
         ).fetchall()
     }
     assert oracle == got
+
+
+def test_dq_referential_orphans_empty_tables_report_zero(spark, tmp_path):
+    """r9 review finding: SUM(CASE) over an empty full-outer join is
+    NULL where count(*) was 0 — and empty loads are exactly where a
+    DQ gate runs.  All three checks must report 0 (not NULL) on
+    empty tables, agreeing with the oracle's COUNT(*)."""
+    import duckdb
+
+    from gaming_ai_analytics_spark import registry
+    from gaming_ai_analytics_spark.queries_ext import (
+        q_dq_referential_orphans,
+    )
+
+    spark.createDataFrame([], "l_linenumber long, l_orderkey long").write.parquet(
+        f"{tmp_path}/lineitem.parquet"
+    )
+    spark.createDataFrame([], "o_orderkey long, o_custkey long").write.parquet(
+        f"{tmp_path}/orders.parquet"
+    )
+    spark.createDataFrame([], "c_custkey long").write.parquet(
+        f"{tmp_path}/customer.parquet"
+    )
+    got = {
+        r.check: r.n_violations
+        for r in q_dq_referential_orphans(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "lineitem_without_order": 0,
+        "order_without_customer": 0,
+        "order_without_lineitems": 0,
+    }
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM '{tmp_path}/{t}.parquet/*.parquet'"
+        )
+    oracle = dict(
+        con.execute(registry.oracle_for("dq_referential_orphans")).fetchall()
+    )
+    assert oracle == got
