@@ -1809,3 +1809,128 @@ register(
     FROM credited GROUP BY 1
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# CUPED variance-reduced A/B lift (Deng et al., WSDM 2013)
+# --------------------------------------------------------------------------
+def q_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted experiment readout: per-variant mean purchase
+    revenue in the post-period, variance-reduced with the pre-period
+    revenue as the control covariate — adjusted = post − θ·(pre −
+    mean(pre)), θ = cov(pre, post)/var(pre) pooled over all users
+    (Deng, Xu, Kohavi & Walker, WSDM 2013 — the standard trick for
+    tightening A/B confidence intervals without changing the
+    estimand: E[adjusted] = E[post] because the correction term has
+    mean zero).  The pre/post boundary is the midpoint DAY of the
+    corpus date range (integer day arithmetic — engine-portable,
+    unlike timestamp midpoints); the variant is the user-id parity
+    (a deterministic stand-in for the assignment service's hash).
+
+    Scale shape: purchases reduce map-side to ONE row per user
+    (groupBy sums — a hot user combines before the shuffle); the
+    date bounds and the pooled (θ, mean-pre) stats each ride as
+    broadcast 1-row frames off that |users|-sized relation; the
+    readout aggregates on the 2-value variant key.  θ and mean(pre)
+    are rounded to 6 decimals IN-ENGINE before the correction is
+    applied, so both engines feed bit-comparable constants into the
+    per-user adjustment (population moments merge partials in
+    nondeterministic order; unrounded θ would smear the 4-decimal
+    output).  var_reduction = var(adjusted)/var(post) — the number
+    an experimenter actually checks before trusting CUPED (≈1 means
+    the covariate bought nothing)."""
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_type", "value")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("_d0"),
+        F.max(F.to_date("ts")).alias("_d1"),
+    )
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "_cut",
+            F.date_add(
+                F.col("_d0"),
+                F.floor(F.datediff("_d1", "_d0") / 2).cast("int"),
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.to_date("ts") < F.col("_cut"), F.col("value"))
+                .otherwise(0.0)
+            ).alias("pre"),
+            F.sum(
+                F.when(F.to_date("ts") >= F.col("_cut"), F.col("value"))
+                .otherwise(0.0)
+            ).alias("post"),
+        )
+        .withColumn("variant", F.pmod("user_id", F.lit(2)).cast("int"))
+    )
+    stats = per_user.agg(
+        F.round(
+            F.when(
+                F.var_pop("pre") > 1e-12,
+                F.covar_pop("pre", "post") / F.var_pop("pre"),
+            ).otherwise(0.0)
+            + 5e-10,
+            6,
+        ).alias("_theta"),
+        F.round(F.avg("pre") + 5e-10, 6).alias("_mu_pre"),
+    )
+    adj = per_user.crossJoin(F.broadcast(stats)).withColumn(
+        "cuped",
+        F.col("post") - F.col("_theta") * (F.col("pre") - F.col("_mu_pre")),
+    )
+    return (
+        adj.groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("post") + 5e-10, 4).alias("mean_post"),
+            F.round(F.avg("cuped") + 5e-10, 4).alias("mean_cuped"),
+            F.round(
+                F.var_pop("cuped") / F.nullif(F.var_pop("post"), F.lit(0.0))
+                + 5e-10,
+                4,
+            ).alias("var_reduction"),
+        )
+        .orderBy("variant")
+    )
+
+
+register(
+    "cuped_adjusted_lift",
+    q_cuped_adjusted_lift,
+    """
+    WITH bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+      FROM events),
+    per_user AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS INT) AS variant,
+             SUM(CASE WHEN CAST(ts AS DATE) <
+                   d0 + (DATEDIFF('day', d0, d1) // 2) * INTERVAL 1 DAY
+                 THEN value ELSE 0 END) AS pre,
+             SUM(CASE WHEN CAST(ts AS DATE) >=
+                   d0 + (DATEDIFF('day', d0, d1) // 2) * INTERVAL 1 DAY
+                 THEN value ELSE 0 END) AS post
+      FROM events, bounds
+      WHERE event_type = 'purchase'
+      GROUP BY 1, 2),
+    stats AS (
+      SELECT ROUND(CASE WHEN VAR_POP(pre) > 1e-12
+                        THEN COVAR_POP(pre, post) / VAR_POP(pre)
+                        ELSE 0 END + 5e-10, 6) AS theta,
+             ROUND(AVG(pre) + 5e-10, 6) AS mu_pre
+      FROM per_user),
+    adj AS (
+      SELECT variant, post, post - theta * (pre - mu_pre) AS cuped
+      FROM per_user, stats)
+    SELECT variant, COUNT(*) AS n_users,
+           ROUND(AVG(post) + 5e-10, 4) AS mean_post,
+           ROUND(AVG(cuped) + 5e-10, 4) AS mean_cuped,
+           ROUND(VAR_POP(cuped) / NULLIF(VAR_POP(post), 0) + 5e-10, 4)
+             AS var_reduction
+    FROM adj GROUP BY 1 ORDER BY variant
+    """,
+)

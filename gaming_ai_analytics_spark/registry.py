@@ -153,9 +153,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: scheduling them at r10 keeps the whole stable tier on a
 #: comfortable cadence).
 ROTATION_BACKLOG: tuple[str, ...] = (
-    # r9-touched plans (fresh row owed; new r9 operators join here too)
+    # r9-touched plans (fresh row owed; new r9 operators join here
+    # too — the "exactly 50" composition below counts THREE of these,
+    # later post-freeze additions extend the head)
     "bpe_merge_iterations",  # NEW r9 (zero driver evidence)
     "bpe_vocab_segmentation",  # NEW r9 (zero driver evidence)
+    "cuped_adjusted_lift",  # NEW r9 (zero driver evidence)
     "leakage_safe_split",  # fingerprint lever re-plan (r9)
     # rolled r5-core
     "orc_roundtrip_scan",

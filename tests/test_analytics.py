@@ -1165,3 +1165,54 @@ def test_funnel_attribution_edges(spark, tmp_path):
     got = {r.event_type: (r.users_touched, r.credit)
            for r in q_funnel_attribution(spark, str(tmp_path)).collect()}
     assert got == {"signup": (1, 0.5), "error": (1, 0.5)}
+
+
+def test_cuped_reduces_variance_on_correlated_users(spark, tmp_path):
+    """CUPED must (a) keep the estimand — per-variant adjusted means
+    equal raw post-period means up to the mean-zero correction — and
+    (b) actually shrink variance when users have persistent spending
+    levels (pre strongly predicts post).  Fixture: user u spends
+    ~u per purchase in BOTH halves of January, so var(post) is
+    dominated by between-user spread and theta ~ cov/var ~ 1."""
+    import datetime as dt
+
+    from gaming_ai_analytics_spark.queries_analytics import (
+        q_cuped_adjusted_lift,
+    )
+
+    rows = []
+    eid = 0
+    for u in range(40):
+        base = 10.0 * (u + 1)  # persistent per-user level
+        for day, jitter in ((3, 1.0), (10, -1.0), (20, 0.5), (27, -0.5)):
+            rows.append(
+                (eid, dt.datetime(2024, 1, day, 12), u, "purchase",
+                 base + jitter)
+            )
+            eid += 1
+    (
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double"
+        ).write.parquet(f"{tmp_path}/events.parquet")
+    )
+    out = {r.variant: r for r in
+           q_cuped_adjusted_lift(spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 1}
+    for r in out.values():
+        assert r.n_users == 20
+        # the covariate is ~perfectly informative: variance collapses
+        assert r.var_reduction < 0.05, r
+    # the correction is mean-zero over ALL users, so the pooled mean
+    # is preserved (estimand unchanged)...
+    pooled_raw = (out[0].mean_post + out[1].mean_post) / 2
+    pooled_adj = (out[0].mean_cuped + out[1].mean_cuped) / 2
+    assert abs(pooled_adj - pooled_raw) < 1e-6
+    # ...while the per-variant means ABSORB the pre-existing covariate
+    # imbalance (even users spend exactly 10 more by construction and
+    # there is NO true treatment effect): the raw lift reads the
+    # imbalance (~10), the CUPED lift reads ~0 — the whole point
+    raw_lift = out[1].mean_post - out[0].mean_post
+    cuped_lift = out[1].mean_cuped - out[0].mean_cuped
+    assert abs(raw_lift) > 5.0, raw_lift
+    assert abs(cuped_lift) < 1.0, cuped_lift

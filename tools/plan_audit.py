@@ -47,6 +47,13 @@ MULTI_SCAN_JUSTIFIED: dict[str, tuple[dict[str, int], str]] = {
         "checks into one full-outer pass, taking lineitem 2→1 and "
         "orders 3→2 (queries_ext.py)",
     ),
+    "cuped_adjusted_lift": (
+        {"events": 2},
+        "the pre/post boundary (corpus MIN/MAX date) is a broadcast "
+        "1-row stat frame over the pruned (ts) projection — same "
+        "intrinsic second reference as user_value_decay's decay "
+        "watermark (queries_analytics.py)",
+    ),
     "user_value_decay": (
         {"events": 2},
         "the decay watermark (corpus MAX date) is a broadcast 1-row "
