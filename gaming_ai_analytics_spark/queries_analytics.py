@@ -1934,3 +1934,80 @@ register(
     FROM adj GROUP BY 1 ORDER BY variant
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# DAU / trailing-28-day MAU stickiness
+# --------------------------------------------------------------------------
+def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gaming-analytics north-star ratio: daily active users over
+    trailing-28-day monthly active users, per day (DAU/MAU
+    "stickiness", the how-often-do-actives-return readout).
+
+    Scale shape — invert the window instead of re-counting it: a
+    trailing COUNT(DISTINCT user) per day re-scans 28 days of
+    activity per output day (and no engine does distinct in a moving
+    window cheaply).  Instead the corpus collapses ONCE to the
+    distinct (user, active_day) frame (map-side combined — the only
+    corpus-sized step), and each active day then EXPLODES into the
+    ≤28 future days it keeps the user "monthly active" for; distinct
+    (user, covered_day) + a count per day IS the trailing MAU.  The
+    explosion runs over the bounded activity frame (|users|·|days| ≤
+    a few million rows at any corpus size), never the raw events.
+    Days with zero DAU simply don't appear (no calendar spine needed
+    for the ratio).  MAU windows are clipped at the corpus start —
+    the standard cold-start readout, documented rather than
+    back-filled."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    # (user, active_day) — the ONE corpus reduce.  localCheckpoint:
+    # both the DAU and the coverage branch consume it, and Catalyst's
+    # cross-branch exchange reuse is not reliable (r5 finding) — the
+    # materialized frame is |users|·|days| rows, the score-once trade
+    active = ev.distinct().localCheckpoint()
+    dau = active.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    covered = (
+        active.select(
+            "user_id",
+            F.explode(
+                F.expr("sequence(d, date_add(d, 27), interval 1 day)")
+            ).alias("d"),
+        )
+        .distinct()
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("mau28"))
+    )
+    return (
+        dau.join(covered, "d")  # inner: ratio only where DAU exists
+        .select(
+            "d",
+            "dau",
+            "mau28",
+            F.round(F.col("dau") / F.col("mau28") + 5e-10, 4).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("d")
+    )
+
+
+register(
+    "dau_mau_stickiness",
+    q_dau_mau_stickiness,
+    """
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    dau AS (
+      SELECT d, COUNT(*) AS dau FROM active GROUP BY 1),
+    covered AS (
+      SELECT DISTINCT user_id, d + i * INTERVAL 1 DAY AS d
+      FROM active, UNNEST(generate_series(0, 27)) AS u(i)),
+    mau AS (
+      SELECT d, COUNT(*) AS mau28 FROM covered GROUP BY 1)
+    SELECT dau.d, dau, mau28,
+           ROUND(dau * 1.0 / mau28 + 5e-10, 4) AS stickiness
+    FROM dau JOIN mau ON dau.d = mau.d
+    ORDER BY dau.d
+    """,
+)

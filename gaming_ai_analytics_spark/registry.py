@@ -159,6 +159,7 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "bpe_merge_iterations",  # NEW r9 (zero driver evidence)
     "bpe_vocab_segmentation",  # NEW r9 (zero driver evidence)
     "cuped_adjusted_lift",  # NEW r9 (zero driver evidence)
+    "dau_mau_stickiness",  # NEW r9 (zero driver evidence)
     "leakage_safe_split",  # fingerprint lever re-plan (r9)
     # rolled r5-core
     "orc_roundtrip_scan",

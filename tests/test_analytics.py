@@ -1216,3 +1216,36 @@ def test_cuped_reduces_variance_on_correlated_users(spark, tmp_path):
     cuped_lift = out[1].mean_cuped - out[0].mean_cuped
     assert abs(raw_lift) > 5.0, raw_lift
     assert abs(cuped_lift) < 1.0, cuped_lift
+
+
+def test_dau_mau_stickiness_planted_cohort(spark, tmp_path):
+    """Hand-checkable fixture: user 0 active on day 1 only, user 1
+    active on days 1 and 20.  DAU(d1)=2, MAU28(d1)=2; on day 20 user
+    0's 28-day coverage (days 1..28) still includes d20, so
+    DAU(d20)=1, MAU28(d20)=2, stickiness 0.5; on day 30 user 0's
+    coverage has lapsed (1+27=28 < 30) but user 1's day-20 coverage
+    holds — yet day 30 has no active user, so it does NOT appear
+    (DAU-bearing days only)."""
+    import datetime as dt
+
+    from gaming_ai_analytics_spark.queries_analytics import (
+        q_dau_mau_stickiness,
+    )
+
+    rows = [
+        (0, dt.datetime(2024, 1, 1, 9), 0, "view", 1.0),
+        (1, dt.datetime(2024, 1, 1, 10), 1, "view", 1.0),
+        (2, dt.datetime(2024, 1, 20, 11), 1, "click", 1.0),
+    ]
+    (
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double"
+        ).write.parquet(f"{tmp_path}/events.parquet")
+    )
+    out = {str(r.d): (r.dau, r.mau28, r.stickiness)
+           for r in q_dau_mau_stickiness(spark, str(tmp_path)).collect()}
+    assert out == {
+        "2024-01-01": (2, 2, 1.0),
+        "2024-01-20": (1, 2, 0.5),
+    }
