@@ -628,3 +628,75 @@ def test_normalize_text_fused_equals_2pass(spark, texts):
     ).collect()
     for r in rows:
         assert r.fused == r.twopass, (repr(r.text), r.fused, r.twopass)
+
+
+# --- iterative BPE trainer vs pure-Python Sennrich reference ---------------
+def _bpe_reference(word_freqs, rounds):
+    """Independent reimplementation of Sennrich's get_stats/merge loop
+    (overlapping position counts, greedy left-to-right non-overlapping
+    application, (count DESC, lhs, rhs) argmax)."""
+    segs = {w: list(w) for w in word_freqs}
+    merges = []
+    for r in range(1, rounds + 1):
+        counts = {}
+        for w, toks in segs.items():
+            f = word_freqs[w]
+            for i in range(len(toks) - 1):
+                counts[(toks[i], toks[i + 1])] = (
+                    counts.get((toks[i], toks[i + 1]), 0) + f
+                )
+        if not counts:
+            break
+        (lhs, rhs), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((r, lhs, rhs, lhs + rhs, cnt))
+        for w, toks in segs.items():
+            out, i = [], 0
+            while i < len(toks):
+                if (
+                    i + 1 < len(toks)
+                    and toks[i] == lhs
+                    and toks[i + 1] == rhs
+                ):
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            segs[w] = out
+    return merges, {w: segs[w] for w in segs}
+
+
+_bpe_vocab = st.dictionaries(
+    st.text(alphabet="abc", min_size=1, max_size=8),
+    st.integers(1, 9),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(**SETTINGS)
+@given(_bpe_vocab)
+def test_bpe_train_matches_sennrich_reference(spark, word_freqs):
+    """The distributed fold (F.aggregate over the chr(31)-joined
+    segmentation string) must replay Sennrich's reference algorithm
+    exactly — merges in the same order with the same counts, final
+    segmentations identical — on arbitrary small vocabularies,
+    including the overlap-heavy 'aaaa…' shapes where a wrong fold
+    diverges first."""
+    from gaming_ai_analytics_spark.queries_traindata import (
+        _BPE_SEP,
+        bpe_train,
+    )
+
+    wc = spark.createDataFrame(
+        list(word_freqs.items()), "w string, f long"
+    )
+    got_merges, state = bpe_train(wc, 4, return_state=True)
+    want_merges, want_segs = _bpe_reference(word_freqs, 4)
+    assert got_merges == want_merges
+    got_segs = {
+        r.w: r.seg.split(_BPE_SEP) for r in state.collect()
+    }
+    assert got_segs == want_segs
