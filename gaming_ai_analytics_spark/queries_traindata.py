@@ -2420,3 +2420,67 @@ register(
     q_quality_quantile_normalize,
     _qqn_oracle(),
 )
+
+
+def q_bpe_compression_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus size under the TRAINED tokenizer — the
+    compute-budget readout a data mixer actually uses (token budgets
+    priced in whitespace words systematically misprice sources whose
+    words fragment differently under BPE) plus the chars-per-token
+    compression ratio, THE single-number tokenizer-quality metric.
+
+    Scale shape: train once (vocab-bounded rounds off the one
+    word-frequency scan), derive the per-word BPE token count from
+    the training state, then ONE more corpus pass explodes (source,
+    word) and joins the vocab-bounded count table — broadcast by
+    construction (|vocab| rows, two columns) — with a map-side
+    combined |sources|-key aggregate.  Two corpus scans total (train
+    + count), each paid once regardless of merge rounds."""
+    wc = _word_counts(spark, sf_dir)
+    _, state = bpe_train(wc, BPE_ROUNDS, return_state=True)
+    word_tokens = state.select(
+        "w", F.size(F.split("seg", _BPE_SEP)).alias("_n_tok")
+    )
+    words = _docs(spark, sf_dir).select(
+        "source", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    return (
+        words.join(F.broadcast(word_tokens), "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_n_tok").cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum(F.length("w")) / F.sum("_n_tok") + 5e-10, 4
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )
+
+
+def _bpe_compression_oracle(rounds: int) -> str:
+    """Terminal training state (same unrolled chain) joined back to
+    the exploded (source, word) corpus."""
+    chain = _bpe_iterations_oracle(rounds)
+    head = chain[: chain.rindex("\n    SELECT CAST(1 AS INT)")]
+    return head + f""",
+    word_tokens AS (
+      SELECT w, len(string_split(seg, chr(31))) AS n_tok
+      FROM toks{rounds}),
+    corpus AS (
+      SELECT source, unnest({_TOKS}) AS w
+      FROM documents WHERE {_NONEMPTY})
+    SELECT source, COUNT(*) AS n_words,
+           CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens,
+           ROUND(SUM(length(w)) * 1.0 / SUM(n_tok) + 5e-10, 4)
+             AS chars_per_token
+    FROM corpus JOIN word_tokens USING (w)
+    GROUP BY 1 ORDER BY source
+    """
+
+
+register(
+    "bpe_compression_by_source",
+    q_bpe_compression_by_source,
+    _bpe_compression_oracle(BPE_ROUNDS),
+)

@@ -160,6 +160,7 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "bpe_vocab_segmentation",  # NEW r9 (zero driver evidence)
     "cuped_adjusted_lift",  # NEW r9 (zero driver evidence)
     "dau_mau_stickiness",  # NEW r9 (zero driver evidence)
+    "bpe_compression_by_source",  # NEW r9 (zero driver evidence)
     "leakage_safe_split",  # fingerprint lever re-plan (r9)
     # rolled r5-core
     "orc_roundtrip_scan",
@@ -365,6 +366,7 @@ CORE_TIER: frozenset[str] = frozenset({
     "bpe_merge_pairs",
     "bpe_merge_iterations",
     "bpe_vocab_segmentation",
+    "bpe_compression_by_source",
     "user_event_sequences",
     "pii_redact",
     "multimodal_frame_sample",

