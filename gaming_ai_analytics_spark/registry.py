@@ -72,99 +72,30 @@ def _load_all() -> None:
 #: checked window.  So the window is pinned EXPLICITLY: these names are
 #: moved to the front (in this order) after all modules register.
 #:
-#: ROUND-9 COMPOSITION (VERDICT r8 ask #1 — CORRECTNESS_r08 landed
-#: 50/50 green; the r8 artifacts are committed, so this rotation is
-#: the first substantive r9 commit).  Exactly the r8 backlog's
-#: pre-planned head: the 11 never-driver-checked r8 operators first
-#:(two of which — ``stratified_kfold`` and
-#: ``quality_quantile_normalize`` — are also being FIXED this round,
-#: so the fresh row proves the corrected plan), then the 8 rolled
-#: r4-green warehouse/analytics names, then 31 of the 32 r5-green
-#: core-tier names (which cross the 3-round core cap now that
-#: CORRECTNESS_r08 is committed).  ``orc_roundtrip_scan`` — the
-#: lowest-risk member of that cohort (schema-pinned format
-#: round-trip, byte-identical plan since r5) — rolls to the backlog
-#: (behind the new/re-planned r9 names); the heavy
-#: ``dedup_cluster_assign_star`` takes its slot.
+#: ROUND-10 COMPOSITION (VERDICT r9 ask #1 — CORRECTNESS_r09 landed
+#: 50/50 green and the r9 artifacts are committed, 404c6aa).  Exactly
+#: the r9 backlog's pre-planned head, its first 50 names verbatim:
+#: the 6 r9-touched plans first (the 5 zero-driver-evidence r9
+#: operators — BPE x3, CUPED, DAU/MAU — plus the fingerprint-re-planned
+#: ``leakage_safe_split``), the rolled ``orc_roundtrip_scan``, the 10
+#: r6-green core names (they crossed the 3-round core cap when
+#: CORRECTNESS_r09 landed), then the oldest stable cohorts: all 18
+#: r5-stable names and the first 15 registration-order r6-stable
+#: names.  The last 3 r6-stable names (``recursive_cte_spine``,
+#: ``order_aging_report``, ``chisq_lang_source``) roll to the r11
+#: backlog head — stable cap 10 leaves them comfortable (stale at
+#: r16 at the earliest).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- never-checked r8 operators (zero driver evidence) -----------
-    "dedup_containment_prefix",
-    "dedup_containment_lsh",
-    "bpe_merge_pairs",
-    "user_event_sequences",
-    "stratified_kfold",
-    "distribution_moments",
-    "hard_negative_mining",
-    "funnel_attribution",
-    "embedding_dim_profile",
-    "quality_quantile_normalize",
-    "dq_referential_orphans",
-    # -- rolled r4-green warehouse/analytics names --------------------
-    "anomaly_mad",
-    "trending_daily_topk",
-    "user_lifetime_value",
-    "pricing_summary",
-    "top_revenue_orders",
-    "returned_item_customers",
-    "priority_class_mix",
-    "late_ship_priority_counts",
-    # -- r5-green core tier (crosses the 3-round cap at r9) -----------
-    "flagship_star_metrics",
-    "filter_numeric_conjunction",
-    "filter_boolean_algebra",
-    "filter_isin",
-    "filter_null_guard",
-    "project_rename",
-    "derived_columns",
-    "scalar_string_functions",
-    "case_when_banding",
-    "join_flatten_dim",
-    "join_anti_incremental",
-    "join_inner",
-    "join_semi",
-    "agg_count_by_group",
-    "agg_avg_by_group",
-    "agg_conditional_ratio",
-    "agg_distinct",
-    "agg_global_counts",
-    "agg_uniqueness_check",
-    "topk_orders",
-    "events_asof_enrich",
-    "events_range_join",
-    "metric_view_region",
-    "metric_view_two_dims_where",
-    "csv_roundtrip_scan",
-    "jsonl_roundtrip_scan",
-    "similarity_topk",
-    "similarity_topk_lsh_recall",
-    "similarity_topk_ivf_recall",
-    "global_quality_rank",
-    "dedup_cluster_assign_star",
-)
-
-#: Everything still owed a fresh driver row AFTER this round's window,
-#: pre-ordered as the r10 window plan (exactly 50 names: 3 r9-touched
-#: + 1 rolled r5-core + 10 r6-core + 18 r5-stable + 18 r6-stable):
-#: the new/re-planned r9 names first, the one rolled r5-core scan,
-#: the 10 r6-green core names (they cross the 3-round cap when
-#: CORRECTNESS_r09 lands), then the oldest stable cohorts — all 18
-#: r5-stable and the first 18 registration-order r6-stable names
-#: (the r5-stable names hit the 10-round stable cap at r15;
-#: scheduling them at r10 keeps the whole stable tier on a
-#: comfortable cadence).
-ROTATION_BACKLOG: tuple[str, ...] = (
-    # r9-touched plans (fresh row owed; new r9 operators join here
-    # too — the "exactly 50" composition below counts THREE of these,
-    # later post-freeze additions extend the head)
-    "bpe_merge_iterations",  # NEW r9 (zero driver evidence)
-    "bpe_vocab_segmentation",  # NEW r9 (zero driver evidence)
-    "cuped_adjusted_lift",  # NEW r9 (zero driver evidence)
-    "dau_mau_stickiness",  # NEW r9 (zero driver evidence)
-    "bpe_compression_by_source",  # NEW r9 (zero driver evidence)
-    "leakage_safe_split",  # fingerprint lever re-plan (r9)
-    # rolled r5-core
+    # -- r9-touched plans (zero driver evidence / re-planned) --------
+    "bpe_merge_iterations",
+    "bpe_vocab_segmentation",
+    "cuped_adjusted_lift",
+    "dau_mau_stickiness",
+    "bpe_compression_by_source",
+    "leakage_safe_split",
+    # -- rolled r5-core scan ------------------------------------------
     "orc_roundtrip_scan",
-    # r6-green core tier (stale when CORRECTNESS_r09 lands)
+    # -- r6-green core tier (crossed the 3-round cap at r10) ----------
     "agg_percentile",
     "agg_geomean_udaf",
     "grouped_zscore_applyinpandas",
@@ -175,7 +106,7 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "doc_chunking_udtf",
     "dataset_hash_split",
     "pareto_revenue_share",
-    # r5-stable cohort (oldest stable evidence)
+    # -- r5-stable cohort (oldest stable evidence) --------------------
     "window_running_sum",
     "window_lag_delta",
     "set_union_distinct",
@@ -194,7 +125,7 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "scd2_customer_segment",
     "domain_cap_sample",
     "dedup_survivors",
-    # r6-stable heads (registration order)
+    # -- r6-stable heads (registration order) -------------------------
     "skew_top_keys",
     "fuzzy_part_name_pairs",
     "events_props_variant",
@@ -210,9 +141,47 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "sample_exact_k_per_group",
     "timeseries_gap_fill",
     "weekly_active_users",
+)
+
+#: Everything still owed a fresh driver row AFTER this round's window,
+#: pre-ordered as the r11 window plan.  Composition (28 names): the 3
+#: r6-stable names that rolled past the 50-slot r10 window, then the
+#: 25 r7-green core-tier names that cross the 3-round core cap once
+#: CORRECTNESS_r10 lands (last green r7 <= 10 - 3).  That leaves ~22
+#: free r11 slots for new r10 operators and any source-hash-drifted
+#: stable names.  New r10 operators join the head of this list as
+#: they are registered.
+ROTATION_BACKLOG: tuple[str, ...] = (
+    # rolled r6-stable tail
     "recursive_cte_spine",
     "order_aging_report",
     "chisq_lang_source",
+    # r7-green core tier (stale when CORRECTNESS_r10 lands)
+    "agg_rollup",
+    "agg_scale_sketches",
+    "chunk_dedup_clean",
+    "decontaminate_eval_overlap",
+    "dedup_cluster_assign",
+    "dedup_embedding_cosine",
+    "dedup_exact_canonical",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "events_sliding_window",
+    "events_stream_stream_left_join",
+    "events_streaming_dedupe",
+    "events_streaming_dedupe_ttl",
+    "events_streaming_stateful_totals",
+    "events_streaming_static_join",
+    "events_tumbling_hourly",
+    "export_shards",
+    "join_null_safe",
+    "multimodal_frame_sample",
+    "pii_redact",
+    "python_datasource_scan",
+    "sql_ai_functions",
+    "tf_idf",
+    "traindata_curation_pipeline",
+    "zorder_key_events",
 )
 
 #: --- Rotation tiers (VERDICT r7 ask #2) -------------------------------

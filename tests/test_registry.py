@@ -268,3 +268,28 @@ def test_every_registered_query_documented_in_coverage():
     text = (REPO / "COVERAGE.md").read_text()
     missing = [n for n in registry.queries() if f"`{n}`" not in text]
     assert not missing, f"queries absent from COVERAGE.md: {missing}"
+
+
+def test_round_artifacts_committed():
+    """Red-until-committed guard for driver round artifacts (VERDICT r9
+    ask #1, automating the defect flagged at the r7/r8/r9 closes): the
+    staleness machinery above reads COMMITTED CORRECTNESS history, so
+    an untracked CORRECTNESS_r*.json silently under-counts staleness
+    and a modified BENCH_LOCAL_r*.json mis-cites the official bench.
+    The round cannot proceed while any driver artifact at the repo
+    root is untracked or carries uncommitted modifications — commit
+    them FIRST (before rotating, before building)."""
+    try:
+        out = subprocess.run(
+            ["git", "status", "--porcelain", "--", "CORRECTNESS_r*.json",
+             "BENCH_r*.json", "BENCH_LOCAL_r*.json", "AUDIT_r*.json",
+             "AUDIT_LOCAL_r*.json", "VERDICT.md", "ADVICE.md"],
+            cwd=REPO, capture_output=True, text=True, timeout=30,
+        )
+    except Exception:
+        pytest.skip("git unavailable")
+    dirty = [ln for ln in out.stdout.splitlines() if ln.strip()]
+    assert not dirty, (
+        "driver round artifacts uncommitted — commit them before any "
+        f"other round work:\n" + "\n".join(dirty)
+    )

@@ -989,28 +989,33 @@ def test_bpe_iterations_greedy_merge_semantics(spark):
 
 def test_bpe_vocab_segmentation_consistent_with_merges(spark, sf_dir):
     """The applied segmentation must be reachable from the merge
-    table: every multi-token word's adjacent token pairs are NOT in
-    the learned merge list (otherwise the trainer would have merged
-    them... at its frequency rank or the word still carries an
-    unapplied merge), and concatenating a word's tokens restores the
-    word."""
+    table: concatenating a word's tokens restores the word, and the
+    FINAL round's merge pair never survives adjacent in the output.
+    (The stronger "NO learned merge remains applicable" is not a BPE
+    invariant — ADVICE r9: a later merge can recreate an earlier
+    pair's lhs/rhs token strings adjacent again — but the LAST merge
+    applied leaves no adjacency of its own pair: its pass consumes
+    every occurrence, the replacement token is strictly longer than
+    either side so it cannot re-form the pair, and no later merge
+    runs to recreate it.)"""
     from gaming_ai_analytics_spark.queries_traindata import (
         q_bpe_merge_iterations,
         q_bpe_vocab_segmentation,
     )
 
-    merges = {
-        (r.lhs, r.rhs) for r in q_bpe_merge_iterations(spark, sf_dir).collect()
-    }
+    merges = q_bpe_merge_iterations(spark, sf_dir).collect()
+    final_pair = max(
+        ((r.lhs, r.rhs, r.merge_round) for r in merges),
+        key=lambda t: t[2],
+    )[:2]
     rows = q_bpe_vocab_segmentation(spark, sf_dir).collect()
     assert rows and len(rows) <= 30
     for r in rows:
         toks = r.segmentation.split(" ")
         assert "".join(toks) == r.w
         assert r.n_tokens == len(toks)
-        # greedy-exhaustion: no learned merge still applicable
         for i in range(len(toks) - 1):
-            assert (toks[i], toks[i + 1]) not in merges, (r.w, toks)
+            assert (toks[i], toks[i + 1]) != final_pair, (r.w, toks)
 
 
 def test_bpe_compression_consistent_with_segmentation(spark, sf_dir):
