@@ -630,3 +630,32 @@ def test_funnel_attribution_single_scan_bounded_state(spark, sf_dir):
     assert any(
         "user_id" in a and "event_type" in a for a in args
     ), args
+
+
+def test_dau_mau_sweep_line_no_explode(spark, sf_dir):
+    """r10 plan pin (winning arm of the VERDICT r9 A/B,
+    tools/exp_dau_mau_ab.py — 3.36x at sf10): the trailing MAU is a
+    sweep-line over per-user coverage islands, NOT the r9
+    explode-every-active-day-into-28 shape.  Pinned: zero Generate
+    (explode) nodes anywhere — no 28x shuffle amplification — and the
+    island window is partitioned per user, so the only unpartitioned
+    window (the prefix sum) runs AFTER the per-day delta reduce, over
+    a calendar-bounded point frame."""
+    from gaming_ai_analytics_spark.queries_analytics import (
+        q_dau_mau_stickiness,
+    )
+
+    df = q_dau_mau_stickiness(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "Generate" not in plan, "explode re-entered the MAU path"
+    # the per-user island window exists and is keyed on user_id
+    lag_at = plan.index("Window [lag(")
+    spec = plan[lag_at:plan.index("\n", lag_at)]
+    assert "user_id" in spec, spec
+    # the prefix-sum window is fed by a per-day aggregate (the delta
+    # reduce), never by a data-sized frame: its subtree must contain
+    # a HashAggregate keyed on the day before any scan
+    psum_at = plan.index("Window [sum(_dd")
+    agg_at = plan.index("HashAggregate", psum_at)
+    assert agg_at > psum_at, "prefix sum not fed by the delta reduce"
