@@ -2484,3 +2484,93 @@ register(
     q_bpe_compression_by_source,
     _bpe_compression_oracle(BPE_ROUNDS),
 )
+
+
+def q_packing_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing priced in TRAINED-BPE tokens (VERDICT r9 ask
+    #4): the same concat-and-chunk assignment as
+    ``traindata_sequence_packing`` but with each document's budget =
+    its token count under the tokenizer ``bpe_train`` just learned —
+    the number an actual pretraining batch is priced in (whitespace
+    words systematically misprice sources whose words fragment
+    differently under BPE).  Reference-anchor: the scorer/batching
+    boundary the reference throttles at ``reviews_fact.py:171-186``.
+
+    Scale shape: train once (corpus collapses to the word-frequency
+    table exactly once; rounds touch vocab frames only), then ONE
+    more corpus pass explodes (doc, word) and joins the vocab-bounded
+    per-word token counts — broadcast by construction (|vocab| rows,
+    two columns) — reducing map-side to one row per document before
+    the shard-keyed packing window assigns ``seq_id``/``seq_offset``
+    by running token count.  Words the trainer never saw (the
+    chr(31)-guard filter) drop on both sides — the join IS the
+    tokenizer's domain.  Two corpus scans total (train + pack), each
+    paid once regardless of merge rounds; at 100 TB shards bound both
+    sort width and window state, same as the whitespace packer."""
+    seq_len = 4096
+    wc = _word_counts(spark, sf_dir)
+    _, state = bpe_train(wc, BPE_ROUNDS, return_state=True)
+    word_tokens = state.select(
+        "w", F.size(F.split("seg", _BPE_SEP)).alias("_n_tok")
+    )
+    doc_tok = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .join(F.broadcast(word_tokens), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("_n_tok").cast("long").alias("n_bpe_tokens"))
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    base = doc_tok.select(
+        "doc_id",
+        (F.col("doc_id") % 8).cast("int").alias("shard"),
+        "n_bpe_tokens",
+    )
+    cum = F.sum("n_bpe_tokens").over(w)
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_bpe_tokens",
+        ((cum - F.col("n_bpe_tokens")) / seq_len).cast("int").alias(
+            "seq_id"
+        ),
+        ((cum - F.col("n_bpe_tokens")) % seq_len).cast("int").alias(
+            "seq_offset"
+        ),
+    )
+
+
+def _packing_bpe_oracle(rounds: int) -> str:
+    """Terminal training state (same unrolled chain as the other BPE
+    oracles) joined to the exploded (doc, word) corpus, then the
+    whitespace packer's shard/cumsum arithmetic over BPE counts."""
+    chain = _bpe_iterations_oracle(rounds)
+    head = chain[: chain.rindex("\n    SELECT CAST(1 AS INT)")]
+    return head + f""",
+    word_tokens AS (
+      SELECT w, len(string_split(seg, chr(31))) AS n_tok
+      FROM toks{rounds}),
+    corpus AS (
+      SELECT doc_id, unnest({_TOKS}) AS w
+      FROM documents WHERE {_NONEMPTY}),
+    doc_tok AS (
+      SELECT doc_id, CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens
+      FROM corpus JOIN word_tokens USING (w)
+      GROUP BY 1),
+    cums AS (
+      SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard, n_bpe_tokens,
+             SUM(n_bpe_tokens) OVER (PARTITION BY doc_id % 8
+                                     ORDER BY doc_id) AS cum
+      FROM doc_tok)
+    SELECT doc_id, shard, n_bpe_tokens,
+           CAST(FLOOR((cum - n_bpe_tokens) / 4096.0) AS INT) AS seq_id,
+           CAST((cum - n_bpe_tokens) % 4096 AS INT) AS seq_offset
+    FROM cums
+    """
+
+
+register(
+    "packing_bpe_budget",
+    q_packing_bpe_budget,
+    _packing_bpe_oracle(BPE_ROUNDS),
+)

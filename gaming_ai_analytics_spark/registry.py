@@ -152,6 +152,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: stable names.  New r10 operators join the head of this list as
 #: they are registered.
 ROTATION_BACKLOG: tuple[str, ...] = (
+    # new r10 operators (zero driver evidence — r11 window head)
+    "packing_bpe_budget",
     # rolled r6-stable tail
     "recursive_cte_spine",
     "order_aging_report",

@@ -1032,3 +1032,50 @@ def test_bpe_compression_consistent_with_segmentation(spark, sf_dir):
     for r in rows:
         assert r.n_bpe_tokens >= r.n_words  # >=1 token per word
         assert r.chars_per_token >= 1.0  # tokens never exceed chars
+
+
+def test_packing_bpe_budget_two_scans_vocab_broadcast(spark, sf_dir):
+    """r10 plan pin (VERDICT r9 ask #4): the tokenizer-priced packer
+    pays corpus cost exactly TWICE — the training word-frequency
+    collapse and the packing pass — regardless of merge rounds, and
+    the vocab-bounded per-word token counts ride a BroadcastExchange
+    into that second pass (never a shuffle join)."""
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_packing_bpe_budget,
+    )
+
+    before = _parquet_scan_executions(spark, "documents.parquet")
+    df = q_packing_bpe_budget(spark, sf_dir)
+    rows = df.collect()
+    after = _parquet_scan_executions(spark, "documents.parquet")
+    assert after - before == 2, (before, after)
+    assert rows
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_packing_bpe_budget_bin_arithmetic(spark, sf_dir):
+    """The packing assignment is internally consistent: within each
+    shard, ordered by doc_id, seq_offset is the running token count
+    mod 4096 and seq_id its div — i.e. the docs really concatenate
+    into 4096-token bins with no gaps or overlaps."""
+    from collections import defaultdict
+
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_packing_bpe_budget,
+    )
+
+    rows = q_packing_bpe_budget(spark, sf_dir).collect()
+    assert rows
+    shards = defaultdict(list)
+    for r in rows:
+        shards[r.shard].append(r)
+    assert len(shards) > 1
+    for shard, rs in shards.items():
+        cum = 0
+        for r in sorted(rs, key=lambda r: r.doc_id):
+            assert r.n_bpe_tokens >= 1  # every kept doc has >=1 token
+            assert r.seq_id == cum // 4096, (shard, r)
+            assert r.seq_offset == cum % 4096, (shard, r)
+            cum += r.n_bpe_tokens
