@@ -154,6 +154,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 ROTATION_BACKLOG: tuple[str, ...] = (
     # new r10 operators (zero driver evidence — r11 window head)
     "packing_bpe_budget",
+    "metric_view_curation",
     # rolled r6-stable tail
     "recursive_cte_spine",
     "order_aging_report",

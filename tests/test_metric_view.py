@@ -207,3 +207,66 @@ def test_consumer_sql_equals_query_for_every_subset(mv):
                         map(tuple, mv.query(list(dims), list(meas)).collect())
                     )
                     assert via_sql == via_api, (dims, meas)
+
+
+def test_curation_view_generalizes_beyond_star(spark, sf_dir):
+    """VERDICT r9 ask #5: the compiler fronting the curation mart
+    (documents + trained-tokenizer counts), not the TPC-H star — the
+    same consumer-SQL parse-through contract: two-dim grouping, a
+    consumer WHERE on an underlying column, alias handling, additive
+    rollup across grains, and the declared-name check."""
+    from gaming_ai_analytics_spark.queries_traindata import (
+        _curation_metric_view,
+    )
+
+    mv = _curation_metric_view(spark, sf_dir)
+    per_source = mv.sql(
+        "SELECT source, MEASURE(docs) AS docs, MEASURE(bpe_tokens) AS"
+        " bpe_tokens FROM corpus_curation GROUP BY source"
+    ).collect()
+    assert per_source and set(per_source[0].asDict()) == {
+        "source", "docs", "bpe_tokens"
+    }
+    two_dim = mv.sql(
+        "SELECT source, lang, MEASURE(docs) AS docs FROM"
+        " corpus_curation GROUP BY 1, 2"
+    ).collect()
+    assert len(two_dim) >= len(per_source)
+    # additive rollup: the finer grain sums to the coarser
+    assert sum(r.docs for r in two_dim) == sum(r.docs for r in per_source)
+    filtered = mv.sql(
+        "SELECT source, MEASURE(docs) AS docs FROM corpus_curation"
+        " WHERE corpus.lang = 'en' GROUP BY source"
+    ).collect()
+    by_src = {r.source: r.docs for r in per_source}
+    for r in filtered:
+        assert r.docs <= by_src[r.source]
+    with pytest.raises(ValueError, match="names metric view"):
+        mv.sql(
+            "SELECT source, MEASURE(docs) FROM orders_metrics"
+            " GROUP BY source"
+        )
+
+
+def test_curation_view_measures_internally_consistent(spark, sf_dir):
+    """Cross-operator invariant: the curation view's per-source BPE
+    totals must equal bpe_compression_by_source's (same trained
+    tokenizer, same corpus), and median quality lands in [0, 1]."""
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_bpe_compression_by_source,
+        q_metric_view_curation,
+    )
+
+    view = {
+        r.source: r
+        for r in q_metric_view_curation(spark, sf_dir).collect()
+    }
+    comp = {
+        r.source: r.n_bpe_tokens
+        for r in q_bpe_compression_by_source(spark, sf_dir).collect()
+    }
+    assert set(view) >= set(comp)
+    for src, n in comp.items():
+        assert view[src].bpe_tokens == n, src
+    for r in view.values():
+        assert 0.0 <= r.median_quality <= 1.0
