@@ -2689,3 +2689,141 @@ register(
     q_metric_view_curation,
     _metric_view_curation_oracle(BPE_ROUNDS),
 )
+
+
+#: DSIR feature-space size (hashed unigram buckets).  1024 keeps the
+#: ratio table broadcast-trivial while leaving expected bucket loads
+#: of dozens of distinct words at fixture vocab sizes.
+_DSIR_BUCKETS = 1024
+#: log-ratios are fixed to 6 decimals IN-ENGINE (scaled-integer form)
+#: before the per-document sum — the CUPED derived-constant trick:
+#: summing BIGINTs is exact and order-independent, so the two engines
+#: cannot drift on float addition order.  5e-4 on the 1e6-scaled
+#: value ≡ the house 5e-10 pre-round nudge.
+_DSIR_SCALE = 1_000_000
+
+
+def _dsir_bucket(w: Column) -> Column:
+    """Feature-hash a word into [0, _DSIR_BUCKETS) identically on
+    both engines: the first 8 hex chars of md5 (the repo's one
+    cross-engine string hash) parsed as an integer, mod B.  xxhash64
+    would be cheaper but has no DuckDB twin."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
+        F.lit(_DSIR_BUCKETS),
+    )
+
+
+def _dsir_bucket_sql(w: str) -> str:
+    return (
+        f"CAST(concat('0x', substring(md5({w}), 1, 8)) AS BIGINT)"
+        f" % {_DSIR_BUCKETS}"
+    )
+
+
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    DSIR): score every raw document by how much its hashed-unigram
+    distribution resembles a TARGET distribution — here the
+    quality-gated slice of the corpus (quality >= 0.45, the curation
+    rule) — via per-document sums of per-bucket log ratios
+    log(p_b/q_b), Laplace-smoothed.  The weight is what importance
+    resampling (e.g. ``sample_weighted``'s A-ES) consumes to pull a
+    target-shaped subset out of a raw 100 TB crawl.
+
+    Scale shape: TWO corpus scans, mirroring the BPE family.  Pass 1
+    explodes words, computes quality once, and reduces map-side to
+    the B-row bucket table (target count, total count per bucket) —
+    the only corpus-sized shuffle carries (bucket) keys.  The log
+    ratios are derived from that table and fixed to 6 decimals as
+    SCALED BIGINTs in-engine (order-independent integer sums — float
+    accumulation order can differ between engines and between runs).
+    Pass 2 re-explodes, broadcast-joins the <=1024-row ratio table,
+    and sums per document (map-side combined).  No driver collect
+    anywhere; the ratio table stays a broadcast DataFrame."""
+    from gaming_ai_analytics_spark.functions.text import quality_score
+
+    docs = _docs(spark, sf_dir)
+    occ1 = docs.select(
+        (quality_score(F.col("text")) >= 0.45).alias("_tgt"),
+        F.explode(tokens(F.col("text"))).alias("w"),
+    ).select(_dsir_bucket(F.col("w")).alias("_b"), "_tgt")
+    stats = occ1.groupBy("_b").agg(
+        F.sum(F.col("_tgt").cast("long")).alias("_p"),
+        F.count(F.lit(1)).alias("_q"),
+    )
+    totals = stats.agg(
+        F.sum("_p").alias("_pt"), F.sum("_q").alias("_qt")
+    )
+    b = F.lit(_DSIR_BUCKETS)
+    ratios = stats.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        F.round(
+            (
+                F.log((F.col("_p") + 1) / (F.col("_pt") + b))
+                - F.log((F.col("_q") + 1) / (F.col("_qt") + b))
+            )
+            * _DSIR_SCALE
+            + 5e-4
+        )
+        .cast("long")
+        .alias("_r"),
+    )
+    occ2 = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    ).select("doc_id", _dsir_bucket(F.col("w")).alias("_b"))
+    return (
+        occ2.join(F.broadcast(ratios), "_b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            # + 0.0 after the round: IEEE -0.0 + 0.0 = +0.0, so a
+            # tiny-negative sum rounds to the SAME zero on both
+            # engines (DuckDB keeps -0.0, Spark prints 0.0 — the
+            # value hash sees two different doubles)
+            (
+                F.round(
+                    F.sum("_r") / F.lit(float(_DSIR_SCALE)) + 5e-10, 4
+                )
+                + 0.0
+            ).alias("log_weight"),
+        )
+    )
+
+
+def _dsir_oracle() -> str:
+    from gaming_ai_analytics_spark.functions.text_sql import QUALITY
+
+    B, S = _DSIR_BUCKETS, _DSIR_SCALE
+    return f"""
+    WITH occ1 AS (
+      SELECT {_dsir_bucket_sql('w')} AS b,
+             CAST(({QUALITY} >= 0.45) AS BIGINT) AS tgt
+      FROM (SELECT text, unnest({_TOKS}) AS w
+            FROM documents WHERE {_NONEMPTY})),
+    stats AS (
+      SELECT b, SUM(tgt) AS p, COUNT(*) AS q FROM occ1 GROUP BY 1),
+    totals AS (
+      SELECT SUM(p) AS pt, SUM(q) AS qt FROM stats),
+    ratios AS (
+      SELECT b,
+             CAST(ROUND((LN((p + 1) * 1.0 / (pt + {B}))
+                       - LN((q + 1) * 1.0 / (qt + {B}))) * {S}
+                        + 5e-4) AS BIGINT) AS r
+      FROM stats, totals),
+    occ2 AS (
+      SELECT doc_id, {_dsir_bucket_sql('w')} AS b
+      FROM (SELECT doc_id, unnest({_TOKS}) AS w
+            FROM documents WHERE {_NONEMPTY}))
+    SELECT doc_id, COUNT(*) AS n_terms,
+           ROUND(SUM(r) * 1.0 / {S} + 5e-10, 4) + 0.0 AS log_weight
+    FROM occ2 JOIN ratios USING (b)
+    GROUP BY 1
+    """
+
+
+register(
+    "dsir_importance_weights",
+    q_dsir_importance_weights,
+    _dsir_oracle(),
+)

@@ -155,6 +155,7 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     # new r10 operators (zero driver evidence — r11 window head)
     "packing_bpe_budget",
     "metric_view_curation",
+    "dsir_importance_weights",
     # rolled r6-stable tail
     "recursive_cte_spine",
     "order_aging_report",

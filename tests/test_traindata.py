@@ -1079,3 +1079,44 @@ def test_packing_bpe_budget_bin_arithmetic(spark, sf_dir):
             assert r.seq_id == cum // 4096, (shard, r)
             assert r.seq_offset == cum % 4096, (shard, r)
             cum += r.n_bpe_tokens
+
+
+def test_dsir_weights_separate_target_like_docs(spark, monkeypatch):
+    """DSIR semantics on a planted corpus: documents whose vocabulary
+    matches the quality-gated TARGET slice must score higher than
+    junk-vocabulary documents — and a held-out doc written in the
+    target's vocabulary outranks one written in the junk vocabulary
+    even though neither is itself in the target slice."""
+    from gaming_ai_analytics_spark import registry
+
+    registry.queries()
+    import gaming_ai_analytics_spark.queries_traindata as qt
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog and then the "
+        "fox rests in the shade of a tall tree while the dog waits "
+    ) * 6  # long, stopword-rich -> quality >= 0.45 (target)
+    junk = "zzqx!! vvrk## qqpl$$ xxwd%% zzqx!! vvrk##"  # short, punct
+    rows = [(i, prose, "en", len(prose)) for i in range(4)]
+    rows += [(10 + i, junk, "xx", len(junk)) for i in range(4)]
+    # held-out probes: target-vocab vs junk-vocab, both SHORT (so the
+    # probe itself fails the quality gate either way)
+    rows.append((20, "fox dog tree shade!!!!!!!!!!!!!!!!!!!!", "en", 22))
+    rows.append((21, "zzqx vvrk qqpl xxwd!!!!!!!!!!!!!!!!!!!", "xx", 22))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    )
+    monkeypatch.setattr(qt, "_docs", lambda spark, sf_dir: docs)
+    out = {
+        r.doc_id: r
+        for r in qt.q_dsir_importance_weights(spark, "ignored").collect()
+    }
+    assert set(out) == set(range(4)) | {10, 11, 12, 13, 20, 21}
+    for r in out.values():
+        assert r.n_terms >= 1
+    # target-slice docs outweigh junk docs
+    assert min(out[i].log_weight for i in range(4)) > max(
+        out[10 + i].log_weight for i in range(4)
+    )
+    # the held-out target-vocab probe outranks the junk-vocab probe
+    assert out[20].log_weight > out[21].log_weight
