@@ -2731,26 +2731,52 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     resampling (e.g. ``sample_weighted``'s A-ES) consumes to pull a
     target-shaped subset out of a raw 100 TB crawl.
 
-    Scale shape: TWO corpus scans, mirroring the BPE family.  Pass 1
+    Scale shape: TWO corpus scans, mirroring the BPE family — and the
+    BPE lesson applied to the hash itself: feature-hashing is
+    idempotent per word, so HASH THE VOCAB, NOT THE CORPUS.  Pass 1
     explodes words, computes quality once, and reduces map-side to
-    the B-row bucket table (target count, total count per bucket) —
-    the only corpus-sized shuffle carries (bucket) keys.  The log
-    ratios are derived from that table and fixed to 6 decimals as
-    SCALED BIGINTs in-engine (order-independent integer sums — float
-    accumulation order can differ between engines and between runs).
-    Pass 2 re-explodes, broadcast-joins the <=1024-row ratio table,
-    and sums per document (map-side combined).  No driver collect
-    anywhere; the ratio table stays a broadcast DataFrame."""
+    the per-WORD stats table (target count, total count — the only
+    corpus-sized shuffle, word keys); md5 then runs once per DISTINCT
+    word to fold that vocab-bounded table into the B-row bucket
+    table.  (The first cut hashed every occurrence: ~1e9 md5+conv
+    calls at sf10 vs `packing_bpe_budget`'s 7 s for the identical
+    explode/join/reduce shape with a plain word-string join — the
+    hash was >98% of the runtime.)  The log ratios are fixed to 6
+    decimals as SCALED BIGINTs in-engine (order-independent integer
+    sums — float accumulation order can differ between engines and
+    between runs) and travel back onto the vocab table, so pass 2
+    broadcast-joins the corpus on the word STRING exactly like the
+    BPE token-count joins and sums per document (map-side combined).
+    No driver collect anywhere; vocab-bounded frames only."""
     from gaming_ai_analytics_spark.functions.text import quality_score
 
     docs = _docs(spark, sf_dir)
-    occ1 = docs.select(
+    # _tgt in its OWN select below the explode: a scalar in the same
+    # select as a generator lands in the Project ABOVE the Generate
+    # (ExtractGenerator), re-evaluating the three quality regexes per
+    # OCCURRENCE instead of per document — measured ~100x the regex
+    # work at sf10.  Split, the Generate retains _tgt as a computed
+    # column and replicates the VALUE.  Plan-pinned.
+    pre = docs.select(
         (quality_score(F.col("text")) >= 0.45).alias("_tgt"),
-        F.explode(tokens(F.col("text"))).alias("w"),
-    ).select(_dsir_bucket(F.col("w")).alias("_b"), "_tgt")
-    stats = occ1.groupBy("_b").agg(
-        F.sum(F.col("_tgt").cast("long")).alias("_p"),
-        F.count(F.lit(1)).alias("_q"),
+        tokens(F.col("text")).alias("_ws"),
+    )
+    # localCheckpoint: word_stats feeds BOTH the bucket-ratio branch
+    # and the word->ratio map; without it each reference re-pays the
+    # corpus explode + quality pass (measured: ~2x at sf10).  The
+    # materialized frame is vocab-bounded — the score-once trade.
+    word_stats = (
+        pre.select("_tgt", F.explode("_ws").alias("w"))
+        .groupBy("w")
+        .agg(
+            F.sum(F.col("_tgt").cast("long")).alias("_p"),
+            F.count(F.lit(1)).alias("_q"),
+        )
+        .withColumn("_b", _dsir_bucket(F.col("w")))
+        .localCheckpoint()
+    )
+    stats = word_stats.groupBy("_b").agg(
+        F.sum("_p").alias("_p"), F.sum("_q").alias("_q")
     )
     totals = stats.agg(
         F.sum("_p").alias("_pt"), F.sum("_q").alias("_qt")
@@ -2769,11 +2795,14 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("_r"),
     )
+    word_ratio = word_stats.select("w", "_b").join(
+        F.broadcast(ratios), "_b"
+    ).select("w", "_r")
     occ2 = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("w")
-    ).select("doc_id", _dsir_bucket(F.col("w")).alias("_b"))
+    )
     return (
-        occ2.join(F.broadcast(ratios), "_b")
+        occ2.join(F.broadcast(word_ratio), "w")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_terms"),
@@ -2796,13 +2825,15 @@ def _dsir_oracle() -> str:
 
     B, S = _DSIR_BUCKETS, _DSIR_SCALE
     return f"""
-    WITH occ1 AS (
-      SELECT {_dsir_bucket_sql('w')} AS b,
-             CAST(({QUALITY} >= 0.45) AS BIGINT) AS tgt
-      FROM (SELECT text, unnest({_TOKS}) AS w
-            FROM documents WHERE {_NONEMPTY})),
+    WITH word_stats AS (
+      SELECT w, p, q, {_dsir_bucket_sql('w')} AS b
+      FROM (SELECT w, SUM(tgt) AS p, COUNT(*) AS q
+            FROM (SELECT CAST(({QUALITY} >= 0.45) AS BIGINT) AS tgt,
+                         unnest({_TOKS}) AS w
+                  FROM documents WHERE {_NONEMPTY})
+            GROUP BY 1)),
     stats AS (
-      SELECT b, SUM(tgt) AS p, COUNT(*) AS q FROM occ1 GROUP BY 1),
+      SELECT b, SUM(p) AS p, SUM(q) AS q FROM word_stats GROUP BY 1),
     totals AS (
       SELECT SUM(p) AS pt, SUM(q) AS qt FROM stats),
     ratios AS (
@@ -2811,13 +2842,14 @@ def _dsir_oracle() -> str:
                        - LN((q + 1) * 1.0 / (qt + {B}))) * {S}
                         + 5e-4) AS BIGINT) AS r
       FROM stats, totals),
+    word_ratio AS (
+      SELECT w, r FROM word_stats JOIN ratios USING (b)),
     occ2 AS (
-      SELECT doc_id, {_dsir_bucket_sql('w')} AS b
-      FROM (SELECT doc_id, unnest({_TOKS}) AS w
-            FROM documents WHERE {_NONEMPTY}))
+      SELECT doc_id, unnest({_TOKS}) AS w
+      FROM documents WHERE {_NONEMPTY})
     SELECT doc_id, COUNT(*) AS n_terms,
            ROUND(SUM(r) * 1.0 / {S} + 5e-10, 4) + 0.0 AS log_weight
-    FROM occ2 JOIN ratios USING (b)
+    FROM occ2 JOIN word_ratio USING (w)
     GROUP BY 1
     """
 

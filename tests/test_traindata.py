@@ -1120,3 +1120,53 @@ def test_dsir_weights_separate_target_like_docs(spark, monkeypatch):
     )
     # the held-out target-vocab probe outranks the junk-vocab probe
     assert out[20].log_weight > out[21].log_weight
+
+
+def test_dsir_two_scans_quality_below_explode(spark, sf_dir):
+    """r10 plan pins for dsir_importance_weights.  (1) Corpus cost:
+    exactly TWO documents-scanning executions — the word-stats
+    checkpoint materialization at construction and the scoring pass
+    at collect; the vocab/bucket/ratio branches all ride the
+    checkpointed vocab-bounded frame.  (2) The quality gate is
+    computed per DOCUMENT, not per occurrence: in the construction
+    execution's plan the Generate RETAINS `_tgt` as a computed
+    column — a scalar left in the same select as the generator lands
+    in the Project ABOVE the Generate (ExtractGenerator) and re-runs
+    the three quality regexes per exploded word (measured ~100x the
+    regex work at sf10)."""
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_dsir_importance_weights,
+    )
+
+    store = spark._jsparkSession.sharedState().statusStore()
+    n0 = store.executionsList().size()
+    before = _parquet_scan_executions(spark, "documents.parquet")
+    df = q_dsir_importance_weights(spark, sf_dir)
+    mid = _parquet_scan_executions(spark, "documents.parquet")
+    assert mid - before == 1, "construction must pay exactly one scan"
+    assert df.collect()
+    after = _parquet_scan_executions(spark, "documents.parquet")
+    assert after - before == 2, (before, mid, after)
+    # the construction-time execution(s): find the one that scanned
+    # documents AND generated words — its Generate must retain _tgt
+    execs = store.executionsList()
+    descs = [
+        execs.apply(i).physicalPlanDescription()
+        for i in range(n0, execs.size())
+    ]
+    gen_descs = [
+        d for d in descs
+        if "documents.parquet" in d and "Generate" in d and "_tgt" in d
+    ]
+    assert gen_descs, "no execution exploded words with _tgt present"
+    for d in gen_descs:
+        # formatted mode: the Generate's operands live on an
+        # "Arguments:" detail line — explode(_ws...), [_tgt...], ...
+        gen_lines = [
+            ln for ln in d.splitlines()
+            if "explode(_ws" in ln and "_tgt" in ln
+        ]
+        assert gen_lines, (
+            "quality (_tgt) not retained by the Generate — the "
+            "regexes moved above the explode:\n" + d[:2000]
+        )
