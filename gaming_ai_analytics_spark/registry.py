@@ -213,6 +213,9 @@ ROTATION_BACKLOG: tuple[str, ...] = (
 #:     re-promotes the name to the core cap until a fresh green row
 #:     lands and the hash is re-recorded (tools/update_stable_hashes.py).
 #:     Never-checked names are overdue regardless of tier.
+#:   * FROZEN_TIER (r10, defined above with its membership criteria):
+#:     byte-stable single-expression surfaces with >=3 committed green
+#:     rounds — same hash-guard mechanics as stable, 25-round cadence.
 #:
 #: Satisfiability (asserted by tests/test_registry.py, which
 #: RECOMPUTES the demand from the live registry — the authoritative
@@ -228,22 +231,32 @@ ROTATION_BACKLOG: tuple[str, ...] = (
 #: A flat 3-round cap would demand ceil(218/3) = 73 > 50.
 CORE_STALENESS_CAP = 3
 STALENESS_CAP_STABLE = 10
+STALENESS_CAP_FROZEN = 25
 
-CORE_TIER: frozenset[str] = frozenset({
-    # flagship / pipeline / metric views
-    "flagship_star_metrics",
-    "fact_build_transform",
-    "metric_view_region",
-    "metric_view_two_dims_where",
-    # §2.1 scans / §2.2 sinks
-    "csv_roundtrip_scan",
-    "jsonl_roundtrip_scan",
-    "orc_roundtrip_scan",
-    "python_datasource_scan",
-    "python_datasource_stream",
-    "zorder_key_events",
-    "binaryfile_ingest_scan",
-    # §2.3/2.4/2.7/2.8 projection / filter / scalar / sort-limit
+#: --- FROZEN tier (r10 — the third tier VERDICT r8 sketched and r9
+#: ask #6 commissioned) -------------------------------------------------
+#:
+#: Names whose plans are single-expression surfaces over one or two
+#: fixture tables (a scan, a filter stack, one equi-join, one groupBy
+#: aggregate, a schema-pinned format round-trip) that have been
+#: byte-identical since round 5 and carry at least THREE committed
+#: green driver rounds each (history asserted by
+#: tests/test_registry.py::test_frozen_tier_membership_is_earned).
+#: They stay hash-guarded exactly like the stable tier — any edit to
+#: the function, its oracle, or a shared value helper demotes the
+#: name to the 3-round core cap until re-proved — but their scheduled
+#: re-check cadence is STALENESS_CAP_FROZEN rounds: for a value-hash-
+#: guarded, never-edited single-expression plan, a failed re-check
+#: could only come from an engine or fixture change, which would also
+#: fail the ~80 windowed names around it.  The cap is long, not
+#: infinite, so every name still cycles through real driver evidence.
+#:
+#: Arithmetic this buys (recomputed by the satisfiability test): the
+#: 22 names below each cost 1/3 slot/round in core but 1/25 here —
+#: demand drops ~7 slots, funding several rounds of operator growth
+#: without another stable-cap extension.
+FROZEN_TIER: frozenset[str] = frozenset({
+    # §2.3/2.4/2.7/2.8 single-expression surfaces (green r1,2,5,9)
     "project_rename",
     "derived_columns",
     "filter_numeric_conjunction",
@@ -254,12 +267,38 @@ CORE_TIER: frozenset[str] = frozenset({
     "scalar_string_functions",
     "fillna_after_left_join",
     "topk_orders",
-    # §2.5 join ladder
+    # single equi-joins (asof/range/skew/pit/anti stay core)
     "join_flatten_dim",
-    "join_anti_incremental",
     "join_inner",
     "join_semi",
     "join_chain_left",
+    # single groupBy aggregates (percentile/sketches/rollup stay core)
+    "agg_count_by_group",
+    "agg_avg_by_group",
+    "agg_conditional_ratio",
+    "agg_distinct",
+    "agg_global_counts",
+    "agg_uniqueness_check",
+    # schema-pinned format round-trips (orc stays core: one green row)
+    "csv_roundtrip_scan",
+    "jsonl_roundtrip_scan",
+})
+
+CORE_TIER: frozenset[str] = frozenset({
+    # flagship / pipeline / metric views
+    "flagship_star_metrics",
+    "fact_build_transform",
+    "metric_view_region",
+    "metric_view_two_dims_where",
+    # §2.1 scans / §2.2 sinks
+    "orc_roundtrip_scan",
+    "python_datasource_scan",
+    "python_datasource_stream",
+    "zorder_key_events",
+    "binaryfile_ingest_scan",
+    # §2.3/2.4/2.7/2.8 surfaces moved to FROZEN_TIER (r10)
+    # §2.5 join ladder
+    "join_anti_incremental",
     "join_null_safe",
     "events_asof_enrich",
     "events_range_join",
@@ -267,14 +306,8 @@ CORE_TIER: frozenset[str] = frozenset({
     "join_skew_isolated",
     "pit_dim_join",
     # §2.6 aggregation ladder
-    "agg_count_by_group",
-    "agg_avg_by_group",
-    "agg_conditional_ratio",
     "agg_percentile",
     "agg_scale_sketches",
-    "agg_distinct",
-    "agg_global_counts",
-    "agg_uniqueness_check",
     "agg_rollup",
     # §2.10 UDF ladder
     "sql_ai_functions",

@@ -32,15 +32,18 @@ HASHES_PATH = pathlib.Path(__file__).with_name("stable_plan_hashes.json")
 
 
 def _effective_cap(name: str) -> int:
-    """Core cap for core-tier names AND for stable names whose source
-    hash drifted from (or was never recorded in) the committed
+    """Core cap for core-tier names AND for stable/frozen names whose
+    source hash drifted from (or was never recorded in) the committed
     baseline — a changed function means a possibly-changed plan, so
-    the long stable leash no longer applies."""
+    the long leash no longer applies.  Hash-valid frozen names get
+    the frozen cap; hash-valid stable names the stable cap."""
     if name in registry.CORE_TIER:
         return registry.CORE_STALENESS_CAP
     recorded = _recorded_hashes().get(name)
     if recorded is None or recorded != registry.source_hash(name):
         return registry.CORE_STALENESS_CAP
+    if name in registry.FROZEN_TIER:
+        return registry.STALENESS_CAP_FROZEN
     return registry.STALENESS_CAP_STABLE
 
 
@@ -205,20 +208,65 @@ def test_tier_caps_arithmetically_satisfiable():
 
     names = set(registry.queries())
     core = names & registry.CORE_TIER
-    stable = names - core
-    # every CORE_TIER name must actually be registered (typo guard)
+    frozen = names & registry.FROZEN_TIER
+    stable = names - core - frozen
+    # every tier name must actually be registered (typo guard), and
+    # the explicit tiers must be disjoint
     assert registry.CORE_TIER <= names, (
         f"CORE_TIER names not registered: "
         f"{sorted(registry.CORE_TIER - names)}"
     )
-    demand = math.ceil(
-        len(core) / registry.CORE_STALENESS_CAP
-    ) + math.ceil(len(stable) / registry.STALENESS_CAP_STABLE)
-    assert demand <= 50, (
-        f"tier caps unsatisfiable: steady-state demand {demand} slots "
-        f"(|core|={len(core)} cap {registry.CORE_STALENESS_CAP}, "
-        f"|stable|={len(stable)} cap {registry.STALENESS_CAP_STABLE}) "
-        f"> 50-slot window"
+    assert registry.FROZEN_TIER <= names, (
+        f"FROZEN_TIER names not registered: "
+        f"{sorted(registry.FROZEN_TIER - names)}"
+    )
+    assert not registry.CORE_TIER & registry.FROZEN_TIER
+    demand = (
+        math.ceil(len(core) / registry.CORE_STALENESS_CAP)
+        + math.ceil(len(stable) / registry.STALENESS_CAP_STABLE)
+        + math.ceil(len(frozen) / registry.STALENESS_CAP_FROZEN)
+    )
+    # VERDICT r9 ask #6: keep >= 3 slots of slack for operator growth
+    assert demand <= 47, (
+        f"tier caps leave <3 slots of slack: steady-state demand "
+        f"{demand} slots (|core|={len(core)} cap "
+        f"{registry.CORE_STALENESS_CAP}, |stable|={len(stable)} cap "
+        f"{registry.STALENESS_CAP_STABLE}, |frozen|={len(frozen)} cap "
+        f"{registry.STALENESS_CAP_FROZEN}) vs the 50-slot window"
+    )
+
+
+def test_frozen_tier_membership_is_earned():
+    """FROZEN_TIER's long leash is only honest for names with real
+    evidence depth: every frozen name must carry at least THREE
+    committed green driver rounds (the membership criterion in
+    registry.py) and a recorded source hash — a name without either
+    belongs in core or stable, not frozen."""
+    _, last = _green_history()
+    rounds: dict[str, int] = {}
+    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rnd = int(f.stem.split("_r")[1])
+        for name, row in json.loads(f.read_text()).items():
+            if (
+                name in registry.FROZEN_TIER
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") in (True, None)
+            ):
+                rounds[name] = rounds.get(name, 0) + 1
+    shallow = sorted(
+        n for n in registry.FROZEN_TIER if rounds.get(n, 0) < 3
+    )
+    assert not shallow, (
+        f"frozen-tier names with <3 committed green rounds: {shallow}"
+    )
+    recorded = _recorded_hashes()
+    unguarded = sorted(
+        n for n in registry.FROZEN_TIER if n not in recorded
+    )
+    assert not unguarded, (
+        f"frozen-tier names without a recorded source hash "
+        f"(run tools/update_stable_hashes.py): {unguarded}"
     )
 
 
