@@ -2859,3 +2859,154 @@ register(
     q_dsir_importance_weights,
     _dsir_oracle(),
 )
+
+
+def q_temporal_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged TEMPORAL train/test split with an embargo gap — the
+    time-series sibling of ``leakage_safe_split``: models trained on
+    behavioral data must be evaluated on a LATER window, and rows
+    inside an embargo buffer before the test window are dropped so
+    label horizons / session tails spanning the boundary cannot leak
+    training signal into the test period (de Prado's purged split,
+    standard in financial ML; the same discipline applies to any
+    event-driven label).  Test = the last 14 days of the corpus,
+    embargo = the 7 days before that, train = everything earlier.
+
+    Scale shape: the date bound rides as a broadcast 1-row frame
+    (the CUPED pattern), assignment is pure date arithmetic in the
+    scan stage, and the summary aggregates on a 3-value key with
+    map-side combine; the per-split distinct-user count shuffles
+    (split, user) pairs — bounded by the activity frame, never raw
+    events.  Integer-day arithmetic keeps both engines bit-identical
+    on the boundaries (timestamp midpoints would not be)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("_d"), "value"
+    )
+    bounds = ev.agg(F.max("_d").alias("_d1"))
+    assigned = ev.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.datediff("_d1", "_d") > 20, "train")
+        .when(F.datediff("_d1", "_d") > 13, "embargo")
+        .otherwise("test")
+        .alias("split"),
+        "user_id",
+        "value",
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value") + 5e-10, 2).alias("total_value"),
+        )
+        .orderBy("split")
+    )
+
+
+def q_mixture_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture rebalance priced in TRAINED-BPE tokens: given
+    the per-source corpus size under the tokenizer
+    (``bpe_compression_by_source``'s readout) and a uniform target
+    mix, emit each source's token budget, keep rate, and the token
+    count a budget-respecting sampler would retain —
+    ``mixture_rebalance`` re-priced in the unit a pretraining run
+    actually budgets (per-source whitespace-doc counts misprice
+    sources whose words fragment differently under BPE).
+
+    Scale shape: the per-source frame is the compression query's
+    (train once, one broadcast-vocab corpus pass, |sources|-key
+    map-combined reduce), localCheckpointed because both the global
+    total and the output consume it — the materialized frame is
+    |sources| rows.  The mixture arithmetic is integer where it can
+    be (budgets, kept tokens) and 4dp-rounded where it can't (keep
+    rate), so both engines agree bit-for-bit."""
+    wc = _word_counts(spark, sf_dir)
+    _, state = bpe_train(wc, BPE_ROUNDS, return_state=True)
+    word_tokens = state.select(
+        "w", F.size(F.split("seg", _BPE_SEP)).alias("_n_tok")
+    )
+    per_src = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(tokens(F.col("text"))).alias("w"))
+        .join(F.broadcast(word_tokens), "w")
+        .groupBy("source")
+        .agg(F.sum("_n_tok").cast("long").alias("n_bpe_tokens"))
+        .localCheckpoint()
+    )
+    tot = per_src.agg(
+        F.sum("n_bpe_tokens").alias("_tot"),
+        F.count(F.lit(1)).alias("_ns"),
+    )
+    target = F.floor(F.col("_tot") / F.col("_ns")).cast("long")
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_bpe_tokens",
+            target.alias("target_tokens"),
+            F.round(
+                F.least(
+                    F.lit(1.0), target / F.col("n_bpe_tokens")
+                )
+                + 5e-10,
+                4,
+            ).alias("keep_rate"),
+            F.least(F.col("n_bpe_tokens"), target).alias(
+                "kept_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _mixture_bpe_oracle(rounds: int) -> str:
+    chain = _bpe_iterations_oracle(rounds)
+    head = chain[: chain.rindex("\n    SELECT CAST(1 AS INT)")]
+    return head + f""",
+    word_tokens AS (
+      SELECT w, len(string_split(seg, chr(31))) AS n_tok
+      FROM toks{rounds}),
+    per_src AS (
+      SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens
+      FROM (SELECT source, unnest({_TOKS}) AS w
+            FROM documents WHERE {_NONEMPTY}) corpus
+      JOIN word_tokens USING (w)
+      GROUP BY 1),
+    tot AS (
+      SELECT SUM(n_bpe_tokens) AS t, COUNT(*) AS ns FROM per_src)
+    SELECT source, n_bpe_tokens,
+           CAST(FLOOR(t * 1.0 / ns) AS BIGINT) AS target_tokens,
+           ROUND(LEAST(1.0, FLOOR(t * 1.0 / ns) * 1.0 / n_bpe_tokens)
+                 + 5e-10, 4) AS keep_rate,
+           LEAST(n_bpe_tokens, CAST(FLOOR(t * 1.0 / ns) AS BIGINT))
+             AS kept_tokens
+    FROM per_src, tot ORDER BY source
+    """
+
+
+register(
+    "mixture_bpe_budget",
+    q_mixture_bpe_budget,
+    _mixture_bpe_oracle(BPE_ROUNDS),
+)
+
+
+register(
+    "temporal_embargo_split",
+    q_temporal_embargo_split,
+    """
+    WITH b AS (SELECT MAX(CAST(ts AS DATE)) AS d1 FROM events),
+    assigned AS (
+      SELECT CASE
+               WHEN date_diff('day', CAST(ts AS DATE), d1) > 20
+                 THEN 'train'
+               WHEN date_diff('day', CAST(ts AS DATE), d1) > 13
+                 THEN 'embargo'
+               ELSE 'test' END AS split,
+             user_id, value
+      FROM events, b)
+    SELECT split, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           ROUND(SUM(value) + 5e-10, 2) AS total_value
+    FROM assigned GROUP BY 1 ORDER BY 1
+    """,
+)

@@ -156,6 +156,8 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "packing_bpe_budget",
     "metric_view_curation",
     "dsir_importance_weights",
+    "temporal_embargo_split",
+    "mixture_bpe_budget",
     # rolled r6-stable tail
     "recursive_cte_spine",
     "order_aging_report",

@@ -1170,3 +1170,64 @@ def test_dsir_two_scans_quality_below_explode(spark, sf_dir):
             "quality (_tgt) not retained by the Generate — the "
             "regexes moved above the explode:\n" + d[:2000]
         )
+
+
+def test_temporal_embargo_split_boundaries(spark, tmp_path):
+    """Planted boundary events: with max date D, train is strictly
+    before D-20, the 7-day embargo [D-20, D-14] appears in NEITHER
+    train nor test, and test is [D-13, D]."""
+    import datetime as dt
+
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_temporal_embargo_split,
+    )
+
+    D = dt.datetime(2024, 3, 31, 12)
+    rows = [
+        # (event_id, ts, user_id, event_type, value)
+        (1, D, 1, "view", 1.0),                          # test (D)
+        (2, D - dt.timedelta(days=13), 2, "view", 2.0),  # test edge
+        (3, D - dt.timedelta(days=14), 3, "view", 4.0),  # embargo edge
+        (4, D - dt.timedelta(days=20), 4, "view", 8.0),  # embargo edge
+        (5, D - dt.timedelta(days=21), 5, "view", 16.0),  # train edge
+        (6, D - dt.timedelta(days=100), 5, "view", 32.0),  # train
+    ]
+    (
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double"
+        ).write.parquet(f"{tmp_path}/events.parquet")
+    )
+    out = {
+        r.split: (r.n_events, r.n_users, r.total_value)
+        for r in q_temporal_embargo_split(spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        "test": (2, 2, 3.0),
+        "embargo": (2, 2, 12.0),
+        "train": (2, 1, 48.0),  # user 5 counted once
+    }
+
+
+def test_mixture_bpe_budget_consistent_with_compression(spark, sf_dir):
+    """Cross-operator invariant: the mixture's per-source token
+    counts equal bpe_compression_by_source's; budgets are the floored
+    uniform share; kept = min(n, target); keep_rate in (0, 1]."""
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_bpe_compression_by_source,
+        q_mixture_bpe_budget,
+    )
+
+    mix = {r.source: r for r in q_mixture_bpe_budget(spark, sf_dir).collect()}
+    comp = {
+        r.source: r.n_bpe_tokens
+        for r in q_bpe_compression_by_source(spark, sf_dir).collect()
+    }
+    assert set(mix) == set(comp)
+    total = sum(comp.values())
+    target = total // len(comp)
+    for src, r in mix.items():
+        assert r.n_bpe_tokens == comp[src]
+        assert r.target_tokens == target
+        assert r.kept_tokens == min(r.n_bpe_tokens, target)
+        assert 0.0 < r.keep_rate <= 1.0
