@@ -144,13 +144,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
 )
 
 #: Everything still owed a fresh driver row AFTER this round's window,
-#: pre-ordered as the r11 window plan.  Composition (28 names): the 3
-#: r6-stable names that rolled past the 50-slot r10 window, then the
-#: 25 r7-green core-tier names that cross the 3-round core cap once
-#: CORRECTNESS_r10 lands (last green r7 <= 10 - 3).  That leaves ~22
-#: free r11 slots for new r10 operators and any source-hash-drifted
-#: stable names.  New r10 operators join the head of this list as
-#: they are registered.
+#: pre-ordered as the r11 window plan.  Composition — count it from the
+#: list, not this comment (ADVICE r9: a hand-summed total here drifted
+#: twice): new r10 operators at the head (zero driver evidence, added
+#: as they are registered), then the 3 r6-stable names that rolled
+#: past the 50-slot r10 window, then the 25 r7-green core-tier names
+#: that cross the 3-round core cap once CORRECTNESS_r10 lands (last
+#: green r7 <= 10 - 3).  Remaining r11 slots go to new operators and
+#: any source-hash-drifted stable names.
 ROTATION_BACKLOG: tuple[str, ...] = (
     # new r10 operators (zero driver evidence — r11 window head)
     "packing_bpe_budget",

@@ -924,16 +924,32 @@ def test_kfold_assign_balanced_over_full_key_domain(spark):
         assert max(counts.values()) / min(counts.values()) < 1.2, counts
 
 
-def _parquet_scan_executions(spark, needle: str) -> int:
+def _parquet_scan_executions(
+    spark, needle: str, min_exec_id: int = -1
+) -> int:
     """Count completed SQL executions whose physical plan scans a
     path containing ``needle`` (SQLAppStatusStore — the same data the
-    Spark UI's SQL tab shows)."""
+    Spark UI's SQL tab shows).  ``min_exec_id`` restricts to
+    executions AFTER a snapshot id: the store retains a bounded
+    window, so under a long suite absolute counts sag as old entries
+    evict — deltas of absolute counts are only safe inside a short
+    test; cross-checkpoint comparisons must anchor on execution id."""
     store = spark._jsparkSession.sharedState().statusStore()
     execs = store.executionsList()
     return sum(
         1
         for i in range(execs.size())
-        if needle in execs.apply(i).physicalPlanDescription()
+        if execs.apply(i).executionId() > min_exec_id
+        and needle in execs.apply(i).physicalPlanDescription()
+    )
+
+
+def _max_exec_id(spark) -> int:
+    store = spark._jsparkSession.sharedState().statusStore()
+    execs = store.executionsList()
+    return max(
+        (execs.apply(i).executionId() for i in range(execs.size())),
+        default=-1,
     )
 
 
@@ -1138,21 +1154,26 @@ def test_dsir_two_scans_quality_below_explode(spark, sf_dir):
         q_dsir_importance_weights,
     )
 
-    store = spark._jsparkSession.sharedState().statusStore()
-    n0 = store.executionsList().size()
-    before = _parquet_scan_executions(spark, "documents.parquet")
+    # snapshot by execution ID, not list position: the status store
+    # retains a bounded number of executions, and under the full
+    # suite eviction at the front shifts the list, so a positional
+    # range(n0, size) slice silently misses new executions and
+    # absolute-count deltas sag (r10 full-suite flake)
+    id0 = _max_exec_id(spark)
     df = q_dsir_importance_weights(spark, sf_dir)
-    mid = _parquet_scan_executions(spark, "documents.parquet")
-    assert mid - before == 1, "construction must pay exactly one scan"
+    mid = _parquet_scan_executions(spark, "documents.parquet", id0)
+    assert mid == 1, "construction must pay exactly one scan"
     assert df.collect()
-    after = _parquet_scan_executions(spark, "documents.parquet")
-    assert after - before == 2, (before, mid, after)
+    after = _parquet_scan_executions(spark, "documents.parquet", id0)
+    assert after == 2, (id0, mid, after)
     # the construction-time execution(s): find the one that scanned
     # documents AND generated words — its Generate must retain _tgt
+    store = spark._jsparkSession.sharedState().statusStore()
     execs = store.executionsList()
     descs = [
         execs.apply(i).physicalPlanDescription()
-        for i in range(n0, execs.size())
+        for i in range(execs.size())
+        if execs.apply(i).executionId() > id0
     ]
     gen_descs = [
         d for d in descs
