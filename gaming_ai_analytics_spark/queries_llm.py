@@ -1742,3 +1742,89 @@ register(
     FROM vals GROUP BY 1
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# Cross-document duplicated n-gram spans (ExactSubstr-lite)
+# --------------------------------------------------------------------------
+from gaming_ai_analytics_spark.functions.text import word_ngrams  # noqa: E402
+
+_NONEMPTY = "text IS NOT NULL AND LENGTH(TRIM(text)) > 0"
+_SPAN_K = 8  # span unit: word 8-grams (Lee et al. 2022 use 50-char spans)
+
+
+def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document CROSS-corpus duplicated-span fraction: the share
+    of a document's distinct word 8-grams that also appear in at
+    least one OTHER document — the span-level signal behind
+    ExactSubstr deduplication (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", 2022): whole-doc dedup
+    misses boilerplate, licenses, and quoted passages that repeat
+    inside otherwise-unique documents, and those repeated spans are
+    what a trained model memorizes verbatim.  `quality_repetition`
+    is the WITHIN-doc complement; this is the corpus-wide one.
+
+    Scale shape: one corpus scan; the per-doc-distinct gram frame
+    shuffles ONCE on the gram key, where an aggregate-only window
+    attaches each gram's document frequency (the `doc_rarity_score`
+    shape — buffering per gram key is bounded by that gram's df, and
+    an 8-word span's df distribution has no stop-term head; the
+    groupBy-count + join-back alternative pays a second corpus scan
+    and a second gram-keyed shuffle for the same answer), then one
+    map-side-combined per-doc aggregation.  At 100 TB the production
+    tier would shuffle a 128-bit gram fingerprint instead of the
+    span text — same plan, narrower exchange; the readout keeps the
+    raw span so the oracle stays engine-exact (the r9 xxhash64
+    review rejected 64-bit keys at the 10^10-doc design point).
+    Docs shorter than 8 words have no spans and are absent from the
+    readout on both engines by construction."""
+    docs = _nonempty_docs(spark, sf_dir)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_ngrams(F.col("text"), _SPAN_K))
+        ).alias("g"),
+    )
+    with_df = grams.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    return with_df.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum((F.col("df") >= 2).cast("int")).alias("n_dup_spans"),
+        F.round(
+            F.sum((F.col("df") >= 2).cast("int"))
+            / F.count(F.lit(1))
+            + 5e-10,
+            4,
+        ).alias("dup_span_frac"),
+    )
+
+
+register(
+    "duplicate_ngram_spans",
+    q_duplicate_ngram_spans,
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents WHERE {_NONEMPTY}
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+               || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+               || ' ' || t[i+7] AS g
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+            FROM toks WHERE len(t) >= 8)
+    ),
+    d AS (
+      SELECT doc_id, g,
+             COUNT(*) OVER (PARTITION BY g) AS df
+      FROM g
+    )
+    SELECT doc_id, COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           ROUND(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*) + 5e-10, 4) AS dup_span_frac
+    FROM d GROUP BY 1
+    """,
+)

@@ -154,6 +154,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: any source-hash-drifted stable names.
 ROTATION_BACKLOG: tuple[str, ...] = (
     # new r10 operators (zero driver evidence — r11 window head)
+    "duplicate_ngram_spans",
     "packing_bpe_budget",
     "metric_view_curation",
     "dsir_importance_weights",
@@ -332,6 +333,7 @@ CORE_TIER: frozenset[str] = frozenset({
     "dedup_containment_lsh",
     "dedup_cluster_assign",
     "dedup_cluster_assign_star",
+    "duplicate_ngram_spans",
     "chunk_dedup_clean",
     "similarity_topk",
     "hard_negative_mining",

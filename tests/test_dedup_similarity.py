@@ -669,3 +669,37 @@ def test_containment_mutual_direction_emitted_once_each(spark):
         for r in containment_pairs(df, "doc_id", "text").collect()
     )
     assert got == [(1, 2, 1.0), (2, 1, 1.0)]
+
+
+def test_duplicate_ngram_spans_planted(spark, tmp_path):
+    """Planted cross-doc span: docs 1 and 2 share one 8-word span
+    inside otherwise-unique text; doc 3 shares nothing.  The shared
+    span's 8-grams must be flagged in BOTH carriers, the unique
+    doc must read 0.0, and a doc shorter than 8 words must be absent."""
+    from gaming_ai_analytics_spark.queries_llm import (
+        q_duplicate_ngram_spans,
+    )
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    rows = [
+        (1, f"one two three {span} four five six"),
+        (2, f"seven eight nine ten {span} eleven"),
+        (3, "completely different words with no shared span at all x y z"),
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", "text",
+        F.lit("en").alias("lang"), F.lit("s").alias("source"),
+        F.length("text").alias("n_chars"),
+    )
+    df.write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r.doc_id: r for r in q_duplicate_ngram_spans(
+        spark, str(tmp_path)
+    ).collect()}
+    assert set(out) == {1, 2, 3}  # doc 4: < 8 words, no spans
+    # docs 1/2: exactly ONE shared 8-gram (the planted span); every
+    # other 8-gram straddles unique context words
+    assert out[1].n_dup_spans == 1 and out[2].n_dup_spans == 1
+    assert out[3].n_dup_spans == 0
+    assert out[3].dup_span_frac == 0.0
+    assert 0 < out[1].dup_span_frac < 1
