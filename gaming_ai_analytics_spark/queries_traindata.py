@@ -3010,3 +3010,70 @@ register(
     FROM assigned GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility by language
+# --------------------------------------------------------------------------
+def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE fertility under the trained tokenizer — BPE
+    tokens per whitespace word, THE multilingual tokenizer-equity
+    metric (ACL multilingual-tokenizer literature: a language whose
+    fertility runs 2× English pays 2× the context window and 2× the
+    inference cost for the same text; mT5/XLM-R report exactly this
+    table for their sentencepiece vocabs).  `bpe_compression_by_
+    source` prices SOURCES in chars-per-token for the mixer; this
+    prices LANGUAGES in tokens-per-word for vocab-allocation review.
+
+    Scale shape: identical to the compression query's — train once
+    (the rounds touch vocab frames only), then ONE corpus pass
+    explodes (lang, word) and joins the vocab-bounded per-word token
+    counts (broadcast by construction: |vocab| rows, two columns)
+    into a map-side-combined |langs|-key aggregate.  Words the
+    trainer never saw (the chr(31)-guard filter) drop on both sides
+    identically — the join IS the tokenizer's domain."""
+    wc = _word_counts(spark, sf_dir)
+    _, state = bpe_train(wc, BPE_ROUNDS, return_state=True)
+    word_tokens = state.select(
+        "w", F.size(F.split("seg", _BPE_SEP)).alias("_n_tok")
+    )
+    words = _docs(spark, sf_dir).select(
+        "lang", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    return (
+        words.join(F.broadcast(word_tokens), "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_n_tok").cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("_n_tok") / F.count(F.lit(1)) + 5e-10, 4
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _bpe_fertility_oracle(rounds: int) -> str:
+    chain = _bpe_iterations_oracle(rounds)
+    head = chain[: chain.rindex("\n    SELECT CAST(1 AS INT)")]
+    return head + f""",
+    word_tokens AS (
+      SELECT w, len(string_split(seg, chr(31))) AS n_tok
+      FROM toks{rounds}),
+    corpus AS (
+      SELECT lang, unnest({_TOKS}) AS w
+      FROM documents WHERE {_NONEMPTY})
+    SELECT lang, COUNT(*) AS n_words,
+           CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens,
+           ROUND(SUM(n_tok) * 1.0 / COUNT(*) + 5e-10, 4) AS fertility
+    FROM corpus JOIN word_tokens USING (w)
+    GROUP BY 1 ORDER BY lang
+    """
+
+
+register(
+    "bpe_fertility_by_lang",
+    q_bpe_fertility_by_lang,
+    _bpe_fertility_oracle(BPE_ROUNDS),
+)

@@ -155,6 +155,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 ROTATION_BACKLOG: tuple[str, ...] = (
     # new r10 operators (zero driver evidence — r11 window head)
     "duplicate_ngram_spans",
+    "bpe_fertility_by_lang",
     "packing_bpe_budget",
     "metric_view_curation",
     "dsir_importance_weights",
@@ -378,6 +379,7 @@ CORE_TIER: frozenset[str] = frozenset({
     "bpe_merge_iterations",
     "bpe_vocab_segmentation",
     "bpe_compression_by_source",
+    "bpe_fertility_by_lang",
     "user_event_sequences",
     "pii_redact",
     "multimodal_frame_sample",

@@ -1252,3 +1252,26 @@ def test_mixture_bpe_budget_consistent_with_compression(spark, sf_dir):
         assert r.target_tokens == target
         assert r.kept_tokens == min(r.n_bpe_tokens, target)
         assert 0.0 < r.keep_rate <= 1.0
+
+
+def test_bpe_fertility_consistent_with_compression(spark, sf_dir):
+    """Cross-operator invariant: the corpus token mass is the same
+    whether sliced by language or by source (both are one broadcast-
+    vocab join over the same exploded corpus), and fertility is >= 1
+    (a word is at least one token)."""
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_bpe_compression_by_source,
+        q_bpe_fertility_by_lang,
+    )
+
+    by_lang = q_bpe_fertility_by_lang(spark, sf_dir).collect()
+    by_src = q_bpe_compression_by_source(spark, sf_dir).collect()
+    assert by_lang and by_src
+    assert sum(r.n_bpe_tokens for r in by_lang) == sum(
+        r.n_bpe_tokens for r in by_src
+    )
+    assert sum(r.n_words for r in by_lang) == sum(
+        r.n_words for r in by_src
+    )
+    for r in by_lang:
+        assert r.fertility >= 1.0, r
