@@ -2041,3 +2041,70 @@ register(
     ORDER BY dau.d
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# Sample-ratio-mismatch (SRM) guardrail
+# --------------------------------------------------------------------------
+def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check on the experiment assignment the
+    z-test and CUPED readouts trust: a chi-square goodness-of-fit of
+    observed arm sizes against the designed 50/50 allocation.  SRM is
+    the first gate an experimentation platform runs — a significant
+    mismatch means the bucketing, logging, or filtering pipeline is
+    biased and every downstream lift number is invalid (Fabijan et
+    al., "Diagnosing Sample Ratio Mismatch", KDD 2019; they run it at
+    a deliberately strict alpha because it is a data-quality alarm,
+    not a hypothesis test — the 10.828 cut here is chi-square(1) at
+    alpha = 0.001).  Arm assignment is the same user-id parity the
+    z-test uses, so the two readouts audit the same experiment.
+
+    Scale shape: one pass — the corpus reduces to distinct users
+    (the one distinct-class shuffle, bounded by |users|, map-side
+    partially combined), arm counts reduce from parity, and the
+    chi-square arithmetic runs on a 2-row frame pivoted into one.
+    The statistic is compared against the constant critical value
+    in-engine — neither engine has a chi-square CDF, and the pinned
+    constant keeps the verdict bit-identical across engines."""
+    users = (
+        load_events(spark, sf_dir).select("user_id").distinct()
+    )
+    arms = users.groupBy(
+        (F.col("user_id") % 2 == 0).alias("arm_a")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    one = arms.agg(
+        F.max(F.when(F.col("arm_a"), F.col("n"))).alias("n_a"),
+        F.max(F.when(~F.col("arm_a"), F.col("n"))).alias("n_b"),
+    )
+    e = (F.col("n_a") + F.col("n_b")) / 2.0
+    chisq = (F.col("n_a") - e) ** 2 / e + (F.col("n_b") - e) ** 2 / e
+    return one.select(
+        "n_a",
+        "n_b",
+        F.round(chisq + F.lit(5e-10), 4).alias("srm_chisq"),
+        (chisq > F.lit(10.828)).alias("srm_flag"),
+    )
+
+
+register(
+    "ab_srm_check",
+    q_ab_srm_check,
+    """
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    arms AS (
+      SELECT user_id % 2 = 0 AS arm_a, COUNT(*) AS n
+      FROM users GROUP BY 1),
+    one AS (
+      SELECT MAX(CASE WHEN arm_a THEN n END) AS n_a,
+             MAX(CASE WHEN NOT arm_a THEN n END) AS n_b
+      FROM arms)
+    SELECT n_a, n_b,
+           ROUND(POW(n_a - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0)
+                 + POW(n_b - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0)
+                 + 5e-10, 4) AS srm_chisq,
+           (POW(n_a - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0)
+            + POW(n_b - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0))
+             > 10.828 AS srm_flag
+    FROM one
+    """,
+)

@@ -156,6 +156,7 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     # new r10 operators (zero driver evidence — r11 window head)
     "duplicate_ngram_spans",
     "bpe_fertility_by_lang",
+    "ab_srm_check",
     "packing_bpe_budget",
     "metric_view_curation",
     "dsir_importance_weights",

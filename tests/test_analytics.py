@@ -1249,3 +1249,41 @@ def test_dau_mau_stickiness_planted_cohort(spark, tmp_path):
         "2024-01-01": (2, 2, 1.0),
         "2024-01-20": (1, 2, 0.5),
     }
+
+
+def test_ab_srm_check_flags_planted_imbalance(spark, tmp_path):
+    """A deliberately starved odd arm (1000 vs 700 users) must flag
+    SRM (chisq ~52.9 >> 10.828); a balanced 500/500 must not. Repeat
+    events per user must not double-count (distinct-user basis)."""
+    import datetime as dt
+
+    from gaming_ai_analytics_spark.queries_analytics import q_ab_srm_check
+
+    ts = dt.datetime(2024, 1, 1)
+
+    def write(path, even_n, odd_n):
+        rows = []
+        eid = 0
+        for u in range(even_n):
+            for _ in range(2):  # repeat events: distinct basis check
+                eid += 1
+                rows.append((eid, ts, 2 * u, "view", 1.0))
+        for u in range(odd_n):
+            eid += 1
+            rows.append((eid, ts, 2 * u + 1, "view", 1.0))
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double"
+        ).write.parquet(f"{path}/events.parquet")
+
+    write(f"{tmp_path}/biased", 1000, 700)
+    r = q_ab_srm_check(spark, f"{tmp_path}/biased").collect()[0]
+    assert (r.n_a, r.n_b) == (1000, 700)
+    # expected arm size 850 → chisq = 2 * 150^2 / 850 = 52.9412 at 4dp
+    assert r.srm_chisq == round(2 * 150**2 / 850 + 5e-10, 4)
+    assert r.srm_flag
+
+    write(f"{tmp_path}/balanced", 500, 500)
+    r2 = q_ab_srm_check(spark, f"{tmp_path}/balanced").collect()[0]
+    assert (r2.n_a, r2.n_b) == (500, 500)
+    assert r2.srm_chisq == 0.0 and not r2.srm_flag
