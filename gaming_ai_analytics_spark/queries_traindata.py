@@ -3077,3 +3077,76 @@ register(
     q_bpe_fertility_by_lang,
     _bpe_fertility_oracle(BPE_ROUNDS),
 )
+
+
+# --------------------------------------------------------------------------
+# Temperature-smoothed mixture weights (mT5 / XLM-R sampling policy)
+# --------------------------------------------------------------------------
+_MIX_ALPHA = 0.3  # mT5's exponent: alpha=1 keeps raw, alpha->0 -> uniform
+
+
+def q_mixture_temperature_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-smoothed source sampling weights — the THIRD
+    mixture policy beside the two uniform-target rebalancers:
+    w_i ∝ p_i^alpha with p_i the source's raw token share (mT5 /
+    XLM-R multilingual sampling, alpha = 0.3: raw proportional
+    sampling starves small sources, uniform over-trains them, the
+    power law interpolates).  The boost column (w_i / p_i) is the
+    per-source up/down-sampling factor a weighted sampler applies.
+
+    Scale shape: one corpus scan collapses to per-source whitespace
+    token counts (map-side combined, |sources| rows); the share,
+    power, and normalization arithmetic ride empty-partition windows
+    over that compact frame (the `mixture_rebalance` single-
+    reference shape — a second corpus agg for the total is the plan
+    audit's double-scan trap).  POW on doubles can drift a last ulp
+    across engines; every emitted ratio is nudged and 4dp-rounded,
+    the repo's standard absorption."""
+    per_src = (
+        _docs(spark, sf_dir)
+        .select("source", F.size(tokens(F.col("text"))).alias("_n"))
+        .groupBy("source")
+        .agg(F.sum("_n").cast("long").alias("n_tokens"))
+    )
+    w_all = Window.partitionBy()
+    p = F.col("n_tokens") / F.sum("n_tokens").over(w_all)
+    shared = per_src.select(
+        "source",
+        "n_tokens",
+        p.alias("_p"),
+        F.pow(p, F.lit(_MIX_ALPHA)).alias("_pa"),
+    )
+    w = F.col("_pa") / F.sum("_pa").over(w_all)
+    return shared.select(
+        "source",
+        "n_tokens",
+        F.round(F.col("_p") + 5e-10, 4).alias("p_raw"),
+        F.round(w + 5e-10, 4).alias("w_temp"),
+        F.round(w / F.col("_p") + 5e-10, 4).alias("boost"),
+    ).orderBy("source")
+
+
+register(
+    "mixture_temperature_weights",
+    q_mixture_temperature_weights,
+    f"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents WHERE {_NONEMPTY}
+      GROUP BY 1),
+    shared AS (
+      SELECT source, n_tokens,
+             n_tokens * 1.0 / SUM(n_tokens) OVER () AS p,
+             POW(n_tokens * 1.0 / SUM(n_tokens) OVER (),
+                 {_MIX_ALPHA}) AS pa
+      FROM per_src)
+    SELECT source, n_tokens,
+           ROUND(p + 5e-10, 4) AS p_raw,
+           ROUND(pa / SUM(pa) OVER () + 5e-10, 4) AS w_temp,
+           ROUND(pa / SUM(pa) OVER () / p + 5e-10, 4) AS boost
+    FROM shared ORDER BY source
+    """,
+)

@@ -157,6 +157,7 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "duplicate_ngram_spans",
     "bpe_fertility_by_lang",
     "ab_srm_check",
+    "mixture_temperature_weights",
     "packing_bpe_budget",
     "metric_view_curation",
     "dsir_importance_weights",

@@ -1275,3 +1275,27 @@ def test_bpe_fertility_consistent_with_compression(spark, sf_dir):
     )
     for r in by_lang:
         assert r.fertility >= 1.0, r
+
+
+def test_mixture_temperature_weights_invariants(spark, sf_dir):
+    """Temperature smoothing must (1) keep both p and w proper
+    distributions, (2) boost every below-average source and shrink
+    every above-average one toward uniform (alpha < 1), and (3)
+    order boosts inversely to raw share."""
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_mixture_temperature_weights,
+    )
+
+    rows = q_mixture_temperature_weights(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r.p_raw for r in rows) - 1.0) < 1e-2
+    assert abs(sum(r.w_temp for r in rows) - 1.0) < 1e-2
+    mean_p = 1.0 / len(rows)
+    for r in rows:
+        if r.p_raw < mean_p * 0.9:
+            assert r.boost > 1.0, r
+        if r.p_raw > mean_p * 1.1:
+            assert r.boost < 1.0, r
+    by_p = sorted(rows, key=lambda r: r.p_raw)
+    boosts = [r.boost for r in by_p]
+    assert boosts == sorted(boosts, reverse=True), boosts
