@@ -1385,3 +1385,67 @@ def containment_pairs_prefix(
         F.round(F.col("_common") / F.col("_nb"), 6).alias("containment"),
     )
     return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
+def cross_corpus_minhash(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """FUZZY decontamination: train documents NEAR-DUPLICATING an
+    eval document (banded-MinHash candidates, exact-Jaccard verify) —
+    the tier :func:`cross_corpus_overlap` cannot reach: exact shingle
+    overlap misses paraphrased or lightly-edited benchmark leakage,
+    which is how contamination actually survives web pipelines
+    (GPT-3's n-gram decontamination famously under-matched).
+
+    Plan: both sides build map-only (band, bucket) entries; the EVAL
+    side (benchmark suites — thousands of docs) broadcasts, so the
+    candidate join and both verify joins leave the train corpus
+    unshuffled: candidates = train-bands ⋈ broadcast(eval-bands),
+    verified against broadcast eval shingle arrays with the train
+    arrays attached by one train-keyed join.  Per train doc the
+    readout aggregates matches ≥ threshold.  Same recall contract as
+    :func:`minhash_lsh_pairs` (16×4 banding: ~0.56 collision at
+    J=0.5, ≥0.98 at J=0.7 — the fixtures' planted gap), so the exact
+    cross-corpus Jaccard oracle passes verbatim."""
+    tr = ensure_parallelism(train)
+    tr_bands = _band_entries(tr, id_col, text_col, k, num_hashes, bands)
+    ev_bands = _band_entries(
+        eval_set, id_col, text_col, k, num_hashes, bands
+    )
+    candidates = (
+        tr_bands.join(
+            F.broadcast(ev_bands.withColumnRenamed("_id", "_eval_id")),
+            ["band", "bucket"],
+        )
+        .select("_id", "_eval_id")
+        .distinct()
+    )
+    tr_arr = _hashed_shingles(tr, id_col, text_col, k)
+    ev_arr = _hashed_shingles(eval_set, id_col, text_col, k).select(
+        F.col("_id").alias("_eval_id"), F.col("_shs").alias("_se")
+    )
+    scored = (
+        candidates.join(F.broadcast(ev_arr), "_eval_id")
+        .join(tr_arr, "_id")
+        .select(
+            "_id",
+            "_eval_id",
+            F.round(
+                F.size(F.array_intersect("_shs", "_se"))
+                / F.size(F.array_union("_shs", "_se")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return scored.groupBy(F.col("_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_eval_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )

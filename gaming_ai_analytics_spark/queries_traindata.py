@@ -3150,3 +3150,61 @@ register(
     FROM shared ORDER BY source
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy decontamination (MinHash tier)
+# --------------------------------------------------------------------------
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train documents NEAR-DUPLICATING eval content (source 'src0'
+    plays the benchmark suite, as in `decontaminate_eval_overlap`):
+    banded-MinHash candidates against a broadcast eval side, exact
+    3-shingle Jaccard >= 0.5 verify — the paraphrase-robust tier the
+    exact 8-gram overlap check cannot reach.  Plan and recall
+    contract in :func:`operators.dedup.cross_corpus_minhash`; the
+    oracle is the EXACT cross-corpus Jaccard (recall 1.0 at the
+    fixtures' planted similarity gap, the `dedup_minhash_lsh`
+    convention)."""
+    from gaming_ai_analytics_spark.operators.dedup import (
+        cross_corpus_minhash,
+    )
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("source") != "src0")
+    eval_set = docs.filter(F.col("source") == "src0")
+    return cross_corpus_minhash(
+        train, eval_set, "doc_id", "text", k=3, threshold=0.5
+    )
+
+
+register(
+    "decontaminate_fuzzy",
+    q_decontaminate_fuzzy,
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS} AS t
+      FROM documents WHERE {_NONEMPTY}),
+    sh AS (
+      SELECT DISTINCT doc_id, source,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM (SELECT doc_id, source, t,
+                   unnest(generate_series(1, len(t) - 2)) AS i
+            FROM toks WHERE len(t) >= 3)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE source = 'src0'),
+    tr AS (SELECT doc_id, s FROM sh WHERE source <> 'src0'),
+    inter AS (
+      SELECT tr.doc_id, ev.eval_id, COUNT(*) AS c
+      FROM tr JOIN ev ON tr.s = ev.s GROUP BY 1, 2),
+    scored AS (
+      SELECT i.doc_id,
+             ROUND(c * 1.0 / (a.n + b.n - c), 6) AS jaccard
+      FROM inter i
+      JOIN sizes a ON i.doc_id = a.doc_id
+      JOIN sizes b ON i.eval_id = b.doc_id)
+    SELECT doc_id, COUNT(*) AS n_eval_matches,
+           MAX(jaccard) AS max_jaccard
+    FROM scored WHERE jaccard >= 0.5
+    GROUP BY 1
+    """,
+)

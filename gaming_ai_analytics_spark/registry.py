@@ -158,6 +158,7 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "bpe_fertility_by_lang",
     "ab_srm_check",
     "mixture_temperature_weights",
+    "decontaminate_fuzzy",
     "packing_bpe_budget",
     "metric_view_curation",
     "dsir_importance_weights",
@@ -372,6 +373,7 @@ CORE_TIER: frozenset[str] = frozenset({
     "quality_psi_drift",
     "global_quality_rank",
     "decontaminate_eval_overlap",
+    "decontaminate_fuzzy",
     "traindata_curation_pipeline",
     "export_shards",
     "traindata_sequence_packing",

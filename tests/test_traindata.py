@@ -1299,3 +1299,42 @@ def test_mixture_temperature_weights_invariants(spark, sf_dir):
     by_p = sorted(rows, key=lambda r: r.p_raw)
     boosts = [r.boost for r in by_p]
     assert boosts == sorted(boosts, reverse=True), boosts
+
+
+def test_decontaminate_fuzzy_catches_paraphrase_exact_misses(
+    spark, tmp_path
+):
+    """The tier separation in one fixture: a train doc that is the
+    eval doc with a filler word INSERTED every 7 tokens shares NO
+    8-gram (max unbroken run is 7 → exact-overlap decontamination is
+    blind) but keeps 3-shingle Jaccard ≈ 0.53 ≥ 0.5 → the fuzzy tier
+    must flag it. An unrelated train doc must stay clean."""
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_decontaminate_eval_overlap,
+        q_decontaminate_fuzzy,
+    )
+
+    base = [f"tok{i}" for i in range(40)]
+    leaked = []
+    for i, w in enumerate(base):
+        leaked.append(w)
+        if i % 7 == 6:
+            leaked.append(f"pad{i}")
+    rows = [
+        (100, " ".join(base), "en", "src0", 0),      # eval doc
+        (1, " ".join(leaked), "en", "src1", 0),      # paraphrased leak
+        (2, " ".join(f"z{i}" for i in range(40)), "en", "src1", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    exact = q_decontaminate_eval_overlap(spark, str(tmp_path)).collect()
+    assert not exact, exact  # no shared 8-gram anywhere
+    fuzzy = {r.doc_id: r for r in q_decontaminate_fuzzy(
+        spark, str(tmp_path)
+    ).collect()}
+    assert set(fuzzy) == {1}, fuzzy
+    assert fuzzy[1].n_eval_matches == 1
+    assert 0.5 <= fuzzy[1].max_jaccard < 0.6
