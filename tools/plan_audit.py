@@ -54,6 +54,29 @@ MULTI_SCAN_JUSTIFIED: dict[str, tuple[dict[str, int], str]] = {
         "intrinsic second reference as user_value_decay's decay "
         "watermark (queries_analytics.py)",
     ),
+    "temporal_embargo_split": (
+        {"events": 2},
+        "the embargo boundary (corpus MAX date) is a broadcast 1-row "
+        "stat frame over the pruned (ts) projection — the cuped/"
+        "user_value_decay watermark class (queries_traindata.py)",
+    ),
+    "decontaminate_fuzzy": (
+        {"documents": 4},
+        "two corpora (train/eval source slices) x two map-only frames "
+        "each (band entries + hashed shingle arrays) — the same "
+        "candidate+verify contract as the self-join LSH tiers, split "
+        "across corpus sides; the eval side broadcasts so only the "
+        "two train passes touch data at scale, and materializing a "
+        "shared frame is the 100 TB checkpoint trap "
+        "(operators/dedup.py cross_corpus_minhash)",
+    ),
+    "metric_view_curation": (
+        {"documents": 2},
+        "BPE train word-count collapse + the measure scan — the "
+        "train-once/consume-once two-scan contract shared with "
+        "packing_bpe_budget and bpe_compression_by_source "
+        "(plans/metric_view.py consumer over queries_traindata)",
+    ),
     "user_value_decay": (
         {"events": 2},
         "the decay watermark (corpus MAX date) is a broadcast 1-row "
