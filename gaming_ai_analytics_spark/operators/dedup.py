@@ -1405,16 +1405,21 @@ def cross_corpus_minhash(
     (GPT-3's n-gram decontamination famously under-matched).
 
     Plan: both sides build map-only (band, bucket) entries; the EVAL
-    side (benchmark suites — thousands of docs) broadcasts, so the
-    candidate join and both verify joins leave the train corpus
-    unshuffled: candidates = train-bands ⋈ broadcast(eval-bands),
-    verified against broadcast eval shingle arrays with the train
-    arrays attached by one train-keyed join.  Per train doc the
-    readout aggregates matches ≥ threshold.  Same recall contract as
+    side (benchmark suites — thousands of docs) broadcasts into both
+    the candidate join and its verify join, so the train BAND frame
+    never shuffles: candidates = train-bands ⋈ broadcast(eval-bands).
+    The train SHINGLE-ARRAY frame pays exactly one doc-id-keyed
+    shuffle into the verify join — shuffle_hash-hinted like every
+    corpus-sized join in this module: the array frame is map-only, so
+    Catalyst's size estimate predates the shingle fan-out and at
+    sf0.01 it statically BROADCAST the train arrays (fine there,
+    the r8 heap-OOM class one decade up).  Per train doc the readout
+    aggregates matches ≥ threshold.  Same recall contract as
     :func:`minhash_lsh_pairs` (16×4 banding: ~0.56 collision at
     J=0.5, ≥0.98 at J=0.7 — the fixtures' planted gap), so the exact
     cross-corpus Jaccard oracle passes verbatim."""
     tr = ensure_parallelism(train)
+    _hint = _self_join_hinter(tr)
     tr_bands = _band_entries(tr, id_col, text_col, k, num_hashes, bands)
     ev_bands = _band_entries(
         eval_set, id_col, text_col, k, num_hashes, bands
@@ -1427,7 +1432,7 @@ def cross_corpus_minhash(
         .select("_id", "_eval_id")
         .distinct()
     )
-    tr_arr = _hashed_shingles(tr, id_col, text_col, k)
+    tr_arr = _hint(_hashed_shingles(tr, id_col, text_col, k))
     ev_arr = _hashed_shingles(eval_set, id_col, text_col, k).select(
         F.col("_id").alias("_eval_id"), F.col("_shs").alias("_se")
     )
