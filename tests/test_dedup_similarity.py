@@ -703,3 +703,27 @@ def test_duplicate_ngram_spans_planted(spark, tmp_path):
     assert out[3].n_dup_spans == 0
     assert out[3].dup_span_frac == 0.0
     assert 0 < out[1].dup_span_frac < 1
+
+
+def test_cross_corpus_minhash_hint_gate(spark, monkeypatch, sf_dir):
+    """Both PLANNER_TRUST gate paths of the fuzzy-decontamination
+    verify join must agree on values, and the forced-hint path must
+    plan the train shingle-array join as a ShuffledHashJoin — at
+    scale Catalyst's pre-explode size estimate statically broadcast
+    the corpus-sized array frame (the r8 heap-OOM class; fixed r10)."""
+    from gaming_ai_analytics_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    ev = docs.filter(F.col("source") == "src0")
+
+    planner = sorted(map(tuple, D.cross_corpus_minhash(
+        train, ev, "doc_id", "text", k=3, threshold=0.5
+    ).collect()))
+    monkeypatch.setattr(D, "PLANNER_TRUST_MAX_BYTES", 0)
+    hinted_df = D.cross_corpus_minhash(
+        train, ev, "doc_id", "text", k=3, threshold=0.5
+    )
+    plan = hinted_df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan[:1500]
+    assert sorted(map(tuple, hinted_df.collect())) == planner
