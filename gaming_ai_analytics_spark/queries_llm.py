@@ -1766,18 +1766,24 @@ def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one corpus scan; the per-doc-distinct gram frame
     shuffles ONCE on the gram key, where an aggregate-only window
-    attaches each gram's document frequency (the `doc_rarity_score`
-    shape — buffering per gram key is bounded by that gram's df, and
-    an 8-word span's df distribution has no stop-term head; the
-    groupBy-count + join-back alternative pays a second corpus scan
-    and a second gram-keyed shuffle for the same answer), then one
-    map-side-combined per-doc aggregation.  At 100 TB the production
-    tier would shuffle a 128-bit gram fingerprint instead of the
-    span text — same plan, narrower exchange; the readout keeps the
-    raw span so the oracle stays engine-exact (the r9 xxhash64
-    review rejected 64-bit keys at the 10^10-doc design point).
-    Docs shorter than 8 words have no spans and are absent from the
-    readout on both engines by construction."""
+    attaches each gram's document frequency, then one
+    map-side-combined per-doc aggregation.  The groupBy-count +
+    join-back alternative was A/B'd at sf10 and REFUTED (BASELINE.md
+    §3: window 6.1–13.2 s vs join 13.2–14.5 s interleaved — the join
+    arm pays the gram-keyed corpus shuffle TWICE, into the count and
+    into the join, plus the df-frame exchange).  Residual trade,
+    stated honestly: a window partition cannot be AQE-skew-split, so
+    a degenerate boilerplate gram present in x% of all docs buffers
+    x%·|corpus| rows through one spilling task; the join form would
+    let AQE split that key — it just costs 2× on every non-degenerate
+    corpus, and the operator's job is to FIND such boilerplate before
+    it reaches that density.  At 100 TB the production tier would
+    shuffle a 128-bit gram fingerprint instead of the span text —
+    same plan, narrower exchange; the readout keeps the raw span so
+    the oracle stays engine-exact (the r9 xxhash64 review rejected
+    64-bit keys at the 10^10-doc design point).  Docs shorter than 8
+    words have no spans and are absent from the readout on both
+    engines by construction."""
     docs = _nonempty_docs(spark, sf_dir)
     grams = docs.select(
         "doc_id",
