@@ -377,6 +377,16 @@ CORE_TIER: frozenset[str] = frozenset({
     "traindata_curation_pipeline",
     "export_shards",
     "traindata_sequence_packing",
+    # r10 heavies (initially budgeted stable per VERDICT r9 ask #6;
+    # promoted same round — the tier docstring's own test is "plans
+    # that carry real risk", and these are multi-stage train-data
+    # paths in the same families as their core siblings; demand
+    # stays ≤ 50 with slack, asserted by the satisfiability test)
+    "packing_bpe_budget",
+    "mixture_bpe_budget",
+    "dsir_importance_weights",
+    "temporal_embargo_split",
+    "metric_view_curation",
     "tf_idf",
     "text_analysis_profile",
     "bpe_merge_pairs",
