@@ -700,3 +700,61 @@ def test_bpe_train_matches_sennrich_reference(spark, word_freqs):
         r.w: r.seg.split(_BPE_SEP) for r in state.collect()
     }
     assert got_segs == want_segs
+
+
+# --- cross-document duplicated 8-gram spans ---------------------------------
+@settings(**SETTINGS)
+@given(
+    st.lists(  # docs as word-index lists over a tiny alphabet so
+        st.lists(st.integers(0, 5), max_size=14),  # spans collide
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_duplicate_ngram_spans_matches_reference(spark, word_lists):
+    """Per-doc distinct-8-gram counting, cross-doc df attachment, and
+    the dup fraction equal a sequential reference for any duplication
+    topology (shared spans, self-repeats inside one doc — which must
+    NOT count as cross-doc, sub-8-word docs, empty docs)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from gaming_ai_analytics_spark import registry
+
+    registry.queries()
+    import gaming_ai_analytics_spark.queries_llm as ql
+
+    texts = {
+        i: " ".join(f"w{c}" for c in ws) for i, ws in enumerate(word_lists)
+    }
+    # pure-Python reference: per-doc DISTINCT 8-gram sets, df over docs
+    gram_sets = {
+        i: {tuple(ws[j : j + 8]) for j in range(len(ws) - 7)}
+        for i, ws in enumerate(word_lists)
+        if len(ws) >= 8
+    }
+    df_count: dict[tuple, int] = {}
+    for gs in gram_sets.values():
+        for g in gs:
+            df_count[g] = df_count.get(g, 0) + 1
+    want = {}
+    for i, gs in gram_sets.items():
+        dup = sum(1 for g in gs if df_count[g] >= 2)
+        frac = float(
+            Decimal(repr(dup / len(gs) + 5e-10)).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP
+            )
+        )
+        want[i] = (len(gs), dup, frac)
+
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    import unittest.mock as mock
+
+    with mock.patch.object(ql, "_nonempty_docs", lambda spark, sf_dir: df):
+        got = {
+            r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_span_frac)
+            for r in ql.q_duplicate_ngram_spans(spark, "ignored").collect()
+        }
+    assert got == want
