@@ -2108,3 +2108,96 @@ register(
     FROM one
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# Minimum detectable effect (experiment power planning)
+# --------------------------------------------------------------------------
+def q_ab_minimum_detectable_effect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Completes the experimentation triad (SRM guardrail → MDE
+    planning → z-test readout): the smallest absolute lift in
+    high-value-purchase conversion this experiment could declare at
+    alpha = 0.05 with 80% power, from the same per-user frame the
+    z-test reads.  MDE = (z_{alpha/2} + z_{power}) · sqrt(2·p(1-p)/n)
+    with the two-sided normal approximation (z constants pinned to
+    1.959964 and 0.841621 — neither engine has an inverse normal
+    CDF, and pinning keeps the verdict bit-identical; n = the
+    smaller arm, the conservative planning convention).  An observed
+    lift below the MDE row means "underpowered", not "no effect" —
+    the readout every experiment review asks for next to the z-test.
+
+    Scale shape: identical to `ab_conversion_ztest`'s one pass — the
+    corpus reduces map-side to one row per (arm, user), arm totals
+    pivot into one row, the MDE arithmetic is scalar."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", "value"
+    )
+    per_user = ev.groupBy(
+        (F.col("user_id") % 2 == 0).alias("arm_a"), F.col("user_id")
+    ).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 100),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    arms = per_user.groupBy("arm_a").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").alias("conv"),
+    )
+    one = arms.agg(
+        F.max(F.when(F.col("arm_a"), F.col("n"))).alias("n_a"),
+        F.max(F.when(~F.col("arm_a"), F.col("n"))).alias("n_b"),
+        F.sum("conv").alias("conv_all"),
+        F.sum("n").alias("n_all"),
+    )
+    p = F.col("conv_all") / F.col("n_all")
+    n_min = F.least("n_a", "n_b")
+    mde = (
+        F.lit(1.959964 + 0.841621)
+        * F.sqrt(F.lit(2.0) * p * (1 - p) / n_min)
+    )
+    return one.select(
+        "n_a",
+        "n_b",
+        F.round(p + 5e-10, 4).alias("base_rate"),
+        F.round(mde + 5e-10, 4).alias("mde_abs"),
+        F.round(mde / p + 5e-10, 4).alias("mde_rel"),
+    )
+
+
+register(
+    "ab_minimum_detectable_effect",
+    q_ab_minimum_detectable_effect,
+    """
+    WITH per_user AS (
+      SELECT user_id % 2 = 0 AS arm_a, user_id,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 100
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY 1, 2),
+    arms AS (
+      SELECT arm_a, COUNT(*) AS n, SUM(converted) AS conv
+      FROM per_user GROUP BY 1),
+    one AS (
+      SELECT MAX(CASE WHEN arm_a THEN n END) AS n_a,
+             MAX(CASE WHEN NOT arm_a THEN n END) AS n_b,
+             SUM(conv) AS conv_all, SUM(n) AS n_all
+      FROM arms)
+    SELECT n_a, n_b,
+           ROUND(conv_all * 1.0 / n_all + 5e-10, 4) AS base_rate,
+           ROUND((1.959964 + 0.841621)
+                 * SQRT(2.0 * (conv_all * 1.0 / n_all)
+                        * (1 - conv_all * 1.0 / n_all)
+                        / LEAST(n_a, n_b)) + 5e-10, 4) AS mde_abs,
+           ROUND((1.959964 + 0.841621)
+                 * SQRT(2.0 * (conv_all * 1.0 / n_all)
+                        * (1 - conv_all * 1.0 / n_all)
+                        / LEAST(n_a, n_b))
+                 / (conv_all * 1.0 / n_all) + 5e-10, 4) AS mde_rel
+    FROM one
+    """,
+)

@@ -159,6 +159,7 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "ab_srm_check",
     "mixture_temperature_weights",
     "decontaminate_fuzzy",
+    "ab_minimum_detectable_effect",
     "packing_bpe_budget",
     "metric_view_curation",
     "dsir_importance_weights",

@@ -1287,3 +1287,36 @@ def test_ab_srm_check_flags_planted_imbalance(spark, tmp_path):
     r2 = q_ab_srm_check(spark, f"{tmp_path}/balanced").collect()[0]
     assert (r2.n_a, r2.n_b) == (500, 500)
     assert r2.srm_chisq == 0.0 and not r2.srm_flag
+
+
+def test_ab_mde_known_arithmetic(spark, tmp_path):
+    """Pinned arithmetic on a planted frame: 200+200 users, pooled
+    conversion 0.25 → MDE_abs = 2.801585*sqrt(2*.25*.75/200) =
+    0.121373... → 0.1214 at 4dp; relative = MDE/p."""
+    import datetime as dt
+
+    from gaming_ai_analytics_spark.queries_analytics import (
+        q_ab_minimum_detectable_effect,
+    )
+
+    ts = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(400):  # 200 even / 200 odd; every 4th user converts
+        eid += 1
+        conv = u % 4 == 0
+        rows.append((
+            eid, ts, u, "purchase" if conv else "view",
+            150.0 if conv else 1.0,
+        ))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    r = q_ab_minimum_detectable_effect(spark, str(tmp_path)).collect()[0]
+    assert (r.n_a, r.n_b) == (200, 200)
+    assert r.base_rate == 0.25
+    import math
+    want = (1.959964 + 0.841621) * math.sqrt(2 * 0.25 * 0.75 / 200)
+    assert r.mde_abs == round(want + 5e-10, 4)
+    assert r.mde_rel == round(want / 0.25 + 5e-10, 4)
