@@ -72,88 +72,19 @@ def _load_all() -> None:
 #: checked window.  So the window is pinned EXPLICITLY: these names are
 #: moved to the front (in this order) after all modules register.
 #:
-#: ROUND-10 COMPOSITION (VERDICT r9 ask #1 — CORRECTNESS_r09 landed
-#: 50/50 green and the r9 artifacts are committed, 404c6aa).  Exactly
-#: the r9 backlog's pre-planned head, its first 50 names verbatim:
-#: the 6 r9-touched plans first (the 5 zero-driver-evidence r9
-#: operators — BPE x3, CUPED, DAU/MAU — plus the fingerprint-re-planned
-#: ``leakage_safe_split``), the rolled ``orc_roundtrip_scan``, the 10
-#: r6-green core names (they crossed the 3-round core cap when
-#: CORRECTNESS_r09 landed), then the oldest stable cohorts: all 18
-#: r5-stable names and the first 15 registration-order r6-stable
-#: names.  The last 3 r6-stable names (``recursive_cte_spine``,
-#: ``order_aging_report``, ``chisq_lang_source``) roll to the r11
-#: backlog head — stable cap 10 leaves them comfortable (stale at
-#: r16 at the earliest).
+#: ROUND-11 COMPOSITION (VERDICT r10 ask #1 — CORRECTNESS_r10 landed
+#: 50/50 green and the r10 artifacts are committed, 8528cad).  Exactly
+#: the r10 backlog's pre-planned order: the 11 zero-driver-evidence
+#: r10 operators first, then the 3 r6-stable names that rolled past
+#: the 50-slot r10 window, then the 25 r7-green core-tier names that
+#: crossed the 3-round core cap when CORRECTNESS_r10 landed, then 11
+#: filler slots from the oldest stable cohort (r6-green, registration
+#: order — stable cap 10 makes them due at r16, taken early because
+#: the slots exist).  New r11 operators displace fillers from the
+#: TAIL of this window as they are registered (fillers move back to
+#: the backlog).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- r9-touched plans (zero driver evidence / re-planned) --------
-    "bpe_merge_iterations",
-    "bpe_vocab_segmentation",
-    "cuped_adjusted_lift",
-    "dau_mau_stickiness",
-    "bpe_compression_by_source",
-    "leakage_safe_split",
-    # -- rolled r5-core scan ------------------------------------------
-    "orc_roundtrip_scan",
-    # -- r6-green core tier (crossed the 3-round cap at r10) ----------
-    "agg_percentile",
-    "agg_geomean_udaf",
-    "grouped_zscore_applyinpandas",
-    "mapinarrow_bytelen",
-    "dedup_embedding_lsh",
-    "binaryfile_ingest_scan",
-    "python_datasource_stream",
-    "doc_chunking_udtf",
-    "dataset_hash_split",
-    "pareto_revenue_share",
-    # -- r5-stable cohort (oldest stable evidence) --------------------
-    "window_running_sum",
-    "window_lag_delta",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "events_daily_rollup",
-    "agg_cube",
-    "window_value_functions",
-    "stat_correlation",
-    "translate_dim_names",
-    "dq_range_violations",
-    "dq_uniqueness_violations",
-    "events_json_props",
-    "unpivot_measures",
-    "window_ntile_pctrank",
-    "scd2_customer_segment",
-    "domain_cap_sample",
-    "dedup_survivors",
-    # -- r6-stable heads (registration order) -------------------------
-    "skew_top_keys",
-    "fuzzy_part_name_pairs",
-    "events_props_variant",
-    "approx_topk_contract",
-    "xml_csv_roundtrip",
-    "group_by_all_sql",
-    "parameterized_sql",
-    "bitmap_distinct_users",
-    "corpus_drift_kl",
-    "doc_rarity_score",
-    "embedding_quantization_profile",
-    "mixture_rebalance",
-    "sample_exact_k_per_group",
-    "timeseries_gap_fill",
-    "weekly_active_users",
-)
-
-#: Everything still owed a fresh driver row AFTER this round's window,
-#: pre-ordered as the r11 window plan.  Composition — count it from the
-#: list, not this comment (ADVICE r9: a hand-summed total here drifted
-#: twice): new r10 operators at the head (zero driver evidence, added
-#: as they are registered), then the 3 r6-stable names that rolled
-#: past the 50-slot r10 window, then the 25 r7-green core-tier names
-#: that cross the 3-round core cap once CORRECTNESS_r10 lands (last
-#: green r7 <= 10 - 3).  Remaining r11 slots go to new operators and
-#: any source-hash-drifted stable names.
-ROTATION_BACKLOG: tuple[str, ...] = (
-    # new r10 operators (zero driver evidence — r11 window head)
+    # -- r10 operators (zero driver evidence — backlog head) ---------
     "duplicate_ngram_spans",
     "bpe_fertility_by_lang",
     "ab_srm_check",
@@ -165,11 +96,11 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "dsir_importance_weights",
     "temporal_embargo_split",
     "mixture_bpe_budget",
-    # rolled r6-stable tail
+    # -- rolled r6-stable tail ----------------------------------------
     "recursive_cte_spine",
     "order_aging_report",
     "chisq_lang_source",
-    # r7-green core tier (stale when CORRECTNESS_r10 lands)
+    # -- r7-green core tier (crossed the 3-round cap at r11) ----------
     "agg_rollup",
     "agg_scale_sketches",
     "chunk_dedup_clean",
@@ -195,6 +126,67 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "tf_idf",
     "traindata_curation_pipeline",
     "zorder_key_events",
+    # -- r6-stable fillers (registration order; oldest stable rows) --
+    "regional_supplier_volume",
+    "nation_trade_flows",
+    "market_share",
+    "agg_grouping_sets",
+    "lateral_topk_suppliers",
+    "supplier_value_concentration",
+    "idle_rich_customers",
+    "promo_revenue_share",
+    "small_quantity_revenue",
+    "disjunctive_predicate_join",
+    "min_cost_supplier",
+)
+
+#: Everything still owed a fresh driver row AFTER this round's window,
+#: pre-ordered as the r12 window plan.  Composition — count it from the
+#: list, not this comment (ADVICE r9): the 27 r8-green core-tier names
+#: that cross the 3-round core cap once CORRECTNESS_r11 lands (last
+#: green r8 <= 11 - 3), then the 10 remaining r6-stable names (due by
+#: r16).  New operators registered mid-round go to the WINDOW (they
+#: have zero evidence), displacing fillers back to this list.
+ROTATION_BACKLOG: tuple[str, ...] = (
+    # r8-green core tier (stale when CORRECTNESS_r11 lands)
+    "fact_build_transform",
+    "join_salted_skew",
+    "join_skew_isolated",
+    "pit_dim_join",
+    "text_analysis_profile",
+    "dedup_incremental_index",
+    "dedup_simhash_pairs",
+    "dedup_semantic",
+    "multimodal_features",
+    "multimodal_resize",
+    "blocking_snm_candidates",
+    "dedup_containment",
+    "events_streaming_tumbling",
+    "events_session_window",
+    "events_streaming_session",
+    "events_stream_stream_join",
+    "events_streaming_rate_alert",
+    "traindata_sequence_packing",
+    "sample_weighted",
+    "quality_classifier_distill",
+    "lm_perplexity_score",
+    "quality_psi_drift",
+    "inverted_index_postings",
+    "pagerank_trade_graph",
+    "frequent_itemset_pairs",
+    "triangle_count_parts",
+    "audience_overlap_sketch",
+    # r6-stable remainder (due by r16)
+    "shipping_priority",
+    "forecast_revenue_delta",
+    "product_profit_by_nation_year",
+    "customer_order_distribution",
+    "top_supplier_revenue",
+    "supplier_part_variety",
+    "large_volume_customers",
+    "dominant_part_suppliers",
+    "sole_return_suppliers",
+    "fulfillment_latency_profile",
 )
 
 #: --- Rotation tiers (VERDICT r7 ask #2) -------------------------------
