@@ -47,7 +47,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gaming_ai_analytics_spark.operators.joins import star_join
+from gaming_ai_analytics_spark.operators.parallelism import est_bytes
 from gaming_ai_analytics_spark.sources.star import load_table
+
+#: Size gate for statically broadcasting the enriched-orders join side
+#: (r11 — the sf1 decomposition, BASELINE.md §3).  Catalyst estimates a
+#: JOIN OUTPUT's size as a row-width product that lands far above the
+#: real 2-column projection, so the static planner picks SortMergeJoin
+#: and AQE's later broadcast conversion still pays BOTH shuffle writes
+#: (measured 25% of the sf1 query: 1.90 s -> 1.42 s hinted, 6-pair
+#: interleaved A/B).  The enriched frame has exactly |orders| rows
+#: (left-outer over unique-keyed dims), so the honest estimate is the
+#: orders SCAN estimate (file-byte based) for the two surviving
+#: columns, times a measured parquet->HashedRelation expansion
+#: allowance (~8x: dictionary-compressed 2-col pages vs 16 B/entry
+#: long-keyed hash map + row payloads).  The gate broadcasts only while
+#: est * 8 clears the session's 64 MB broadcast threshold — sf1's 4 MB
+#: estimate passes; a 10x-up orders (41 MB est -> 330 MB in-memory)
+#: refuses and keeps the unhinted SMJ/AQE plan, which is the correct
+#: fact⋈fact shape at 100 TB.  Same runtime-size-gate pattern as
+#: operators/dedup.py:909 (exact-pair tier) — never a blind hint.
+_ENRICHED_BCAST_EXPANSION = 8
 
 
 def _joined_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -71,6 +91,10 @@ def _joined_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
             (region, nation.n_regionkey == region.r_regionkey),
         ],
     ).select("o_orderkey", "r_name")
+    # size-gated static broadcast — see _ENRICHED_BCAST_EXPANSION above
+    est = est_bytes(orders.select("o_orderkey", "o_custkey"))
+    if 0 < est * _ENRICHED_BCAST_EXPANSION <= 64 << 20:
+        enriched = F.broadcast(enriched)
     return lineitem.join(
         enriched, lineitem.l_orderkey == enriched.o_orderkey, "left"
     ).filter(F.col("l_quantity").isNotNull())  # semantic_layer.sql:14
