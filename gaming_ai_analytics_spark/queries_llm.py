@@ -1834,3 +1834,129 @@ register(
     FROM d GROUP BY 1
     """,
 )
+
+
+def q_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span REMOVAL (the Lee et al. 2022
+    ExactSubstr pipeline step the corpus actually needs —
+    `duplicate_ngram_spans` only measures the fraction): every token
+    covered by at least one word 8-gram that appears in >= 2 DISTINCT
+    documents is dropped, and each document re-emits its surviving
+    tokens in order.  Within-doc-only repeats (df = 1) are kept — the
+    cross-doc df is the memorization signal, and the within-doc
+    complement is `quality_repetition`'s Gopher rule.  Documents whose
+    every token is covered vanish from the cleaned corpus, like
+    `chunk_dedup_clean`'s fully-seen documents.
+
+    Scale shape — five shuffles, every one on a key that scales and
+    none holding unbounded state: (1) the corpus gram frame reduces on
+    (gram, doc_id), collecting that document's start positions
+    (bounded by tokens/doc); (2) the REDUCED frame (one row per
+    (gram, doc)) takes the aggregate-count window on the gram key —
+    df = distinct containing docs, the same two-level distinct trick
+    as `duplicate_ngram_spans`, with the heavy window input already
+    collapsed; (3)+(4) flagged spans explode to covered (doc_id,
+    position) rows — at most 8x the flagged starts — and the token
+    position frame ANTI-joins them on (doc_id, position): unlike the
+    spans query's gram window this join IS AQE-skew-splittable, and a
+    boilerplate gram's fan-out lands on doc-keyed rows, not one gram
+    partition; (5) the doc_id reassembly aggregate, state bounded by
+    tokens per document.  No covered-side dedup is needed — LEFT ANTI
+    is idempotent in right-side multiplicity, so the distinct's
+    shuffle is saved.  At 100 TB the production tier would carry a
+    128-bit gram fingerprint through (1)-(2) instead of span text
+    (same plan, narrower exchange), exactly as documented on the
+    measuring twin."""
+    docs = _nonempty_docs(spark, sf_dir)
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    k = _SPAN_K
+    # gram starts, 0-based: posexplode of the in-order gram array
+    gp = (
+        toks.filter(F.size("t") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - k),
+                    lambda i: F.array_join(F.slice("t", i + 1, k), " "),
+                )
+            ).alias("i", "g"),
+        )
+    )
+    gd = gp.groupBy("g", "doc_id").agg(F.collect_list("i").alias("starts"))
+    flagged = gd.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    ).filter(F.col("df") >= 2)
+    covered = flagged.select(
+        "doc_id",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "starts", lambda s: F.sequence(s, s + F.lit(k - 1))
+                )
+            )
+        ).alias("p"),
+    )
+    tokpos = toks.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.posexplode("t").alias("p", "tok"),
+    )
+    kept = tokpos.join(covered, ["doc_id", "p"], "left_anti")
+    return kept.groupBy("doc_id").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_kept"),
+        (F.max("n_tokens") - F.count(F.lit(1))).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+
+
+register(
+    "duplicate_span_removal",
+    q_duplicate_span_removal,
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents WHERE {_NONEMPTY}
+    ),
+    gp AS (
+      SELECT doc_id, i,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+               || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+               || ' ' || t[i+7] AS g
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+            FROM toks WHERE len(t) >= 8)
+    ),
+    dg AS (SELECT DISTINCT doc_id, g FROM gp),
+    dfr AS (
+      SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM dg
+    ),
+    fl AS (
+      SELECT gp.doc_id, gp.i
+      FROM gp JOIN dfr ON gp.doc_id = dfr.doc_id AND gp.g = dfr.g
+      WHERE dfr.df >= 2
+    ),
+    cov AS (
+      SELECT doc_id, unnest(generate_series(i, i + 7)) AS p FROM fl
+    ),
+    pos AS (
+      SELECT doc_id, len(t) AS n_tokens, unnest(t) AS tok,
+             unnest(generate_series(1, len(t))) AS p
+      FROM toks
+    ),
+    kept AS (
+      SELECT * FROM pos
+      WHERE NOT EXISTS (SELECT 1 FROM cov
+                        WHERE cov.doc_id = pos.doc_id AND cov.p = pos.p)
+    )
+    SELECT doc_id, MAX(n_tokens) AS n_tokens, COUNT(*) AS n_kept,
+           MAX(n_tokens) - COUNT(*) AS n_removed,
+           STRING_AGG(tok, ' ' ORDER BY p) AS cleaned_text
+    FROM kept GROUP BY 1
+    """,
+)

@@ -137,7 +137,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "promo_revenue_share",
     "small_quantity_revenue",
     "disjunctive_predicate_join",
-    "min_cost_supplier",
+    # -- new r11 operators (displaced fillers; zero driver evidence) --
+    "duplicate_span_removal",
 )
 
 #: Everything still owed a fresh driver row AFTER this round's window,
@@ -187,6 +188,8 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "dominant_part_suppliers",
     "sole_return_suppliers",
     "fulfillment_latency_profile",
+    # r6-stable fillers displaced from the r11 window by new operators
+    "min_cost_supplier",
 )
 
 #: --- Rotation tiers (VERDICT r7 ask #2) -------------------------------
@@ -331,6 +334,7 @@ CORE_TIER: frozenset[str] = frozenset({
     "dedup_cluster_assign",
     "dedup_cluster_assign_star",
     "duplicate_ngram_spans",
+    "duplicate_span_removal",
     "chunk_dedup_clean",
     "similarity_topk",
     "hard_negative_mining",

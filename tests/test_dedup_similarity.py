@@ -705,6 +705,42 @@ def test_duplicate_ngram_spans_planted(spark, tmp_path):
     assert 0 < out[1].dup_span_frac < 1
 
 
+def test_duplicate_span_removal_planted(spark, tmp_path):
+    """Planted removal: docs 1 and 2 share one 8-word span — exactly
+    those 8 tokens must be removed from BOTH carriers and the
+    surrounding unique context kept in order; an untouched doc
+    re-emits its (whitespace-normalized) text verbatim; a sub-8-word
+    doc is kept whole; a doc that is NOTHING BUT the shared span
+    vanishes from the cleaned corpus."""
+    from gaming_ai_analytics_spark.queries_llm import (
+        q_duplicate_span_removal,
+    )
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    rows = [
+        (1, f"one two three {span} four five six"),
+        (2, f"seven eight nine ten {span} eleven"),
+        (3, "completely different words with no shared span at all"),
+        (4, "too short"),
+        (5, span),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", "text",
+        F.lit("en").alias("lang"), F.lit("s").alias("source"),
+        F.length("text").alias("n_chars"),
+    )
+    df.write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r.doc_id: r for r in q_duplicate_span_removal(
+        spark, str(tmp_path)
+    ).collect()}
+    assert set(out) == {1, 2, 3, 4}  # doc 5 fully covered -> vanishes
+    assert out[1].cleaned_text == "one two three four five six"
+    assert out[1].n_removed == 8 and out[1].n_tokens == 14
+    assert out[2].cleaned_text == "seven eight nine ten eleven"
+    assert out[3].cleaned_text == rows[2][1] and out[3].n_removed == 0
+    assert out[4].cleaned_text == "too short" and out[4].n_removed == 0
+
+
 def test_cross_corpus_minhash_hint_gate(spark, monkeypatch, sf_dir):
     """Both PLANNER_TRUST gate paths of the fuzzy-decontamination
     verify join must agree on values, and the forced-hint path must

@@ -758,3 +758,66 @@ def test_duplicate_ngram_spans_matches_reference(spark, word_lists):
             for r in ql.q_duplicate_ngram_spans(spark, "ignored").collect()
         }
     assert got == want
+
+
+# --- cross-document duplicated-span REMOVAL ---------------------------------
+@settings(**SETTINGS)
+@given(
+    st.lists(  # same topology generator as the measuring twin above
+        st.lists(st.integers(0, 5), max_size=14),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_duplicate_span_removal_matches_reference(spark, word_lists):
+    """Covered-position union, anti-join removal, and in-order
+    reassembly equal a sequential reference for any duplication
+    topology: EVERY occurrence start of a flagged gram covers its 8
+    positions, within-doc-only repeats (df = 1) are kept, fully
+    covered docs vanish, sub-8-word docs pass through whole."""
+    from gaming_ai_analytics_spark import registry
+
+    registry.queries()
+    import gaming_ai_analytics_spark.queries_llm as ql
+
+    texts = {
+        i: " ".join(f"w{c}" for c in ws) for i, ws in enumerate(word_lists)
+    }
+    gram_sets = {
+        i: {tuple(ws[j : j + 8]) for j in range(len(ws) - 7)}
+        for i, ws in enumerate(word_lists)
+        if len(ws) >= 8
+    }
+    df_count: dict[tuple, int] = {}
+    for gs in gram_sets.values():
+        for g in gs:
+            df_count[g] = df_count.get(g, 0) + 1
+    want = {}
+    for i, ws in enumerate(word_lists):
+        if not ws:
+            continue  # empty text: filtered by _NONEMPTY on both sides
+        covered = set()
+        for j in range(len(ws) - 7):
+            if df_count.get(tuple(ws[j : j + 8]), 0) >= 2:
+                covered.update(range(j, j + 8))
+        kept = [f"w{c}" for p, c in enumerate(ws) if p not in covered]
+        if kept:
+            want[i] = (
+                len(ws),
+                len(kept),
+                len(ws) - len(kept),
+                " ".join(kept),
+            )
+
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    import unittest.mock as mock
+
+    with mock.patch.object(ql, "_nonempty_docs", lambda spark, sf_dir: df):
+        got = {
+            r.doc_id: (r.n_tokens, r.n_kept, r.n_removed, r.cleaned_text)
+            for r in ql.q_duplicate_span_removal(spark, "ignored").collect()
+        }
+    assert got == want
