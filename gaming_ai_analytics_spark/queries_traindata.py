@@ -3208,3 +3208,100 @@ register(
     GROUP BY 1
     """,
 )
+
+
+_FUZZY_INDEX_DIRS: dict[str, str] = {}  # sf_dir -> warehouse dir
+
+
+def _fuzzy_index_dir(sf_dir: str) -> str:
+    """Process-lifetime temp warehouse for the persisted eval-side LSH
+    index, one slot per scale factor — the same reuse-don't-leak
+    pattern as queries_llm._lsh_index_dir (ADVICE r7): created once,
+    tables overwritten by every invocation at that sf, removed at
+    interpreter exit."""
+    if sf_dir not in _FUZZY_INDEX_DIRS:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="gaa_fuzzyidx_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _FUZZY_INDEX_DIRS[sf_dir] = d
+    return _FUZZY_INDEX_DIRS[sf_dir]
+
+
+def q_decontaminate_fuzzy_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL fuzzy decontamination: `decontaminate_fuzzy`
+    re-shingles BOTH corpora per run, but the eval side (benchmark
+    suites) is small and static — so it is persisted ONCE as a
+    banded-MinHash index (``save_minhash_index``: band entries
+    bucketed on the candidate join key + hashed shingle arrays), and
+    each nightly train increment (here doc_id % 10 = 0, the
+    `dedup_incremental_index` convention) probes it with
+    ``minhash_lsh_pairs_incremental`` — eval text is never
+    re-shingled, never re-hashed and, bucketed on (band, bucket),
+    never re-shuffled; the per-night cost tracks the increment.  The
+    readout is per contaminated TRAIN doc (n_eval_matches,
+    max_jaccard), identical to the full-recompute tier, and the
+    oracle recomputes the exact cross-corpus Jaccard from scratch
+    restricted to the increment — same recall contract as
+    `decontaminate_fuzzy` (16x4 banding, recall 1.0 at the fixtures'
+    planted similarity gap)."""
+    from gaming_ai_analytics_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+        save_minhash_index,
+    )
+    from gaming_ai_analytics_spark.sources.io import TableStore
+
+    docs = _docs(spark, sf_dir)
+    eval_set = docs.filter(F.col("source") == "src0")
+    store = TableStore(spark, _fuzzy_index_dir(sf_dir))
+    save_minhash_index(
+        store, "idx", "evalfx", eval_set, "doc_id", "text", num_buckets=8
+    )
+    increment = docs.filter(
+        (F.col("source") != "src0") & (F.col("doc_id") % 10 == 0)
+    )
+    pairs = minhash_lsh_pairs_incremental(
+        store, "idx", "evalfx", increment, "doc_id", "text", threshold=0.5
+    )
+    return pairs.groupBy(F.col("id_new").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_eval_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+
+
+register(
+    "decontaminate_fuzzy_incremental",
+    q_decontaminate_fuzzy_incremental,
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS} AS t
+      FROM documents WHERE {_NONEMPTY}),
+    sh AS (
+      SELECT DISTINCT doc_id, source,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM (SELECT doc_id, source, t,
+                   unnest(generate_series(1, len(t) - 2)) AS i
+            FROM toks WHERE len(t) >= 3)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE source = 'src0'),
+    tr AS (SELECT doc_id, s FROM sh
+           WHERE source <> 'src0' AND doc_id % 10 = 0),
+    inter AS (
+      SELECT tr.doc_id, ev.eval_id, COUNT(*) AS c
+      FROM tr JOIN ev ON tr.s = ev.s GROUP BY 1, 2),
+    scored AS (
+      SELECT i.doc_id,
+             ROUND(c * 1.0 / (a.n + b.n - c), 6) AS jaccard
+      FROM inter i
+      JOIN sizes a ON i.doc_id = a.doc_id
+      JOIN sizes b ON i.eval_id = b.doc_id)
+    SELECT doc_id, COUNT(*) AS n_eval_matches,
+           MAX(jaccard) AS max_jaccard
+    FROM scored WHERE jaccard >= 0.5
+    GROUP BY 1
+    """,
+)

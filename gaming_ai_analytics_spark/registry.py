@@ -136,9 +136,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "idle_rich_customers",
     "promo_revenue_share",
     "small_quantity_revenue",
-    "disjunctive_predicate_join",
     # -- new r11 operators (displaced fillers; zero driver evidence) --
     "duplicate_span_removal",
+    "decontaminate_fuzzy_incremental",
 )
 
 #: Everything still owed a fresh driver row AFTER this round's window,
@@ -190,6 +190,7 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "fulfillment_latency_profile",
     # r6-stable fillers displaced from the r11 window by new operators
     "min_cost_supplier",
+    "disjunctive_predicate_join",
 )
 
 #: --- Rotation tiers (VERDICT r7 ask #2) -------------------------------
@@ -335,6 +336,7 @@ CORE_TIER: frozenset[str] = frozenset({
     "dedup_cluster_assign_star",
     "duplicate_ngram_spans",
     "duplicate_span_removal",
+    "decontaminate_fuzzy_incremental",
     "chunk_dedup_clean",
     "similarity_topk",
     "hard_negative_mining",

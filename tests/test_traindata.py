@@ -1338,3 +1338,25 @@ def test_decontaminate_fuzzy_catches_paraphrase_exact_misses(
     assert set(fuzzy) == {1}, fuzzy
     assert fuzzy[1].n_eval_matches == 1
     assert 0.5 <= fuzzy[1].max_jaccard < 0.6
+
+
+def test_decontaminate_fuzzy_incremental_matches_full(spark, sf_dir):
+    """The persisted-eval-index probe must agree VALUE-FOR-VALUE with
+    the full-recompute tier restricted to the same increment slice
+    (train doc_id % 10 = 0) — index round-trip, hash-parameter meta,
+    and readout aggregation all on the line."""
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_decontaminate_fuzzy,
+        q_decontaminate_fuzzy_incremental,
+    )
+
+    full = {
+        r.doc_id: (r.n_eval_matches, r.max_jaccard)
+        for r in q_decontaminate_fuzzy(spark, sf_dir).collect()
+        if r.doc_id % 10 == 0
+    }
+    inc = {
+        r.doc_id: (r.n_eval_matches, r.max_jaccard)
+        for r in q_decontaminate_fuzzy_incremental(spark, sf_dir).collect()
+    }
+    assert inc == full
