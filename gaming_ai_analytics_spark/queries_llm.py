@@ -1777,7 +1777,12 @@ def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     x%·|corpus| rows through one spilling task; the join form would
     let AQE split that key — it just costs 2× on every non-degenerate
     corpus, and the operator's job is to FIND such boilerplate before
-    it reaches that density.  At 100 TB the production tier would
+    it reaches that density.  The precondition is GUARDED (ADVICE
+    r10): tests/test_dedup_similarity.py::
+    test_duplicate_ngram_spans_skew_guard pins the hottest gram at
+    <= 5% of documents on the fixture (measured 0.6–0.8%), failing
+    with the join-back remedy named before a skewed corpus reaches a
+    production-sized run.  At 100 TB the production tier would
     shuffle a 128-bit gram fingerprint instead of the span text —
     same plan, narrower exchange; the readout keeps the raw span so
     the oracle stays engine-exact (the r9 xxhash64 review rejected
@@ -1863,11 +1868,25 @@ def q_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition; (5) the doc_id reassembly aggregate, state bounded by
     tokens per document.  No covered-side dedup is needed — LEFT ANTI
     is idempotent in right-side multiplicity, so the distinct's
-    shuffle is saved.  At 100 TB the production tier would carry a
-    128-bit gram fingerprint through (1)-(2) instead of span text
-    (same plan, narrower exchange), exactly as documented on the
-    measuring twin."""
+    shuffle is saved.  The anti-join is ``merge``-pinned through the
+    module's planner-trust gate on non-toy corpora: the covered frame
+    is explode-derived, so Catalyst's size estimate predates the
+    fan-out and the static planner BROADCAST a corpus-scale frame —
+    the r8 heap-OOM class, hit for real at the sf10 probe on the
+    10x-replicated fixture (where nearly every gram is cross-doc
+    duplicated and covered ~= the whole position frame); both join
+    sides are full posting-like frames, the case the gate's docstring
+    routes to sort-merge (spills to disk) rather than a shuffle-hash
+    build map.  At 100 TB the production tier would carry a 128-bit
+    gram fingerprint through (1)-(2) instead of span text (same plan,
+    narrower exchange), exactly as documented on the measuring
+    twin."""
+    from gaming_ai_analytics_spark.operators.dedup import (
+        _self_join_hinter,
+    )
+
     docs = _nonempty_docs(spark, sf_dir)
+    _hint = _self_join_hinter(docs, strategy="merge")
     toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
     k = _SPAN_K
     # gram starts, 0-based: posexplode of the in-order gram array
@@ -1902,7 +1921,7 @@ def q_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("t").cast("long").alias("n_tokens"),
         F.posexplode("t").alias("p", "tok"),
     )
-    kept = tokpos.join(covered, ["doc_id", "p"], "left_anti")
+    kept = tokpos.join(_hint(covered), ["doc_id", "p"], "left_anti")
     return kept.groupBy("doc_id").agg(
         F.max("n_tokens").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_kept"),

@@ -3164,7 +3164,12 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract in :func:`operators.dedup.cross_corpus_minhash`; the
     oracle is the EXACT cross-corpus Jaccard (recall 1.0 at the
     fixtures' planted similarity gap, the `dedup_minhash_lsh`
-    convention)."""
+    convention).  That gap is a PINNED INVARIANT, not luck:
+    tests/test_traindata.py::test_fuzzy_fixture_outside_lsh_dead_zone
+    asserts no cross-corpus pair lands in the banding dead zone
+    [0.5, 0.7) — measured occupancy: pairs sit <= 0.034 or >= 0.95 —
+    so a regenerated fixture that would flake this gate fails that
+    test first, with the remedy named (ADVICE r10)."""
     from gaming_ai_analytics_spark.operators.dedup import (
         cross_corpus_minhash,
     )

@@ -256,10 +256,12 @@ STALENESS_CAP_FROZEN = 25
 #: fail the ~80 windowed names around it.  The cap is long, not
 #: infinite, so every name still cycles through real driver evidence.
 #:
-#: Arithmetic this buys (recomputed by the satisfiability test): the
-#: 22 names below each cost 1/3 slot/round in core but 1/25 here —
-#: demand drops ~7 slots, funding several rounds of operator growth
-#: without another stable-cap extension.
+#: Arithmetic this buys (recomputed by the satisfiability test): each
+#: name below costs 1/10 slot/round in stable (1/3 in core) but 1/25
+#: here — the r10 tier (22 names) plus the r11 promotion (17 names)
+#: holds steady-state demand at 44 slots vs the 50-slot window,
+#: funding several rounds of operator growth without another
+#: stable-cap extension.
 FROZEN_TIER: frozenset[str] = frozenset({
     # §2.3/2.4/2.7/2.8 single-expression surfaces (green r1,2,5,9)
     "project_rename",
@@ -287,6 +289,28 @@ FROZEN_TIER: frozenset[str] = frozenset({
     # schema-pinned format round-trips (orc stays core: one green row)
     "csv_roundtrip_scan",
     "jsonl_roundtrip_scan",
+    # r11 promotion (VERDICT r10 ask #6): single-expression window /
+    # set-op / rollup / DQ surfaces, byte-identical since their r5-r6
+    # registration under the hash guard, each with >= 3 committed
+    # green driver rounds (latest: r10) — funds the round's two new
+    # core operators and keeps steady-state demand at 44/47.
+    "window_running_sum",
+    "window_lag_delta",
+    "window_value_functions",
+    "window_ntile_pctrank",
+    "window_topk_per_group",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "agg_cube",
+    "stat_correlation",
+    "events_daily_rollup",
+    "dq_range_violations",
+    "dq_uniqueness_violations",
+    "translate_dim_names",
+    "unpivot_measures",
+    "events_json_props",
+    "weekly_active_users",
 })
 
 CORE_TIER: frozenset[str] = frozenset({

@@ -705,6 +705,51 @@ def test_duplicate_ngram_spans_planted(spark, tmp_path):
     assert 0 < out[1].dup_span_frac < 1
 
 
+def test_duplicate_ngram_spans_skew_guard(sf_dir):
+    """ADVICE r10 guard metric: `duplicate_ngram_spans` attaches df
+    with an aggregate window partitioned by the raw 8-gram — a
+    documented trade (2x cheaper than the join form at sf10) whose
+    residual risk is a degenerate boilerplate gram funnelling
+    df/|corpus| rows through one task AQE cannot skew-split.  This
+    pins the fixture-side precondition: the hottest gram may cover at
+    most 5% of documents.  A regenerated fixture (or upstream corpus)
+    that breaches it fails HERE with the remedy named — switch the
+    query to the join-back form (A/B'd in BASELINE.md §3) or strip
+    the boilerplate first — instead of silently serializing the
+    window stage at scale."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    max_df, n_docs = con.execute(
+        """
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(TRIM(text), ' +') AS t
+          FROM documents
+          WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0),
+        g AS (
+          SELECT DISTINCT doc_id,
+                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                   || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+                   || ' ' || t[i+7] AS g
+          FROM (SELECT doc_id, t,
+                       unnest(generate_series(1, len(t) - 7)) AS i
+                FROM toks WHERE len(t) >= 8))
+        SELECT MAX(df), (SELECT COUNT(*) FROM toks)
+        FROM (SELECT g, COUNT(*) AS df FROM g GROUP BY 1)
+        """
+    ).fetchone()
+    assert max_df <= 0.05 * n_docs, (
+        f"hottest 8-gram appears in {max_df}/{n_docs} docs — the "
+        "gram-window form of duplicate_ngram_spans would funnel that "
+        "share of the corpus through one unsplittable task; use the "
+        "join-back form or strip the boilerplate"
+    )
+
+
 def test_duplicate_span_removal_planted(spark, tmp_path):
     """Planted removal: docs 1 and 2 share one 8-word span — exactly
     those 8 tokens must be removed from BOTH carriers and the

@@ -1340,6 +1340,69 @@ def test_decontaminate_fuzzy_catches_paraphrase_exact_misses(
     assert 0.5 <= fuzzy[1].max_jaccard < 0.6
 
 
+def test_fuzzy_fixture_outside_lsh_dead_zone(sf_dir):
+    """ADVICE r10: `decontaminate_fuzzy`'s Spark path is
+    LSH-candidate-gated (16x4 banding, ~56% collision probability at
+    J=0.5) while its oracle computes exact all-pairs Jaccard, so a
+    fixture pair with true Jaccard in the banding dead zone
+    [0.5, ~0.7) could diverge between engines.  This pins the fixture
+    invariant the green rows rely on: NO cross-corpus pair may land
+    in [0.5, 0.7) — collision probability at J >= 0.7 is >= 0.98 and
+    the fixture's planted near-dups sit >= 0.95, where the
+    deterministic banding recalls every pair.  Regenerated or
+    rescaled fixtures that violate this fail HERE, with the fix
+    spelled out, instead of flaking the driver gate."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    zones = dict(
+        (z, (n, lo, hi))
+        for z, n, lo, hi in con.execute(
+            """
+        WITH toks AS (
+          SELECT doc_id, source,
+                 string_split_regex(TRIM(text), ' +') AS t
+          FROM documents
+          WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0),
+        sh AS (
+          SELECT DISTINCT doc_id, source,
+                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+          FROM (SELECT doc_id, source, t,
+                       unnest(generate_series(1, len(t) - 2)) AS i
+                FROM toks WHERE len(t) >= 3)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE source='src0'),
+        tr AS (SELECT doc_id, s FROM sh WHERE source<>'src0'),
+        inter AS (
+          SELECT tr.doc_id, ev.eval_id, COUNT(*) AS c
+          FROM tr JOIN ev ON tr.s = ev.s GROUP BY 1, 2),
+        scored AS (
+          SELECT c * 1.0 / (a.n + b.n - c) AS j
+          FROM inter i
+          JOIN sizes a ON i.doc_id = a.doc_id
+          JOIN sizes b ON i.eval_id = b.doc_id)
+        SELECT CASE WHEN j < 0.5 THEN 'below'
+                    WHEN j < 0.7 THEN 'dead_zone'
+                    ELSE 'above' END AS zone,
+               COUNT(*), MIN(j), MAX(j)
+        FROM scored GROUP BY 1
+        """
+        ).fetchall()
+    )
+    assert "dead_zone" not in zones, (
+        "fixture grew cross-corpus pairs inside the LSH banding dead "
+        f"zone {zones['dead_zone']}: either re-plant the near-dups at "
+        "J >= 0.7 or widen cross_corpus_minhash's banding before "
+        "trusting the driver gate"
+    )
+    # the invariant must be LOAD-BEARING: planted near-dups exist
+    assert zones.get("above", (0,))[0] > 0, zones
+
+
 def test_decontaminate_fuzzy_incremental_matches_full(spark, sf_dir):
     """The persisted-eval-index probe must agree VALUE-FOR-VALUE with
     the full-recompute tier restricted to the same increment slice
