@@ -536,6 +536,110 @@ register(
 )
 
 
+def q_contamination_span_lengths(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Contamination AUDIT readout: per leaking train doc, the LENGTH
+    of its longest contiguous eval-overlapping token run plus the
+    span-structure counts — the distribution Lee et al. 2022 report
+    for memorization analyses, where `decontaminate_eval_overlap`
+    only FLAGS.  A train position i is matched when its word 8-gram
+    appears anywhere in the eval set; maximal runs of consecutive
+    matched starts are islands (the gaps-and-islands i - row_number
+    trick, both engines), and a run of r consecutive starts covers
+    r + 7 tokens.
+
+    Scale shape: the eval DISTINCT-gram frame broadcasts into the
+    probe join (benchmark suites are the small static side — the
+    `cross_corpus_overlap` convention, reference anchor
+    exploration/analysis.sql's contamination mandate), so the train
+    gram frame NEVER shuffles for the match; the only corpus
+    exchange is the doc_id window for island numbering, and both
+    downstream groupBys (doc_id, grp) / (doc_id) ride that same
+    hash(doc_id) clustering — Catalyst inserts no further exchange
+    (subset-of-keys satisfies ClusteredDistribution; asserted by the
+    plan test)."""
+    docs = _docs(spark, sf_dir)
+    k = 8
+
+    def gram_starts(frame):
+        toks = frame.select(
+            "doc_id", tokens(F.col("text")).alias("t")
+        ).filter(F.size("t") >= k)
+        return toks.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - k),
+                    lambda i: F.array_join(F.slice("t", i + 1, k), " "),
+                )
+            ).alias("i", "g"),
+        )
+
+    ev_grams = (
+        gram_starts(docs.filter(F.col("source") == "src0"))
+        .select("g")
+        .distinct()
+    )
+    # unique (doc_id, i) by construction: a start has ONE gram and the
+    # eval side is distinct, so the join emits each start at most once
+    # — no dedup aggregate, no (doc_id, i) exchange
+    matched = (
+        gram_starts(docs.filter(F.col("source") != "src0"))
+        .join(F.broadcast(ev_grams), "g")
+        .select("doc_id", "i")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    islands = matched.withColumn(
+        "grp", F.col("i") - F.row_number().over(w)
+    )
+    runs = islands.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("run")
+    )
+    return runs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("run").cast("long").alias("n_matched_grams"),
+        (F.max("run") + F.lit(k - 1)).alias("longest_overlap_tokens"),
+    )
+
+
+register(
+    "contamination_span_lengths",
+    q_contamination_span_lengths,
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS} AS t
+      FROM documents WHERE {_NONEMPTY}
+    ),
+    gp AS (
+      SELECT doc_id, source, i, {_SHINGLE8} AS s
+      FROM (SELECT doc_id, source, t,
+                   unnest(generate_series(1, len(t) - 7)) AS i
+            FROM toks WHERE len(t) >= 8)
+    ),
+    ev AS (SELECT DISTINCT s FROM gp WHERE source = 'src0'),
+    m AS (
+      SELECT DISTINCT gp.doc_id, gp.i
+      FROM gp JOIN ev ON gp.s = ev.s
+      WHERE gp.source <> 'src0'
+    ),
+    isl AS (
+      SELECT doc_id, i,
+             i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i)
+               AS grp
+      FROM m
+    ),
+    runs AS (
+      SELECT doc_id, grp, COUNT(*) AS run FROM isl GROUP BY 1, 2
+    )
+    SELECT doc_id, COUNT(*) AS n_islands,
+           CAST(SUM(run) AS BIGINT) AS n_matched_grams,
+           MAX(run) + 7 AS longest_overlap_tokens
+    FROM runs GROUP BY 1
+    """,
+)
+
+
 # --------------------------------------------------------------------------
 # deterministic export sharding
 # --------------------------------------------------------------------------

@@ -135,10 +135,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "supplier_value_concentration",
     "idle_rich_customers",
     "promo_revenue_share",
-    "small_quantity_revenue",
     # -- new r11 operators (displaced fillers; zero driver evidence) --
     "duplicate_span_removal",
     "decontaminate_fuzzy_incremental",
+    "contamination_span_lengths",
 )
 
 #: Everything still owed a fresh driver row AFTER this round's window,
@@ -191,6 +191,7 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     # r6-stable fillers displaced from the r11 window by new operators
     "min_cost_supplier",
     "disjunctive_predicate_join",
+    "small_quantity_revenue",
 )
 
 #: --- Rotation tiers (VERDICT r7 ask #2) -------------------------------
@@ -361,6 +362,7 @@ CORE_TIER: frozenset[str] = frozenset({
     "duplicate_ngram_spans",
     "duplicate_span_removal",
     "decontaminate_fuzzy_incremental",
+    "contamination_span_lengths",
     "chunk_dedup_clean",
     "similarity_topk",
     "hard_negative_mining",

@@ -1301,6 +1301,59 @@ def test_mixture_temperature_weights_invariants(spark, sf_dir):
     assert boosts == sorted(boosts, reverse=True), boosts
 
 
+def test_contamination_span_lengths_planted(spark, tmp_path):
+    """Planted overlap geometry: train doc 1 embeds a 12-token eval
+    run (5 consecutive matched starts -> one island, longest 12);
+    train doc 2 embeds TWO disjoint 8-token eval runs (2 islands,
+    longest 8); a clean train doc is absent from the readout."""
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_contamination_span_lengths,
+    )
+
+    ev = [f"e{i}" for i in range(20)]
+    rows = [
+        (100, " ".join(ev), "en", "src0", 0),
+        (1, " ".join(["u1", "u2"] + ev[:12] + ["u3", "u4"]), "en", "s1", 0),
+        (2, " ".join(["a1"] + ev[:8] + ["a2", "a3"] + ev[10:18] + ["a4"]),
+         "en", "s1", 0),
+        (3, " ".join(f"z{i}" for i in range(30)), "en", "s1", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r.doc_id: r for r in q_contamination_span_lengths(
+        spark, str(tmp_path)
+    ).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_islands == 1
+    assert out[1].n_matched_grams == 5
+    assert out[1].longest_overlap_tokens == 12
+    assert out[2].n_islands == 2
+    assert out[2].longest_overlap_tokens == 8
+    assert out[2].n_matched_grams == 2
+
+
+def test_contamination_span_lengths_single_corpus_exchange(spark, sf_dir):
+    """The docstring's plan claim: the train gram frame never shuffles
+    for the match (eval grams broadcast), and both run/readout
+    groupBys ride the window's hash(doc_id) clustering — so the whole
+    plan carries exactly ONE doc-keyed hash exchange and none on
+    (doc_id, grp)."""
+    import re
+
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_contamination_span_lengths,
+    )
+
+    plan = (
+        q_contamination_span_lengths(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"hashpartitioning\(doc_id", plan)) == 1, plan
+    assert not re.search(r"hashpartitioning\(doc_id[^)]*grp", plan), plan
+
+
 def test_decontaminate_fuzzy_catches_paraphrase_exact_misses(
     spark, tmp_path
 ):
