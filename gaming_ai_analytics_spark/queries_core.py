@@ -1157,3 +1157,86 @@ register(
     GROUP BY 1
     """,
 )
+
+
+def q_agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust aggregation rung of the A-ladder: per-group winsorized
+    and trimmed means of ``l_extendedprice`` at the [p05, p95] cut —
+    the outlier-hardened revenue statistic beside `agg_avg_by_group`'s
+    raw mean and `anomaly_mad`'s robust dispersion.
+
+    Two passes by construction (a clip bound must exist before any
+    row can be clipped): pass 1 computes exact interpolated p05/p95
+    per group — the built-in ``percentile``, whose value→count state
+    degenerates on this NDV≈rows column at cluster scale exactly as
+    `agg_percentile` documents; at 100 TB the cut-point pass swaps to
+    :func:`bracket_exact_percentile` (one call per cut, bounded
+    state), the readout below is unchanged.  Pass 2 broadcasts the
+    ≤|groups|-row cut frame back and aggregates clip/trim/count in
+    ONE codegen HashAggregate over the corpus scan — the multi-scan
+    is the operator's semantics, not a plan accident (plan-audit
+    justification).
+
+    Parity: comparisons against the interpolated cuts are safe —
+    when (n−1)·q is integral both engines emit the exact data value;
+    otherwise the cut lies strictly between two distinct prices (a
+    blend of equal neighbors collapses to their common double), so
+    no l_extendedprice can sit a ulp from a boundary.  Means are
+    order-sensitive double sums: rounded 2dp + nudge both sides."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    cuts = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("_p05"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("_p95"),
+    )
+    x = F.col("l_extendedprice")
+    lo, hi = F.col("_p05"), F.col("_p95")
+    clipped = F.least(F.greatest(x, lo), hi)
+    in_band = (x >= lo) & (x <= hi)
+    return (
+        li.join(F.broadcast(cuts), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg(x) + 5e-10, 2).alias("mean_raw"),
+            F.round(F.avg(clipped) + 5e-10, 2).alias("mean_winsorized"),
+            F.round(F.avg(F.when(in_band, x)) + 5e-10, 2).alias(
+                "mean_trimmed"
+            ),
+            F.sum(F.when(~in_band, 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped"),
+            F.round(F.min(lo), 2).alias("p05"),
+            F.round(F.min(hi), 2).alias("p95"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+register(
+    "agg_winsorized_stats",
+    q_agg_winsorized_stats,
+    """
+    WITH cuts AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS p05,
+             quantile_cont(l_extendedprice, 0.95) AS p95
+      FROM lineitem GROUP BY 1)
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_rows,
+           ROUND(AVG(l_extendedprice) + 5e-10, 2) AS mean_raw,
+           ROUND(AVG(LEAST(GREATEST(l_extendedprice, p05), p95)) + 5e-10, 2)
+             AS mean_winsorized,
+           ROUND(AVG(CASE WHEN l_extendedprice BETWEEN p05 AND p95
+                          THEN l_extendedprice END) + 5e-10, 2)
+             AS mean_trimmed,
+           CAST(SUM(CASE WHEN l_extendedprice < p05
+                           OR l_extendedprice > p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           ROUND(MIN(p05), 2) AS p05,
+           ROUND(MIN(p95), 2) AS p95
+    FROM lineitem l JOIN cuts USING (l_returnflag)
+    GROUP BY 1 ORDER BY 1
+    """,
+)

@@ -3414,3 +3414,322 @@ register(
     GROUP BY 1
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# UniMax budget allocation (epoch-capped waterfilling)
+# --------------------------------------------------------------------------
+_UNIMAX_EPOCH_CAP = 2  # UniMax's N: max epochs any cell may repeat
+#: Budget = 6/5 of the corpus (1.2 epochs if spread raw).  Kept as the
+#: exact rational 6/5 so the waterfilling comparisons stay in scaled
+#: int64 arithmetic — no float enters until the final division.
+_UNIMAX_BUDGET_NUM, _UNIMAX_BUDGET_DEN = 6, 5
+
+
+def q_mixture_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax sampling (Chung et al. 2023, "UniMax: Fairer and More
+    Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): distribute a token budget B = 6/5 · |corpus| as
+    UNIFORMLY as possible across (source, lang) cells subject to a
+    per-cell repeat cap of ``_UNIMAX_EPOCH_CAP`` epochs — the FOURTH
+    mixture policy beside raw-proportional, uniform-target
+    (`mixture_rebalance`) and temperature smoothing
+    (`mixture_temperature_weights`).  The exact waterfilling solution
+    alloc_i = min(cap_i, t) with Σ min(cap_i, t) = B has the classic
+    sorted closed form: ascending by cap, cell k is SATURATED iff
+    cap_k · (n−k+1) ≤ B − prefix_{k−1}, the saturated set is a prefix
+    (the slack function is non-increasing in k), and the water level
+    t = (B − Σ_sat cap) / (n − |sat|) funds every unsaturated cell.
+
+    Parity: every saturation comparison is SCALED-INTEGER arithmetic
+    (multiply through by the budget denominator 5: 5·cap·(n−k+1) ≤
+    6·total − 5·(prefix−cap)) — token counts are int64, so both
+    engines decide saturation EXACTLY, no float boundary to flake;
+    the only doubles are the final water-level division and the
+    epochs ratio, nudged and rounded.  Overflow headroom: 6·total at
+    100 TB (~2.5e13 tokens) times the ~20-cell rank factor sits 3
+    decades under int64.
+
+    Scale shape: ONE corpus scan collapses to per-(source, lang)
+    token counts (map-side combined, |cells| rows); the rank, prefix
+    sum, and the two global reductions ride empty-partition windows
+    over that compact frame — the `mixture_temperature_weights`
+    single-reference shape, four layered selects deep."""
+    cells = (
+        _docs(spark, sf_dir)
+        .select("source", "lang", F.size(tokens(F.col("text"))).alias("_n"))
+        .groupBy("source", "lang")
+        .agg(F.sum("_n").cast("long").alias("n_tokens"))
+        .withColumn("cap", F.lit(_UNIMAX_EPOCH_CAP) * F.col("n_tokens"))
+    )
+    w_all = Window.partitionBy()
+    w_ord = Window.partitionBy().orderBy("cap", "source", "lang")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    num, den = _UNIMAX_BUDGET_NUM, _UNIMAX_BUDGET_DEN
+    ranked = cells.select(
+        "source",
+        "lang",
+        "n_tokens",
+        "cap",
+        F.row_number().over(w_ord).alias("_k"),
+        F.sum("cap").over(w_run).alias("_prefix"),
+        F.count(F.lit(1)).over(w_all).alias("_n_cells"),
+        F.sum("n_tokens").over(w_all).alias("_total"),
+    )
+    flagged = ranked.withColumn(
+        "saturated",
+        F.when(
+            F.lit(den) * F.col("cap") * (F.col("_n_cells") - F.col("_k") + 1)
+            <= F.lit(num) * F.col("_total")
+            - F.lit(den) * (F.col("_prefix") - F.col("cap")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    solved = flagged.select(
+        "*",
+        F.sum("saturated").over(w_all).alias("_n_sat"),
+        F.sum(F.col("saturated") * F.col("cap")).over(w_all).alias("_sat_toks"),
+    )
+    water = (
+        F.lit(float(num)) * F.col("_total") - F.lit(float(den)) * F.col("_sat_toks")
+    ) / (F.lit(float(den)) * (F.col("_n_cells") - F.col("_n_sat")))
+    alloc = F.when(
+        F.col("saturated") == 1, F.col("cap").cast("double")
+    ).otherwise(water)
+    return solved.select(
+        "source",
+        "lang",
+        "n_tokens",
+        F.col("cap").alias("cap_tokens"),
+        "saturated",
+        F.round(alloc + 5e-10, 2).alias("alloc_tokens"),
+        F.round(alloc / F.col("n_tokens") + 5e-10, 4).alias("n_epochs"),
+    ).orderBy("source", "lang")
+
+
+register(
+    "mixture_unimax_budget",
+    q_mixture_unimax_budget,
+    f"""
+    WITH cells AS (
+      SELECT source, lang,
+             CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens,
+             {_UNIMAX_EPOCH_CAP} * CAST(SUM(len({_TOKS})) AS BIGINT) AS cap
+      FROM documents WHERE {_NONEMPTY}
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT source, lang, n_tokens, cap,
+             ROW_NUMBER() OVER (ORDER BY cap, source, lang) AS k,
+             SUM(cap) OVER (ORDER BY cap, source, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+             COUNT(*) OVER () AS n_cells,
+             SUM(n_tokens) OVER () AS total
+      FROM cells),
+    flagged AS (
+      SELECT *, CASE WHEN {_UNIMAX_BUDGET_DEN} * cap * (n_cells - k + 1)
+                       <= {_UNIMAX_BUDGET_NUM} * total
+                          - {_UNIMAX_BUDGET_DEN} * (prefix - cap)
+                     THEN 1 ELSE 0 END AS saturated
+      FROM ranked),
+    solved AS (
+      SELECT *, SUM(saturated) OVER () AS n_sat,
+                SUM(saturated * cap) OVER () AS sat_toks
+      FROM flagged),
+    alloc AS (
+      SELECT *, CASE WHEN saturated = 1 THEN CAST(cap AS DOUBLE)
+                     ELSE ({_UNIMAX_BUDGET_NUM}.0 * total
+                           - {_UNIMAX_BUDGET_DEN}.0 * sat_toks)
+                          / ({_UNIMAX_BUDGET_DEN}.0 * (n_cells - n_sat))
+                END AS alloc_t
+      FROM solved)
+    SELECT source, lang, n_tokens, cap AS cap_tokens, saturated,
+           ROUND(alloc_t + 5e-10, 2) AS alloc_tokens,
+           ROUND(alloc_t / n_tokens + 5e-10, 4) AS n_epochs
+    FROM alloc ORDER BY source, lang
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# Pairwise corpus overlap (source × source shingle Jaccard)
+# --------------------------------------------------------------------------
+def q_corpus_pair_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SOURCE-level content overlap: exact Jaccard and both
+    containments over each source's distinct 3-word-shingle set — the
+    corpus-level redundancy matrix data curation reads before mixing
+    (is src3 a re-crawl of src1? is the new dump already covered?),
+    the corpus-granularity complement of the per-document tiers
+    (`dedup_ngram_jaccard` pairs docs, `decontaminate_fuzzy` pairs
+    corpora's DOCUMENTS; this pairs the corpora themselves).
+
+    Scale shape: the corpus collapses ONCE to distinct (source,
+    shingle) — a map-side-combinable distinct whose output is bounded
+    by Σ|shingle vocab per source|, not by rows — then the self-join
+    shuffles the SHINGLE key only, with per-key fan-out bounded by
+    |sources|² (≤25 here: a shingle contributes one row per source
+    PAIR that shares it, never per occurrence).  The per-source set
+    sizes ride a broadcast ≤|sources|-row frame into the readout.
+    Sources with zero shared shingles are absent on both sides (inner
+    join), the `decontaminate_*` convention.
+
+    The self-join of two FULL shingle frames is merge-pinned through
+    the planner-trust gate: Catalyst costs the join from PRE-explode
+    scan bytes (explode fan-out is invisible to stats), so above toy
+    scale it would statically broadcast a corpus-sized shingle frame
+    — the `ngram_jaccard_pairs` r7 / `duplicate_span_removal` r11
+    OOM class — and a shuffle-hash build map of a full shingle frame
+    is itself corpus-scale per partition (the r8 heap class);
+    sort-merge spills.  Below the gate the planner's broadcast
+    genuinely wins and is left alone."""
+    from gaming_ai_analytics_spark.functions.text import word_shingles
+    from gaming_ai_analytics_spark.operators.dedup import _self_join_hinter
+
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "source", F.explode(word_shingles(F.col("text"), 3)).alias("s")
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    _hint = _self_join_hinter(docs, "merge")
+    a, b = _hint(sh).alias("a"), _hint(sh).alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sz_a = sizes.select(
+        F.col("source").alias("src_a"), F.col("n").alias("_na")
+    )
+    sz_b = sizes.select(
+        F.col("source").alias("src_b"), F.col("n").alias("_nb")
+    )
+    c = F.col("n_shared")
+    return (
+        inter.join(F.broadcast(sz_a), "src_a")
+        .join(F.broadcast(sz_b), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(c / (F.col("_na") + F.col("_nb") - c) + 5e-10, 6).alias(
+                "jaccard"
+            ),
+            F.round(c / F.col("_na") + 5e-10, 6).alias("containment_a"),
+            F.round(c / F.col("_nb") + 5e-10, 6).alias("containment_b"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+register(
+    "corpus_pair_overlap",
+    q_corpus_pair_overlap,
+    f"""
+    WITH toks AS (
+      SELECT source, {_TOKS} AS t
+      FROM documents WHERE {_NONEMPTY}),
+    sh AS (
+      SELECT DISTINCT source,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM (SELECT source, t,
+                   unnest(generate_series(1, len(t) - 2)) AS i
+            FROM toks WHERE len(t) >= 3)),
+    sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT src_a, src_b, n_shared,
+           ROUND(n_shared * 1.0 / (sa.n + sb.n - n_shared) + 5e-10, 6)
+             AS jaccard,
+           ROUND(n_shared * 1.0 / sa.n + 5e-10, 6) AS containment_a,
+           ROUND(n_shared * 1.0 / sb.n + 5e-10, 6) AS containment_b
+    FROM inter
+    JOIN sizes sa ON src_a = sa.source
+    JOIN sizes sb ON src_b = sb.source
+    ORDER BY src_a, src_b
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# Zipf fit per source (log-log OLS over the ranked vocabulary)
+# --------------------------------------------------------------------------
+_ZIPF_MAX_RANK = 1000  # fit over the head; the tail is sampling noise
+
+
+def q_zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf fit: OLS of ln(frequency) on ln(rank) over the
+    top-1000 ranked vocabulary — slope ≈ −1 is Zipf's law for natural
+    text; a flat slope flags templated/generated content and a cliff
+    flags boilerplate (the distribution-shape quality signal beside
+    `source_lang_entropy`'s mixture signal and `corpus_drift_kl`'s
+    drift signal).  Built on the same ``regr_slope/intercept/r2``
+    moment aggregates as `stat_regression` — both engines accumulate
+    identical co-moments, rounded at 6dp.
+
+    Scale shape: one corpus scan collapses to (source, word) counts
+    (map-side combined, vocab-bounded); the rank window partitions by
+    SOURCE over each source's VOCABULARY — vocab-bounded state, not
+    corpus-bounded (the `dsir_importance_weights` lesson: windows
+    over vocab frames are fine, windows over corpora are not) — and
+    the rank≤1000 cut drops the tail before the log/OLS arithmetic.
+    Rank ties at the cut break by (f DESC, w) in both engines, so the
+    selected head is identical."""
+    wc = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w_rank = Window.partitionBy("source").orderBy(F.desc("f"), "w")
+    ranked = (
+        wc.withColumn("r", F.row_number().over(w_rank))
+        .filter(F.col("r") <= _ZIPF_MAX_RANK)
+    )
+    y = F.log(F.col("f").cast("double"))
+    x = F.log(F.col("r").cast("double"))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_ranks"),
+            F.round(F.regr_slope(y, x), 6).alias("zipf_slope"),
+            F.round(F.regr_intercept(y, x), 6).alias("zipf_intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("fit_r2"),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    "zipf_slope_by_source",
+    q_zipf_slope_by_source,
+    f"""
+    WITH wc AS (
+      SELECT source, w, COUNT(*) AS f
+      FROM (SELECT source, unnest({_TOKS}) AS w
+            FROM documents WHERE {_NONEMPTY})
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT source, f,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY f DESC, w) AS r
+      FROM wc)
+    SELECT source, COUNT(*) AS n_ranks,
+           ROUND(regr_slope(ln(CAST(f AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6)
+             AS zipf_slope,
+           ROUND(regr_intercept(ln(CAST(f AS DOUBLE)),
+                                ln(CAST(r AS DOUBLE))), 6)
+             AS zipf_intercept,
+           ROUND(regr_r2(ln(CAST(f AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6)
+             AS fit_r2
+    FROM ranked WHERE r <= {_ZIPF_MAX_RANK}
+    GROUP BY 1 ORDER BY source
+    """,
+)

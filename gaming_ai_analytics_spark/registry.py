@@ -131,14 +131,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "nation_trade_flows",
     "market_share",
     "agg_grouping_sets",
-    "lateral_topk_suppliers",
-    "supplier_value_concentration",
-    "idle_rich_customers",
-    "promo_revenue_share",
     # -- new r11 operators (displaced fillers; zero driver evidence) --
     "duplicate_span_removal",
     "decontaminate_fuzzy_incremental",
     "contamination_span_lengths",
+    "mixture_unimax_budget",
+    "corpus_pair_overlap",
+    "zipf_slope_by_source",
+    "agg_winsorized_stats",
 )
 
 #: Everything still owed a fresh driver row AFTER this round's window,
@@ -192,6 +192,10 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "min_cost_supplier",
     "disjunctive_predicate_join",
     "small_quantity_revenue",
+    "lateral_topk_suppliers",
+    "supplier_value_concentration",
+    "idle_rich_customers",
+    "promo_revenue_share",
 )
 
 #: --- Rotation tiers (VERDICT r7 ask #2) -------------------------------
@@ -424,6 +428,14 @@ CORE_TIER: frozenset[str] = frozenset({
     "multimodal_frame_sample",
     "multimodal_features",
     "multimodal_resize",
+    # r11 additions: the corpus-level overlap matrix shuffles the
+    # shingle key (heavy-join family); the UniMax waterfilling, Zipf
+    # OLS and winsorized aggregate are new multi-layer plans that
+    # earn the short cap until a committed green history exists
+    "corpus_pair_overlap",
+    "mixture_unimax_budget",
+    "zipf_slope_by_source",
+    "agg_winsorized_stats",
 })
 
 

@@ -1320,3 +1320,52 @@ def test_ab_mde_known_arithmetic(spark, tmp_path):
     want = (1.959964 + 0.841621) * math.sqrt(2 * 0.25 * 0.75 / 200)
     assert r.mde_abs == round(want + 5e-10, 4)
     assert r.mde_rel == round(want / 0.25 + 5e-10, 4)
+
+
+def test_winsorized_stats_planted_percentile_geometry(spark, monkeypatch):
+    """One group holding exactly the integers 1..100: the [p05, p95]
+    cut interpolates to (5.95, 95.05), clipping five values on each
+    side; trimmed and winsorized means are computable by hand."""
+    from gaming_ai_analytics_spark import registry
+
+    registry.queries()
+    import gaming_ai_analytics_spark.queries_core as qc
+
+    li = spark.createDataFrame(
+        [("A", float(i)) for i in range(1, 101)],
+        ["l_returnflag", "l_extendedprice"],
+    )
+    monkeypatch.setattr(qc, "load_table", lambda s, d, t: li)
+    rows = qc.q_agg_winsorized_stats(spark, "ignored").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_rows == 100
+    assert r.p05 == 5.95 and r.p95 == 95.05
+    assert r.n_clipped == 10  # 1..5 and 96..100
+    assert r.mean_raw == 50.5
+    # trimmed = mean(6..95); winsorized replaces each tail value with
+    # its cut: (5*5.95 + sum(6..95) + 5*95.05) / 100 = 50.5
+    assert r.mean_trimmed == 50.5
+    assert r.mean_winsorized == 50.5
+
+
+def test_winsorized_stats_outliers_move_raw_not_robust(spark, monkeypatch):
+    """Planted heavy outliers shift the raw mean but leave the
+    trimmed/winsorized means near the bulk — the operator's reason to
+    exist, pinned."""
+    from gaming_ai_analytics_spark import registry
+
+    registry.queries()
+    import gaming_ai_analytics_spark.queries_core as qc
+
+    bulk = [("B", 100.0)] * 98
+    outl = [("B", 1_000_000.0), ("B", -1_000_000.0)]
+    li = spark.createDataFrame(
+        bulk + outl, ["l_returnflag", "l_extendedprice"]
+    )
+    monkeypatch.setattr(qc, "load_table", lambda s, d, t: li)
+    r = qc.q_agg_winsorized_stats(spark, "ignored").collect()[0]
+    assert r.mean_raw == 98.0  # ±1e6 cancel, but dilute the bulk
+    assert r.n_clipped == 2
+    assert r.mean_trimmed == 100.0
+    assert abs(r.mean_winsorized - 100.0) < 1e-6

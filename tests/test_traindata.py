@@ -1476,3 +1476,148 @@ def test_decontaminate_fuzzy_incremental_matches_full(spark, sf_dir):
         for r in q_decontaminate_fuzzy_incremental(spark, sf_dir).collect()
     }
     assert inc == full
+
+
+def test_unimax_closed_form_matches_sequential_waterfilling(spark, monkeypatch):
+    """The sorted closed form (saturated prefix + water level) must
+    reproduce the sequential waterfilling simulation exactly on a
+    planted skewed cell layout — and the optimality conditions must
+    hold: every saturated cell's cap sits at or under the water
+    level, every unsaturated cell drinks exactly the level, and the
+    budget is exhausted."""
+    from gaming_ai_analytics_spark import registry
+
+    registry.queries()
+    import gaming_ai_analytics_spark.queries_traindata as qt
+
+    # (source, lang, n_tokens): sizes skewed across three decades so
+    # the small cells saturate under the 2-epoch cap and the large
+    # ones share the water level
+    layout = [
+        ("s0", "en", 10_000),
+        ("s0", "de", 40),
+        ("s1", "en", 2_500),
+        ("s1", "fr", 7),
+        ("s2", "en", 900),
+    ]
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n), lang, src, 2 * n)
+         for i, (src, lang, n) in enumerate(layout)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    monkeypatch.setattr(qt, "_docs", lambda spark, sf_dir: docs)
+    rows = {
+        (r.source, r.lang): r
+        for r in qt.q_mixture_unimax_budget(spark, "ignored").collect()
+    }
+    assert set(rows) == {(s, la) for s, la, _ in layout}
+
+    # sequential waterfilling reference
+    total = sum(n for _, _, n in layout)
+    budget = 6 * total / 5
+    caps = sorted(
+        (2 * n, s, la) for s, la, n in layout
+    )
+    remaining, m = budget, len(caps)
+    expect: dict[tuple, float] = {}
+    level = None
+    for cap, s, la in caps:
+        share = remaining / m
+        if cap <= share:
+            expect[(s, la)] = float(cap)
+            remaining -= cap
+            m -= 1
+        else:
+            level = remaining / m
+            expect[(s, la)] = level
+    assert level is not None, "fixture must leave unsaturated cells"
+    n_sat = sum(1 for k, v in expect.items() if v != level)
+    assert 0 < n_sat < len(layout), "fixture must have BOTH classes"
+
+    for (s, la, n) in layout:
+        r = rows[(s, la)]
+        assert r.cap_tokens == 2 * n
+        assert abs(r.alloc_tokens - expect[(s, la)]) < 0.01
+        assert r.saturated == (1 if expect[(s, la)] != level else 0)
+        assert abs(r.n_epochs - expect[(s, la)] / n) < 1e-3
+    got_total = sum(r.alloc_tokens for r in rows.values())
+    assert abs(got_total - budget) < 0.1  # budget exhausted
+
+
+def test_unimax_fixture_has_both_saturation_classes(spark):
+    """The registered query is only meaningful while the fixture's
+    (source, lang) cells span the saturation boundary — pinned the
+    way the fuzzy dead-zone invariant is (ADVICE r10): a regenerated
+    fixture that collapses every cell to one class fails here first."""
+    from gaming_ai_analytics_spark import registry
+
+    registry.queries()
+    import gaming_ai_analytics_spark.queries_traindata as qt
+
+    rows = qt.q_mixture_unimax_budget(spark, SF).collect()
+    sat = {r.saturated for r in rows}
+    assert sat == {0, 1}, f"fixture saturation collapsed: {sat}"
+
+
+def test_corpus_pair_overlap_planted_sets(spark, monkeypatch):
+    """Three planted sources with known 3-shingle sets: an identical
+    pair (J=1), a half-contained pair, and a disjoint pair (absent
+    row)."""
+    from gaming_ai_analytics_spark import registry
+
+    registry.queries()
+    import gaming_ai_analytics_spark.queries_traindata as qt
+
+    base = " ".join(f"w{i}" for i in range(10))  # 8 shingles
+    half = " ".join(f"w{i}" for i in range(6))  # 4 of those 8
+    other = " ".join(f"x{i}" for i in range(10))  # disjoint
+    docs = spark.createDataFrame(
+        [
+            (0, base, "en", "srcA", 1),
+            (1, base, "en", "srcB", 1),  # srcB == srcA content
+            (2, half + " " + "y0 y1 y2 y3", "en", "srcC", 1),
+            (3, other, "en", "srcD", 1),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    monkeypatch.setattr(qt, "_docs", lambda spark, sf_dir: docs)
+    rows = {
+        (r.src_a, r.src_b): r
+        for r in qt.q_corpus_pair_overlap(spark, "ignored").collect()
+    }
+    assert rows[("srcA", "srcB")].jaccard == 1.0
+    ab = rows[("srcA", "srcC")]
+    # srcC text "w0..w5 y0..y3": shingles w0w1w2..w3w4w5 (4 shared)
+    # + w4w5y0, w5y0y1, y0y1y2, y1y2y3 (4 own) -> n_c = 8, shared 4
+    assert ab.n_shared == 4
+    assert ab.jaccard == round(4 / (8 + 8 - 4) + 5e-10, 6)
+    assert ab.containment_a == 0.5
+    assert ("srcA", "srcD") not in rows  # disjoint pair absent
+
+
+def test_zipf_slope_exact_power_law(spark, monkeypatch):
+    """A planted corpus whose rank-frequency table lies EXACTLY on
+    f = 60/r for ranks 1..6 must fit slope −1 with r² = 1."""
+    from gaming_ai_analytics_spark import registry
+
+    registry.queries()
+    import gaming_ai_analytics_spark.queries_traindata as qt
+
+    freqs = [60, 30, 20, 15, 12, 10]  # 60/r, r = 1..6
+    words = []
+    for r, f in enumerate(freqs, 1):
+        words += [f"w{r}"] * f
+    docs = spark.createDataFrame(
+        [(0, " ".join(words), "en", "srcZ", 1)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    monkeypatch.setattr(qt, "_docs", lambda spark, sf_dir: docs)
+    rows = qt.q_zipf_slope_by_source(spark, "ignored").collect()
+    assert len(rows) == 1
+    r0 = rows[0]
+    assert r0.n_ranks == 6
+    assert abs(r0.zipf_slope - (-1.0)) < 1e-6
+    assert abs(r0.fit_r2 - 1.0) < 1e-6
+    import math
+
+    assert abs(r0.zipf_intercept - math.log(60)) < 1e-6

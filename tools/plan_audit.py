@@ -70,6 +70,15 @@ MULTI_SCAN_JUSTIFIED: dict[str, tuple[dict[str, int], str]] = {
         "shared frame is the 100 TB checkpoint trap "
         "(operators/dedup.py cross_corpus_minhash)",
     ),
+    "agg_winsorized_stats": (
+        {"lineitem": 2},
+        "a clip bound must exist before any row can be clipped: pass "
+        "1 computes the per-group [p05, p95] cuts (exact interpolated "
+        "percentile; bracket strategy at cluster scale), pass 2 "
+        "broadcasts the <=|groups|-row cut frame and clips/trims in "
+        "one codegen aggregate — the two scans ARE the operator's "
+        "semantics (queries_core.py)",
+    ),
     "metric_view_curation": (
         {"documents": 2},
         "BPE train word-count collapse + the measure scan — the "
