@@ -2201,3 +2201,101 @@ register(
     FROM one
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# Seasonal-naive forecast with time-based backtest
+# --------------------------------------------------------------------------
+def q_forecast_seasonal_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonal-naive revenue forecast with a PROPER time-based
+    holdout: the last 7 calendar days are the test window, the
+    forecast for each test day is the day-of-week mean over the
+    training days, and the readout is per-event-type backtest error
+    (MAE, WAPE, signed bias) — the protocol any production forecast
+    pipeline runs before promoting a model, applied to its simplest
+    honest baseline (Q6's `forecast_revenue_delta` is a filtered sum,
+    not a forecast; this is the time-series rung).
+
+    Scale shape: ONE events scan collapses to the (event_type, day)
+    daily frame (map-side combined, |types|·|days| rows); the split
+    boundary (global max day) and the per-(type, dow) train means are
+    WINDOWS over that compact frame — the conditional-aggregate
+    window avoids re-deriving daily for a train/test join, so events
+    is scanned once (the `anomaly_zscore` events:2 class is exactly
+    what this formulation dodges).  Test days whose day-of-week never
+    occurs in training drop on both sides (fc IS NULL filter).
+    WAPE (Σ|err|/Σ|actual|) replaces row-wise MAPE — no zero-actual
+    division.  Day-of-week parity: Spark ``dayofweek`` is 1–7
+    Sunday=1; DuckDB ``date_part('dow')`` is 0–6 Sunday=0, shifted
+    +1 in the oracle."""
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+    ).agg(F.sum("value").alias("rev"))
+    w_all = Window.partitionBy()
+    w_dow = Window.partitionBy("event_type", F.dayofweek("day"))
+    bounded = daily.select(
+        "event_type",
+        "day",
+        "rev",
+        F.date_sub(F.max("day").over(w_all), 6).alias("_split"),
+    )
+    staged = bounded.select(
+        "event_type",
+        "day",
+        "rev",
+        "_split",
+        F.avg(F.when(F.col("day") < F.col("_split"), F.col("rev")))
+        .over(w_dow)
+        .alias("_fc"),
+    )
+    err = F.col("rev") - F.col("_fc")
+    return (
+        staged.filter(
+            (F.col("day") >= F.col("_split")) & F.col("_fc").isNotNull()
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test_days"),
+            F.round(F.avg(F.abs(err)) + 5e-10, 4).alias("mae"),
+            F.round(
+                F.sum(F.abs(err)) / F.sum(F.abs(F.col("rev"))) + 5e-10, 4
+            ).alias("wape"),
+            F.round(F.avg(-err) + 5e-10, 4).alias("bias"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "forecast_seasonal_backtest",
+    q_forecast_seasonal_backtest,
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM(value) AS rev
+      FROM events GROUP BY 1, 2),
+    bounded AS (
+      SELECT event_type, day, rev,
+             MAX(day) OVER () - 6 AS split
+      FROM daily),
+    staged AS (
+      SELECT event_type, day, rev, split,
+             AVG(CASE WHEN day < split THEN rev END)
+               OVER (PARTITION BY event_type,
+                     date_part('dow', day) + 1) AS fc
+      FROM bounded)
+    SELECT event_type,
+           COUNT(*) AS n_test_days,
+           ROUND(AVG(ABS(rev - fc)) + 5e-10, 4) AS mae,
+           ROUND(SUM(ABS(rev - fc)) / SUM(ABS(rev)) + 5e-10, 4) AS wape,
+           ROUND(AVG(fc - rev) + 5e-10, 4) AS bias
+    FROM staged
+    WHERE day >= split AND fc IS NOT NULL
+    GROUP BY 1 ORDER BY event_type
+    """,
+)

@@ -129,8 +129,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # -- r6-stable fillers (registration order; oldest stable rows) --
     "regional_supplier_volume",
     "nation_trade_flows",
-    "market_share",
-    "agg_grouping_sets",
     # -- new r11 operators (displaced fillers; zero driver evidence) --
     "duplicate_span_removal",
     "decontaminate_fuzzy_incremental",
@@ -139,6 +137,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "corpus_pair_overlap",
     "zipf_slope_by_source",
     "agg_winsorized_stats",
+    "bpe_apply_saved_vocab",
+    "forecast_seasonal_backtest",
 )
 
 #: Everything still owed a fresh driver row AFTER this round's window,
@@ -196,6 +196,8 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "supplier_value_concentration",
     "idle_rich_customers",
     "promo_revenue_share",
+    "market_share",
+    "agg_grouping_sets",
 )
 
 #: --- Rotation tiers (VERDICT r7 ask #2) -------------------------------
@@ -436,6 +438,10 @@ CORE_TIER: frozenset[str] = frozenset({
     "mixture_unimax_budget",
     "zipf_slope_by_source",
     "agg_winsorized_stats",
+    # the saved-vocab apply is a BPE-family heavy (its siblings are
+    # all core); the seasonal backtest is a compact-frame window
+    # plan left in the stable tier
+    "bpe_apply_saved_vocab",
 })
 
 

@@ -1369,3 +1369,47 @@ def test_winsorized_stats_outliers_move_raw_not_robust(spark, monkeypatch):
     assert r.n_clipped == 2
     assert r.mean_trimmed == 100.0
     assert abs(r.mean_winsorized - 100.0) < 1e-6
+
+
+def test_forecast_seasonal_backtest_planted_seasonality(spark, monkeypatch):
+    """A perfectly weekly-periodic series backtests to ZERO error:
+    21 train days + 7 test days where each day-of-week always carries
+    the same revenue — MAE, WAPE and bias must all be 0.  A second
+    event type with a one-off test-week spike must show exactly that
+    spike as MAE and bias."""
+    import datetime as dtm
+
+    from gaming_ai_analytics_spark import registry
+
+    registry.queries()
+    import gaming_ai_analytics_spark.queries_analytics as qa
+
+    base = dtm.datetime(2024, 1, 1, 12)  # Monday
+    rows = []
+    eid = 0
+    for d in range(28):  # days 0..20 train, 21..27 test
+        day = base + dtm.timedelta(days=d)
+        dow_rev = float(10 + (d % 7))  # value depends only on dow
+        rows.append((eid, day, 1, "periodic", dow_rev, None))
+        eid += 1
+        spike = 5.0 if d >= 21 else 0.0
+        rows.append((eid, day, 1, "spiky", 20.0 + spike, None))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    monkeypatch.setattr(qa, "load_events", lambda s, d: ev)
+    got = {
+        r.event_type: r
+        for r in qa.q_forecast_seasonal_backtest(spark, "ignored").collect()
+    }
+    p = got["periodic"]
+    assert p.n_test_days == 7
+    assert p.mae == 0.0 and p.wape == 0.0 and p.bias == 0.0
+    s = got["spiky"]
+    assert s.n_test_days == 7
+    assert s.mae == 5.0
+    assert s.bias == -5.0  # forecast UNDER-predicts the spike
+    assert s.wape == round(5.0 / 25.0 + 5e-10, 4)

@@ -1621,3 +1621,46 @@ def test_zipf_slope_exact_power_law(spark, monkeypatch):
     import math
 
     assert abs(r0.zipf_intercept - math.log(60)) < 1e-6
+
+
+def test_bpe_apply_saved_vocab_matches_in_query_pricing(spark):
+    """The saved-vocab apply path must price the increment EXACTLY as
+    the in-query fertility computation restricted to the same docs —
+    persisting the vocabulary through parquet must not change a
+    single count."""
+    from gaming_ai_analytics_spark import registry
+
+    registry.queries()
+    import gaming_ai_analytics_spark.queries_traindata as qt
+    from pyspark.sql import functions as F
+
+    got = {
+        r.source: r
+        for r in qt.q_bpe_apply_saved_vocab(spark, SF).collect()
+    }
+    # reference: train in-memory, price the same increment directly
+    wc = qt._word_counts(spark, SF)
+    _, state = qt.bpe_train(wc, qt.BPE_ROUNDS, return_state=True)
+    vocab = state.select(
+        "w", F.size(F.split("seg", qt._BPE_SEP)).alias("n_tok")
+    )
+    inc = qt._docs(spark, SF).filter(F.col("doc_id") % 10 == 0)
+    from gaming_ai_analytics_spark.functions.text import tokens
+
+    want = {
+        r.source: r
+        for r in inc.select(
+            "source", F.explode(tokens(F.col("text"))).alias("w")
+        )
+        .join(vocab, "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_bpe_tokens"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want) and got
+    for s in want:
+        assert got[s].n_words == want[s].n_words
+        assert got[s].n_bpe_tokens == want[s].n_bpe_tokens

@@ -26,7 +26,12 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-SF10 = os.path.join(REPO, ".benchdata", "sf10")
+#: Probe data dir — override with SPARK_GRAFT_PROBE_DIR to reuse the
+#: same cold/warm/subprocess-oracle protocol at another decade (the
+#: r11 sf1 rows use .benchdata/sf1).
+SF10 = os.environ.get(
+    "SPARK_GRAFT_PROBE_DIR", os.path.join(REPO, ".benchdata", "sf10")
+)
 
 QUERIES = [
     "flagship_star_metrics",
