@@ -1171,32 +1171,61 @@ def q_agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerates on this NDV≈rows column at cluster scale exactly as
     `agg_percentile` documents; at 100 TB the cut-point pass swaps to
     :func:`bracket_exact_percentile` (one call per cut, bounded
-    state), the readout below is unchanged.  Pass 2 broadcasts the
-    ≤|groups|-row cut frame back and aggregates clip/trim/count in
-    ONE codegen HashAggregate over the corpus scan — the multi-scan
-    is the operator's semantics, not a plan accident (plan-audit
-    justification).
+    state), the readout below is unchanged.  Pass 2 re-scans with the
+    cuts INLINED as CASE literals and aggregates clip/trim/count in
+    ONE codegen HashAggregate — the multi-scan is the operator's
+    semantics, not a plan accident (plan-audit justification).
+
+    The cut hand-off is a bounded driver merge (|groups| rows, two
+    doubles each — the `bracket_exact_percentile` driver-state
+    class), NOT a broadcast join: composing pass 2 as
+    ``join(broadcast(cuts))`` measured 1.40–1.75 s at sf1 while the
+    identical arms run standalone in 0.50 + 0.05 s — the broadcast
+    subquery machinery re-costs the whole percentile stage — and the
+    inline-literal form runs at the sum of its parts (the exact
+    rewrite that fixed `agg_percentile` pass 2; A/B in
+    BASELINE.md §3).
 
     Parity: comparisons against the interpolated cuts are safe —
     when (n−1)·q is integral both engines emit the exact data value;
     otherwise the cut lies strictly between two distinct prices (a
     blend of equal neighbors collapses to their common double), so
-    no l_extendedprice can sit a ulp from a boundary.  Means are
-    order-sensitive double sums: rounded 2dp + nudge both sides."""
+    no l_extendedprice can sit a ulp from a boundary; the collected
+    Python floats round-trip to Spark double literals bit-exactly.
+    Means are order-sensitive double sums: rounded 2dp + nudge both
+    sides; cut columns are rounded ENGINE-side via literal ROUND
+    (Python ``round`` is banker's — the knife-edge parity bug)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    cuts = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.05)).alias("_p05"),
-        F.percentile("l_extendedprice", F.lit(0.95)).alias("_p95"),
+    # ONE array-percentile aggregate, not two scalar ones: each scalar
+    # `percentile` call carries its OWN value→count partial state, so
+    # two cuts pay the degenerate map twice — measured 0.78 s vs
+    # 0.36 s for the shared-state array form at sf1 (BASELINE.md §3)
+    cuts = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile(
+                "l_extendedprice", F.array(F.lit(0.05), F.lit(0.95))
+            ).alias("_ps")
+        )
+        .select(
+            "l_returnflag",
+            F.col("_ps")[0].alias("_p05"),
+            F.col("_ps")[1].alias("_p95"),
+        )
     )
+    cut_rows = cuts.collect()  # bounded: |groups| rows, 2 doubles each
+    p05 = {r.l_returnflag: r._p05 for r in cut_rows}
+    p95 = {r.l_returnflag: r._p95 for r in cut_rows}
+    g = F.col("l_returnflag")
+    lo = F.coalesce(*[F.when(g == k, F.lit(v)) for k, v in p05.items()])
+    hi = F.coalesce(*[F.when(g == k, F.lit(v)) for k, v in p95.items()])
     x = F.col("l_extendedprice")
-    lo, hi = F.col("_p05"), F.col("_p95")
     clipped = F.least(F.greatest(x, lo), hi)
     in_band = (x >= lo) & (x <= hi)
     return (
-        li.join(F.broadcast(cuts), "l_returnflag")
-        .groupBy("l_returnflag")
+        li.groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.avg(x) + 5e-10, 2).alias("mean_raw"),
