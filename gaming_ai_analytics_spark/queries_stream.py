@@ -404,3 +404,75 @@ register(
     FROM ev GROUP BY 1
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# Streaming materialized view (foreachBatch upsert sink)
+# --------------------------------------------------------------------------
+_MATVIEW_DIRS: dict[str, str] = {}  # sf_dir -> warehouse dir
+
+
+def _matview_dir(sf_dir: str) -> str:
+    """Process-lifetime temp warehouse for the streaming matview —
+    the `_fuzzy_index_dir` reuse-don't-leak pattern (created once per
+    sf, overwritten per invocation, removed at interpreter exit)."""
+    if sf_dir not in _MATVIEW_DIRS:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="gaa_matview_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _MATVIEW_DIRS[sf_dir] = d
+    return _MATVIEW_DIRS[sf_dir]
+
+
+def q_events_streaming_matview_upsert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming MATERIALIZED VIEW through the ``foreachBatch``
+    MERGE sink: a watermarked per-user aggregation in UPDATE output
+    mode, each micro-batch's changed rows upserted into a serving
+    table by key (``stream_matview_upsert`` →
+    ``TableStore.upsert``'s anti-join + union + atomic staged swap).
+    The memory-sink cohort proves the windowed OPERATORS; this
+    registers the SINK side — the continuously-maintained summary
+    table a serving layer reads — under the driver oracle: over the
+    bounded fixture the converged table must equal the batch
+    aggregate exactly.  Replay idempotence (fresh checkpoint, table
+    unchanged) is pinned by
+    tests/test_streaming.py::test_stream_matview_upsert_equals_batch_aggregate.
+
+    100 TB shape: state = the watermarked agg's keyed store
+    (bounded by |users| × horizon, the `stateful_user_totals`
+    class); each upsert rewrites only the serving table — Update
+    mode re-emits changed keys, not the world, and the anti-join
+    MERGE is keyed, not full-table."""
+    from gaming_ai_analytics_spark.sources.io import TableStore
+    from gaming_ai_analytics_spark.streaming.events import (
+        stream_matview_upsert,
+    )
+
+    totals = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    store = TableStore(spark, _matview_dir(sf_dir))
+    stream_matview_upsert(totals, store, "serve", "user_totals", ["user_id"])
+    return store.load("serve", "user_totals")
+
+
+register(
+    "events_streaming_matview_upsert",
+    q_events_streaming_matview_upsert,
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+)

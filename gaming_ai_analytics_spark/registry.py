@@ -128,7 +128,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "zorder_key_events",
     # -- r6-stable fillers (registration order; oldest stable rows) --
     "regional_supplier_volume",
-    "nation_trade_flows",
     # -- new r11 operators (displaced fillers; zero driver evidence) --
     "duplicate_span_removal",
     "decontaminate_fuzzy_incremental",
@@ -139,6 +138,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg_winsorized_stats",
     "bpe_apply_saved_vocab",
     "forecast_seasonal_backtest",
+    "events_streaming_matview_upsert",
 )
 
 #: Everything still owed a fresh driver row AFTER this round's window,
@@ -198,6 +198,7 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "promo_revenue_share",
     "market_share",
     "agg_grouping_sets",
+    "nation_trade_flows",
 )
 
 #: --- Rotation tiers (VERDICT r7 ask #2) -------------------------------
@@ -442,6 +443,8 @@ CORE_TIER: frozenset[str] = frozenset({
     # all core); the seasonal backtest is a compact-frame window
     # plan left in the stable tier
     "bpe_apply_saved_vocab",
+    # streaming surface is whole-cohort core
+    "events_streaming_matview_upsert",
 })
 
 
