@@ -82,7 +82,9 @@ def _load_all() -> None:
 #: order — stable cap 10 makes them due at r16, taken early because
 #: the slots exist).  New r11 operators displace fillers from the
 #: TAIL of this window as they are registered (fillers move back to
-#: the backlog).
+#: the backlog).  Final r11 state: TEN new operators landed, so ten
+#: of the eleven fillers went back to the backlog and one
+#: (regional_supplier_volume) kept its slot.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- r10 operators (zero driver evidence — backlog head) ---------
     "duplicate_ngram_spans",

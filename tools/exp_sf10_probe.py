@@ -116,7 +116,7 @@ def main() -> None:
             results[name]["duckdb"] = f"error({type(ex).__name__})"
         print(f"{name}: duckdb {results[name]['duckdb']}", flush=True)
 
-    print(json.dumps({"sf": 10, "load_end": os.getloadavg()[0],
+    print(json.dumps({"sf_dir": SF10, "load_end": os.getloadavg()[0],
                       "results": results}))
 
 

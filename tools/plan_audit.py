@@ -70,6 +70,33 @@ MULTI_SCAN_JUSTIFIED: dict[str, tuple[dict[str, int], str]] = {
         "shared frame is the 100 TB checkpoint trap "
         "(operators/dedup.py cross_corpus_minhash)",
     ),
+    "contamination_span_lengths": (
+        {"documents": 2},
+        "train/eval source slices of the one documents table — the "
+        "eval distinct-gram frame BROADCASTS (train grams never "
+        "shuffle for the match) and the train side streams once into "
+        "the islands window; the decontaminate_eval_overlap "
+        "two-corpora class (queries_traindata.py)",
+    ),
+    "decontaminate_fuzzy_incremental": (
+        {"documents": 2},
+        "the eval slice shingles into the persisted index BUILD and "
+        "the train increment slice probes it — two corpus sides of "
+        "one table per invocation; production builds once and the "
+        "nightly cost is the probe alone (exp_incremental_fuzzy "
+        "decomposition), the in-query build keeps the oracle "
+        "self-contained (queries_traindata.py)",
+    ),
+    "duplicate_span_removal": (
+        {"documents": 2},
+        "span REMOVAL must hold the token-position frame on BOTH "
+        "anti-join sides: one derivation reduces to flagged-gram "
+        "coverage (covered positions), the other re-emits the "
+        "surviving tokens — re-deriving the text through the "
+        "coverage explode would multiply it per gram instead; both "
+        "sides stream from the scan with no unbounded state "
+        "(queries_llm.py)",
+    ),
     "agg_winsorized_stats": (
         {"lineitem": 2},
         "a clip bound must exist before any row can be clipped: pass "
