@@ -821,3 +821,74 @@ def test_duplicate_span_removal_matches_reference(spark, word_lists):
             for r in ql.q_duplicate_span_removal(spark, "ignored").collect()
         }
     assert got == want
+
+
+# --- UniMax waterfilling closed form ----------------------------------------
+_unimax_cells = st.lists(
+    st.tuples(
+        st.integers(0, 4),          # source index
+        st.integers(0, 3),          # lang index
+        st.integers(1, 100_000),    # n_tokens
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@given(_unimax_cells)
+@settings(max_examples=40, deadline=None, derandomize=True)
+def test_unimax_closed_form_equals_sequential_waterfilling(cells):
+    """The sorted closed form inside the REGISTERED ORACLE (saturated
+    prefix + water level, scaled-int64 comparisons) must equal the
+    sequential waterfilling simulation on arbitrary cell layouts —
+    including all-saturated (budget above total capacity is
+    impossible here: B = 1.2·total < 2·total = Σcap, so at least one
+    cell always drinks the water level), singleton corpora, and
+    heavy ties.  Runs the oracle's own CTE chain in DuckDB over a
+    VALUES relation — no Spark, no fixture; the SQL under test is
+    spliced from the registry so it cannot drift from what the
+    driver checks."""
+    import duckdb
+
+    from gaming_ai_analytics_spark import registry
+
+    registry.queries()
+    sql = registry.oracle_for("mixture_unimax_budget")
+    at = sql.index("ranked AS (")
+    values = ", ".join(
+        f"('s{s}', 'l{la}', CAST({n} AS BIGINT), CAST({2 * n} AS BIGINT))"
+        for s, la, n in cells
+    )
+    spliced = (
+        "\n    WITH cells(source, lang, n_tokens, cap) AS (\n"
+        f"      VALUES {values}),\n    " + sql[at:]
+    )
+    got = {
+        (r[0], r[1]): r
+        for r in duckdb.connect().execute(spliced).fetchall()
+    }
+
+    # sequential waterfilling reference (same 6/5 budget, 2-epoch cap)
+    total = sum(n for _, _, n in cells)
+    budget = 6 * total / 5
+    remaining, m = budget, len(cells)
+    expect, level = {}, None
+    for cap, s, la in sorted(
+        (2 * n, f"s{s}", f"l{la}") for s, la, n in cells
+    ):
+        share = remaining / m
+        if cap <= share:
+            expect[(s, la)] = (float(cap), 1)
+            remaining -= cap
+            m -= 1
+        else:
+            level = remaining / m
+            expect[(s, la)] = (level, 0)
+
+    assert set(got) == set(expect)
+    for k, (alloc, sat) in expect.items():
+        row = got[k]  # (source, lang, n_tokens, cap, saturated, alloc, ep)
+        assert row[4] == sat, (k, row, expect)
+        assert abs(row[5] - alloc) < 0.015, (k, row[5], alloc)
+    assert abs(sum(a for a, _ in expect.values()) - budget) < 1e-6

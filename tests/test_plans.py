@@ -659,3 +659,67 @@ def test_dau_mau_sweep_line_no_explode(spark, sf_dir):
     psum_at = plan.index("Window [sum(_dd")
     agg_at = plan.index("HashAggregate", psum_at)
     assert agg_at > psum_at, "prefix sum not fed by the delta reduce"
+
+
+def test_corpus_pair_overlap_merge_pinned_above_gate(
+    spark, sf_dir, monkeypatch
+):
+    """r11 plan pin: above the planner-trust gate the shingle
+    self-join must be SORT-MERGE, never a static broadcast — Catalyst
+    costs it from PRE-explode scan bytes, the r7/r11 OOM class
+    (BASELINE.md §3: merge vs shuffle_hash tie at sf10, merge kept as
+    the spill-safe arm for two FULL frames).  The gate is forced by
+    zeroing the trust threshold; at toy scale the planner's broadcast
+    is deliberately left alone (the gate's other half)."""
+    from gaming_ai_analytics_spark import registry
+
+    registry.queries()
+    from gaming_ai_analytics_spark.operators import dedup
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_corpus_pair_overlap,
+    )
+
+    monkeypatch.setattr(dedup, "PLANNER_TRUST_MAX_BYTES", 0)
+    plan = _plan(q_corpus_pair_overlap(spark, sf_dir))
+    smj_at = plan.find("SortMergeJoin")
+    assert smj_at != -1, "self-join not merge-pinned above the gate"
+    # the equi-key of the merge join is the shingle column
+    assert "s#" in plan[smj_at : plan.index("\n", smj_at)]
+
+
+def test_winsorized_cuts_inlined_no_join(spark, sf_dir):
+    """r11 plan pin (BASELINE.md §3 decomposition): the clip pass
+    carries the per-group cuts as CASE literals — composing it as
+    join(broadcast(cuts)) re-costs the whole percentile stage
+    (1.40–1.75 s vs 0.55 s at sf1).  Pinned: the RETURNED plan has no
+    join at all and exactly one aggregation pair over the scan."""
+    from gaming_ai_analytics_spark.queries_core import (
+        q_agg_winsorized_stats,
+    )
+
+    df = q_agg_winsorized_stats(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "Join" not in plan, "clip pass re-grew a join"
+    assert "percentile" not in plan.lower(), (
+        "percentile re-entered the returned plan — cuts must be "
+        "pre-resolved literals"
+    )
+
+
+def test_unimax_single_scan_compact_windows(spark, sf_dir):
+    """r11 plan pin: UniMax waterfilling reads the corpus ONCE (the
+    per-cell token-count aggregate) and every window layer runs over
+    the |cells|-row frame — no second documents scan, no Generate.
+    Read from the static plan (the AQE final-plan string repeats the
+    scan text once per query stage even for a single executed scan)."""
+    from gaming_ai_analytics_spark import registry
+
+    registry.queries()
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_mixture_unimax_budget,
+    )
+
+    plan = _plan(q_mixture_unimax_budget(spark, sf_dir))
+    assert plan.count("documents.parquet") <= 1, "second corpus scan"
+    assert "Generate" not in plan, "explode entered the token count"
