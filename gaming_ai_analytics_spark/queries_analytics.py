@@ -2299,3 +2299,100 @@ register(
     GROUP BY 1 ORDER BY event_type
     """,
 )
+
+
+def q_dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup removal with QUALITY-RANKED survivor selection: the
+    curation-grade variant of `dedup_survivors` — a training corpus
+    wants to keep the BEST copy of duplicated content, not the one
+    with the smallest id (min-id keeps whatever crawled first; the
+    boilerplate-stripped re-crawl usually scores higher).  Survivor =
+    argmax quality_score within each transitive near-dup cluster
+    (tie: lowest doc_id); unclustered docs pass through.  Corpus =
+    non-empty documents (the quality score's domain, the
+    `global_quality_rank` convention).
+
+    100 TB shape: identical to `dedup_survivors` past the pair
+    generation it shares — the cluster frame holds only docs that
+    matched something, so scoring its members is a broadcast join
+    into the corpus scan, the per-cluster argmax window runs over
+    that tiny frame, and the final keep/drop is a broadcast anti-join
+    on doc_id; the corpus never re-shuffles."""
+    from gaming_ai_analytics_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    q = quality_score(F.col("text"))
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    clusters = dedup_clusters(pairs, "id_a", "id_b")
+    members = docs.select("doc_id", q.alias("_q")).join(
+        F.broadcast(clusters), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("_q"), F.col("doc_id")
+    )
+    ranked = members.withColumn("_rn", F.row_number().over(w))
+    winners = ranked.filter(F.col("_rn") == 1).select("doc_id")
+    losers = ranked.filter(F.col("_rn") > 1).select("doc_id")
+    kept = docs.join(F.broadcast(losers), "doc_id", "left_anti")
+    reason = F.when(
+        F.col("_won").isNotNull(), F.lit("best_quality")
+    ).otherwise(F.lit("unique"))
+    return kept.join(
+        F.broadcast(winners.withColumn("_won", F.lit(1))), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        q.alias("quality"),
+        reason.alias("keep_reason"),
+    )
+
+
+def _dedup_survivors_quality_oracle() -> str:
+    from gaming_ai_analytics_spark.functions.text_sql import QUALITY
+
+    nonempty = "text IS NOT NULL AND LENGTH(TRIM(text)) > 0"
+    return f"""
+    WITH RECURSIVE p AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM p
+      UNION
+      SELECT id_b, id_a FROM p
+    ),
+    reach AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    clusters AS (
+      SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+      FROM reach GROUP BY s
+    ),
+    scored AS (
+      SELECT c.doc_id, c.cluster_id, {QUALITY} AS q
+      FROM clusters c JOIN documents d2 ON c.doc_id = d2.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY q DESC, doc_id) AS rn
+      FROM scored
+    )
+    SELECT d.doc_id, d.lang, d.source, {QUALITY} AS quality,
+           CASE WHEN w.doc_id IS NOT NULL THEN 'best_quality'
+                ELSE 'unique' END AS keep_reason
+    FROM documents d
+    LEFT JOIN (SELECT doc_id FROM ranked WHERE rn = 1) w
+      ON d.doc_id = w.doc_id
+    WHERE ({nonempty})
+      AND d.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
+    """
+
+
+register(
+    "dedup_survivors_quality",
+    q_dedup_survivors_quality,
+    _dedup_survivors_quality_oracle(),
+)

@@ -151,6 +151,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: r16).  New operators registered mid-round go to the WINDOW (they
 #: have zero evidence), displacing fillers back to this list.
 ROTATION_BACKLOG: tuple[str, ...] = (
+    # zero-evidence r11 late addition (landed after the window filled;
+    # judge-verifiable via --plain, owed the first r12 slot)
+    "dedup_survivors_quality",
     # r8-green core tier (stale when CORRECTNESS_r11 lands)
     "fact_build_transform",
     "join_salted_skew",

@@ -1413,3 +1413,45 @@ def test_forecast_seasonal_backtest_planted_seasonality(spark, monkeypatch):
     assert s.mae == 5.0
     assert s.bias == -5.0  # forecast UNDER-predicts the spike
     assert s.wape == round(5.0 / 25.0 + 5e-10, 4)
+
+
+def test_dedup_survivors_quality_keeps_best_not_min_id(spark, monkeypatch):
+    """Planted cluster where the MIN-ID member is the WORST copy: the
+    quality-ranked pass must keep the high-quality duplicate (unlike
+    `dedup_survivors`, which keeps the min id) and pass the
+    unclustered doc through as 'unique'."""
+    from gaming_ai_analytics_spark import registry
+
+    registry.queries()
+    import gaming_ai_analytics_spark.queries_analytics as qa
+    from gaming_ai_analytics_spark.functions.text import quality_score
+    from pyspark.sql import functions as F
+
+    # docs 1 and 2 are near-dups (same shingles); doc 1 (min id) is
+    # degraded with a punctuation run — both clear the 400-char
+    # length cap, so the punct penalty alone separates the scores
+    shared = " ".join(
+        ["the quick brown fox jumps over the lazy dog and then some"] * 8
+    )
+    junk = " " + "!@#$%" * 30  # one extra token, 150 punct chars
+    rows = [
+        (1, shared + junk, "en", "srcA", 1),
+        (2, shared, "en", "srcA", 1),
+        (3, " ".join(f"u{i}" for i in range(30)), "en", "srcB", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    qmap = {
+        r.doc_id: r.q
+        for r in docs.select(
+            "doc_id", quality_score(F.col("text")).alias("q")
+        ).collect()
+    }
+    assert qmap[2] > qmap[1], "fixture must degrade the min-id copy"
+    monkeypatch.setattr(qa, "load_table", lambda s, d, t: docs)
+    out = {
+        r.doc_id: r.keep_reason
+        for r in qa.q_dedup_survivors_quality(spark, "ignored").collect()
+    }
+    assert out == {2: "best_quality", 3: "unique"}, out

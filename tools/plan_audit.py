@@ -97,6 +97,16 @@ MULTI_SCAN_JUSTIFIED: dict[str, tuple[dict[str, int], str]] = {
         "sides stream from the scan with no unbounded state "
         "(queries_llm.py)",
     ),
+    "dedup_survivors_quality": (
+        {"documents": 3},
+        "three DIFFERENT corpus projections, each feeding its own "
+        "shuffle: the shingle explode for pair generation, the "
+        "(doc_id, quality) projection the tiny cluster frame joins "
+        "for the argmax, and the full-width final keep — the "
+        "survivor set must exist before any row can be dropped (the "
+        "winsorized bound-first class), and checkpointing a shared "
+        "frame is the 100 TB trap (queries_analytics.py)",
+    ),
     "agg_winsorized_stats": (
         {"lineitem": 2},
         "a clip bound must exist before any row can be clipped: pass "
