@@ -98,6 +98,40 @@ def drive(agg, mode: str) -> tuple[float, int]:
     return time.perf_counter() - t0, batches
 
 
+def drive_matview(spark, ev) -> float:
+    """The foreachBatch MERGE sink (`stream_matview_upsert`) runs its
+    own bounded query — time the whole convergence: 8 micro-batches,
+    each re-emitting changed user keys and upserting the serving
+    table (anti-join + union + atomic staged swap).  This is the
+    honest cost of a continuously-maintained summary TABLE vs the
+    noop-sink operator rows above it."""
+    from pyspark.sql import functions as F
+
+    from gaming_ai_analytics_spark.sources.io import TableStore
+    from gaming_ai_analytics_spark.streaming.events import (
+        stream_matview_upsert,
+    )
+
+    wh = tempfile.mkdtemp(prefix="stream_tp_mv_")
+    store = TableStore(spark, wh)
+    totals = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    t0 = time.perf_counter()
+    try:
+        stream_matview_upsert(
+            totals, store, "serve", "user_totals", ["user_id"]
+        )
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def main() -> None:
     from gaming_ai_analytics_spark.session import get_spark
     from gaming_ai_analytics_spark.streaming import events as se
@@ -121,11 +155,14 @@ def main() -> None:
             "stateful_user_totals": (se.stateful_user_totals(ev), "update"),
         }
 
-    wanted = sys.argv[2:] or list(ops())
+    wanted = sys.argv[2:] or (list(ops()) + ["matview_upsert"])
     results = {}
     for name in wanted:
-        agg, mode = ops()[name]  # fresh stream per run
-        wall, batches = drive(agg, mode)
+        if name == "matview_upsert":
+            wall, batches = drive_matview(spark, read_stream(spark)), 8
+        else:
+            agg, mode = ops()[name]  # fresh stream per run
+            wall, batches = drive(agg, mode)
         results[name] = {
             "wall_s": round(wall, 2),
             "micro_batches": batches,
