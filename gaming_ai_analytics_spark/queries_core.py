@@ -1215,7 +1215,18 @@ def q_agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_ps")[1].alias("_p95"),
         )
     )
+    # NOTE: this collect runs at DataFrame-CONSTRUCTION time, so even
+    # plan-only consumers (plan_audit, dump_plans) execute pass 1 —
+    # the returned plan carries a single lineitem scan with the cuts
+    # already folded to literals (ADVICE r11).
     cut_rows = cuts.collect()  # bounded: |groups| rows, 2 doubles each
+    if not cut_rows:  # empty/filtered-out input: coalesce(*[]) raises
+        return spark.createDataFrame(
+            [],
+            "l_returnflag string, n_rows long, mean_raw double,"
+            " mean_winsorized double, mean_trimmed double,"
+            " n_clipped long, p05 double, p95 double",
+        )
     p05 = {r.l_returnflag: r._p05 for r in cut_rows}
     p95 = {r.l_returnflag: r._p95 for r in cut_rows}
     g = F.col("l_returnflag")

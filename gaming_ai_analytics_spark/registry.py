@@ -72,89 +72,24 @@ def _load_all() -> None:
 #: checked window.  So the window is pinned EXPLICITLY: these names are
 #: moved to the front (in this order) after all modules register.
 #:
-#: ROUND-11 COMPOSITION (VERDICT r10 ask #1 — CORRECTNESS_r10 landed
-#: 50/50 green and the r10 artifacts are committed, 8528cad).  Exactly
-#: the r10 backlog's pre-planned order: the 11 zero-driver-evidence
-#: r10 operators first, then the 3 r6-stable names that rolled past
-#: the 50-slot r10 window, then the 25 r7-green core-tier names that
-#: crossed the 3-round core cap when CORRECTNESS_r10 landed, then 11
-#: filler slots from the oldest stable cohort (r6-green, registration
-#: order — stable cap 10 makes them due at r16, taken early because
-#: the slots exist).  New r11 operators displace fillers from the
-#: TAIL of this window as they are registered (fillers move back to
-#: the backlog).  Final r11 state: TEN new operators landed, so ten
-#: of the eleven fillers went back to the backlog and one
-#: (regional_supplier_volume) kept its slot.
+#: ROUND-12 COMPOSITION (VERDICT r11 ask #1 — CORRECTNESS_r11 landed
+#: 50/50 green and the r11 artifacts are committed, f94a685).  Exactly
+#: the r11 backlog's pre-planned order: `dedup_survivors_quality`
+#: first (the one zero-driver-evidence name, landed after the r11
+#: window filled), then the 27 r8-green core-tier names that crossed
+#: the 3-round core cap when CORRECTNESS_r11 landed, then 2 of the 16
+#: r9-green core names that cross the cap the moment CORRECTNESS_r12
+#: lands (taken early: the flagship's plan changed in r11 — the
+#: size-gated broadcast — so a fresh driver row is the most valuable
+#: slot in the round; the other 14 head the backlog as the r13 plan),
+#: then the 10 r6-stable names due by r16 and the 10 r6-stable
+#: fillers displaced from the r11 window.  New r12 operators displace
+#: fillers from the TAIL of this window as they are registered
+#: (fillers move back to the backlog).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- r10 operators (zero driver evidence — backlog head) ---------
-    "duplicate_ngram_spans",
-    "bpe_fertility_by_lang",
-    "ab_srm_check",
-    "mixture_temperature_weights",
-    "decontaminate_fuzzy",
-    "ab_minimum_detectable_effect",
-    "packing_bpe_budget",
-    "metric_view_curation",
-    "dsir_importance_weights",
-    "temporal_embargo_split",
-    "mixture_bpe_budget",
-    # -- rolled r6-stable tail ----------------------------------------
-    "recursive_cte_spine",
-    "order_aging_report",
-    "chisq_lang_source",
-    # -- r7-green core tier (crossed the 3-round cap at r11) ----------
-    "agg_rollup",
-    "agg_scale_sketches",
-    "chunk_dedup_clean",
-    "decontaminate_eval_overlap",
-    "dedup_cluster_assign",
-    "dedup_embedding_cosine",
-    "dedup_exact_canonical",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "events_sliding_window",
-    "events_stream_stream_left_join",
-    "events_streaming_dedupe",
-    "events_streaming_dedupe_ttl",
-    "events_streaming_stateful_totals",
-    "events_streaming_static_join",
-    "events_tumbling_hourly",
-    "export_shards",
-    "join_null_safe",
-    "multimodal_frame_sample",
-    "pii_redact",
-    "python_datasource_scan",
-    "sql_ai_functions",
-    "tf_idf",
-    "traindata_curation_pipeline",
-    "zorder_key_events",
-    # -- r6-stable fillers (registration order; oldest stable rows) --
-    "regional_supplier_volume",
-    # -- new r11 operators (displaced fillers; zero driver evidence) --
-    "duplicate_span_removal",
-    "decontaminate_fuzzy_incremental",
-    "contamination_span_lengths",
-    "mixture_unimax_budget",
-    "corpus_pair_overlap",
-    "zipf_slope_by_source",
-    "agg_winsorized_stats",
-    "bpe_apply_saved_vocab",
-    "forecast_seasonal_backtest",
-    "events_streaming_matview_upsert",
-)
-
-#: Everything still owed a fresh driver row AFTER this round's window,
-#: pre-ordered as the r12 window plan.  Composition — count it from the
-#: list, not this comment (ADVICE r9): the 27 r8-green core-tier names
-#: that cross the 3-round core cap once CORRECTNESS_r11 lands (last
-#: green r8 <= 11 - 3), then the 10 remaining r6-stable names (due by
-#: r16).  New operators registered mid-round go to the WINDOW (they
-#: have zero evidence), displacing fillers back to this list.
-ROTATION_BACKLOG: tuple[str, ...] = (
-    # zero-evidence r11 late addition (landed after the window filled;
-    # judge-verifiable via --plain, owed the first r12 slot)
+    # -- zero-evidence r11 late addition (backlog head) ---------------
     "dedup_survivors_quality",
-    # r8-green core tier (stale when CORRECTNESS_r11 lands)
+    # -- r8-green core tier (crossed the 3-round cap at r11) ----------
     "fact_build_transform",
     "join_salted_skew",
     "join_skew_isolated",
@@ -182,7 +117,11 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "frequent_itemset_pairs",
     "triangle_count_parts",
     "audience_overlap_sketch",
-    # r6-stable remainder (due by r16)
+    # -- r9-green core taken one round early (plan changed r11 /
+    #    heavy ANN path; the other 14 r9-green names head the backlog)
+    "flagship_star_metrics",
+    "similarity_topk",
+    # -- r6-stable remainder (due by r16, taken early — slots exist) --
     "shipping_priority",
     "forecast_revenue_delta",
     "product_profit_by_nation_year",
@@ -193,7 +132,8 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "dominant_part_suppliers",
     "sole_return_suppliers",
     "fulfillment_latency_profile",
-    # r6-stable fillers displaced from the r11 window by new operators
+    # -- r6-stable fillers (displaceable tail; newest-registered new
+    #    operators take these slots first) ----------------------------
     "min_cost_supplier",
     "disjunctive_predicate_join",
     "small_quantity_revenue",
@@ -204,6 +144,32 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "market_share",
     "agg_grouping_sets",
     "nation_trade_flows",
+)
+
+#: Everything still owed a fresh driver row AFTER this round's window,
+#: pre-ordered as the r13 window plan.  Composition — count it from the
+#: list, not this comment (ADVICE r9): the 14 r9-green core-tier names
+#: that cross the 3-round core cap once CORRECTNESS_r12 lands (last
+#: green r9 <= 12 - 3; two of the sixteen were taken early into the
+#: r12 window above).  New operators registered mid-round go to the
+#: WINDOW (they have zero evidence), displacing fillers back to this
+#: list.
+ROTATION_BACKLOG: tuple[str, ...] = (
+    # r9-green core tier (stale when CORRECTNESS_r12 lands)
+    "join_anti_incremental",
+    "events_asof_enrich",
+    "events_range_join",
+    "metric_view_region",
+    "metric_view_two_dims_where",
+    "hard_negative_mining",
+    "similarity_topk_lsh_recall",
+    "similarity_topk_ivf_recall",
+    "dedup_containment_prefix",
+    "dedup_containment_lsh",
+    "global_quality_rank",
+    "bpe_merge_pairs",
+    "user_event_sequences",
+    "dedup_cluster_assign_star",
 )
 
 #: --- Rotation tiers (VERDICT r7 ask #2) -------------------------------

@@ -337,7 +337,7 @@ def stream_matview_upsert(
     name: str,
     key_cols: list[str],
     checkpoint_dir: str | None = None,
-) -> None:
+) -> int:
     """Streaming MATERIALIZED VIEW: a watermarked aggregation in
     UPDATE output mode, each micro-batch's re-emitted (changed) rows
     MERGEd into the serving table by key (``TableStore.upsert`` =
@@ -348,7 +348,9 @@ def stream_matview_upsert(
     from a lost checkpoint converges to the same table — the same
     recovery contract as :func:`stream_append_idempotent`, extended
     from insert-only to update-in-place. Runs the bounded source to
-    completion (availableNow)."""
+    completion (availableNow) and returns the number of non-empty
+    micro-batches it processed (from ``recentProgress``, so throughput
+    probes never hard-code a batch count — ADVICE r11)."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if store.exists(layer, name):
@@ -365,7 +367,9 @@ def stream_matview_upsert(
         writer = writer.option("checkpointLocation", checkpoint_dir)
     q = writer.start()
     q.processAllAvailable()
+    batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
     q.stop()
+    return batches
 
 
 # --------------------------------------------------------------------------

@@ -98,13 +98,16 @@ def drive(agg, mode: str) -> tuple[float, int]:
     return time.perf_counter() - t0, batches
 
 
-def drive_matview(spark, ev) -> float:
+def drive_matview(spark, ev) -> tuple[float, int]:
     """The foreachBatch MERGE sink (`stream_matview_upsert`) runs its
-    own bounded query — time the whole convergence: 8 micro-batches,
-    each re-emitting changed user keys and upserting the serving
-    table (anti-join + union + atomic staged swap).  This is the
-    honest cost of a continuously-maintained summary TABLE vs the
-    noop-sink operator rows above it."""
+    own bounded query — time the whole convergence: every micro-batch
+    re-emits changed user keys and upserts the serving table
+    (anti-join + union + atomic staged swap).  Returns (wall_s,
+    n_batches) with the batch count taken from the query's own
+    recentProgress (ADVICE r11: never hard-code it — it drifts with
+    N_FILES/FILES_PER_TRIGGER).  This is the honest cost of a
+    continuously-maintained summary TABLE vs the noop-sink operator
+    rows above it."""
     from pyspark.sql import functions as F
 
     from gaming_ai_analytics_spark.sources.io import TableStore
@@ -124,10 +127,10 @@ def drive_matview(spark, ev) -> float:
     )
     t0 = time.perf_counter()
     try:
-        stream_matview_upsert(
+        batches = stream_matview_upsert(
             totals, store, "serve", "user_totals", ["user_id"]
         )
-        return time.perf_counter() - t0
+        return time.perf_counter() - t0, batches
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 
@@ -159,7 +162,7 @@ def main() -> None:
     results = {}
     for name in wanted:
         if name == "matview_upsert":
-            wall, batches = drive_matview(spark, read_stream(spark)), 8
+            wall, batches = drive_matview(spark, read_stream(spark))
         else:
             agg, mode = ops()[name]  # fresh stream per run
             wall, batches = drive(agg, mode)

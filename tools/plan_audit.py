@@ -2,7 +2,12 @@
 
 Sweeps every registered batch query (plan construction only — no
 execution, AQE off so the executed-plan text shows real scans rather
-than reprinted reused subtrees) and reports:
+than reprinted reused subtrees; exception: `agg_winsorized_stats`
+collects its percentile cuts at DataFrame-construction time, so that
+one query executes its pass 1 here — its RETURNED plan is a single
+literal-inlined lineitem scan, which is exactly what the audit should
+see and why it carries no MULTI_SCAN_JUSTIFIED entry, ADVICE r11) and
+reports:
 
 - **multi-scan**: the same source table scanned more than once in one
   query. Re-referencing a fact subplan across branches depends on
@@ -106,15 +111,6 @@ MULTI_SCAN_JUSTIFIED: dict[str, tuple[dict[str, int], str]] = {
         "survivor set must exist before any row can be dropped (the "
         "winsorized bound-first class), and checkpointing a shared "
         "frame is the 100 TB trap (queries_analytics.py)",
-    ),
-    "agg_winsorized_stats": (
-        {"lineitem": 2},
-        "a clip bound must exist before any row can be clipped: pass "
-        "1 computes the per-group [p05, p95] cuts (exact interpolated "
-        "percentile; bracket strategy at cluster scale), pass 2 "
-        "broadcasts the <=|groups|-row cut frame and clips/trims in "
-        "one codegen aggregate — the two scans ARE the operator's "
-        "semantics (queries_core.py)",
     ),
     "metric_view_curation": (
         {"documents": 2},
