@@ -9,6 +9,8 @@ reaches recall 1.0 there (verified in tests against the exact join).
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1790,15 +1792,25 @@ def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     words have no spans and are absent from the readout on both
     engines by construction."""
     docs = _nonempty_docs(spark, sf_dir)
+    return _span_dup_readout(_span_grams_with_df(docs))
+
+
+def _span_grams_with_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, gram, df) frame shared by the registered query and its
+    observed probe twin: per-doc-distinct 8-grams, document frequency
+    attached by the aggregate-only window on the gram key."""
     grams = docs.select(
         "doc_id",
         F.explode(
             F.array_distinct(word_ngrams(F.col("text"), _SPAN_K))
         ).alias("g"),
     )
-    with_df = grams.withColumn(
+    return grams.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("g"))
     )
+
+
+def _span_dup_readout(with_df: DataFrame) -> DataFrame:
     return with_df.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum((F.col("df") >= 2).cast("int")).alias("n_dup_spans"),
@@ -1809,6 +1821,61 @@ def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("dup_span_frac"),
     )
+
+
+#: The gram-window form's documented precondition: the hottest 8-gram
+#: may cover at most this share of documents before the unsplittable
+#: window partition becomes the stage bottleneck (the A/B'd join-back
+#: form is the remedy past it — BASELINE.md §3).
+SPAN_GRAM_MAX_DF_SHARE = 0.05
+
+
+def duplicate_ngram_spans_observed(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, Callable[[], dict[str, float]]]:
+    """Probe/bench twin of `duplicate_ngram_spans` with the skew-guard
+    metrics riding the job itself (VERDICT r11 ask #3): two
+    ``DataFrame.observe`` taps — corpus size on the doc scan, hottest
+    gram df on the windowed frame — piggyback on the aggregation
+    partials for free, so ANY production-sized run of the probe path
+    reports the skew precondition it depends on, not just the fixture
+    (the fixture-side pin is test_duplicate_ngram_spans_skew_guard).
+
+    Returns ``(result, check)``: materialize ``result`` first (an
+    Observation is populated by job completion), then ``check()``
+    returns ``{n_docs, max_df, max_df_share}`` and raises
+    ``ValueError`` naming the join-back remedy when the hottest gram
+    exceeds ``SPAN_GRAM_MAX_DF_SHARE`` of documents — catching a
+    boilerplate-skew regression cheaply, before the window stage
+    serializes at scale."""
+    from pyspark.sql import Observation
+
+    docs_obs = Observation("span_docs")
+    gram_obs = Observation("span_gram_skew")
+    docs = _nonempty_docs(spark, sf_dir).observe(
+        docs_obs, F.count(F.lit(1)).alias("n_docs")
+    )
+    with_df = _span_grams_with_df(docs).observe(
+        gram_obs, F.max("df").alias("max_df")
+    )
+
+    def check() -> dict[str, float]:
+        n_docs = docs_obs.get["n_docs"]
+        max_df = gram_obs.get["max_df"] or 0
+        share = max_df / n_docs if n_docs else 0.0
+        if share > SPAN_GRAM_MAX_DF_SHARE:
+            raise ValueError(
+                f"hottest 8-gram covers {max_df}/{n_docs} docs "
+                f"({share:.1%} > {SPAN_GRAM_MAX_DF_SHARE:.0%}): the "
+                "gram-window form would funnel that share of the "
+                "corpus through one unsplittable task — switch to the "
+                "join-back form (A/B in BASELINE.md §3) or strip the "
+                "boilerplate first"
+            )
+        return {"n_docs": n_docs, "max_df": max_df,
+                "max_df_share": share}
+
+    return _span_dup_readout(with_df), check
 
 
 register(

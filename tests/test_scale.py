@@ -417,3 +417,55 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_duplicate_ngram_spans_observed_guard(spark, sf_dir):
+    """VERDICT r11 ask #3: the spans probe twin must (a) agree
+    value-for-value with the registered gram-window query and (b)
+    report the skew precondition via metrics that rode the job itself
+    (DataFrame.observe) — with the guard green on the fixture and the
+    metrics load-bearing (planted dup spans → max_df >= 2)."""
+    from gaming_ai_analytics_spark.queries_llm import (
+        duplicate_ngram_spans_observed,
+        q_duplicate_ngram_spans,
+    )
+
+    result, check = duplicate_ngram_spans_observed(spark, sf_dir)
+    observed = _rows(result, ["doc_id", "n_spans", "n_dup_spans"])
+    metrics = check()
+    assert observed == _rows(
+        q_duplicate_ngram_spans(spark, sf_dir),
+        ["doc_id", "n_spans", "n_dup_spans"],
+    )
+    assert metrics["n_docs"] > 0
+    assert metrics["max_df"] >= 2, metrics  # fixture plants dup spans
+    assert metrics["max_df_share"] <= 0.05, metrics
+
+
+def test_duplicate_ngram_spans_observed_guard_trips_on_boilerplate(
+    spark, tmp_path
+):
+    """The guard must RAISE (naming the join-back remedy) on a corpus
+    where one boilerplate 8-gram covers more than 5% of documents —
+    the regression the window form cannot AQE-split at scale."""
+    import pytest
+
+    from gaming_ai_analytics_spark.queries_llm import (
+        duplicate_ngram_spans_observed,
+    )
+
+    boiler = "this content is provided as is without any warranty"
+    rows = [
+        (i, f"{boiler} unique tail {i} alpha beta gamma delta",
+         "en", "srcX", 60)
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    result, check = duplicate_ngram_spans_observed(spark, str(tmp_path))
+    result.count()
+    with pytest.raises(ValueError, match="join-back"):
+        check()
