@@ -1454,3 +1454,76 @@ def cross_corpus_minhash(
         F.count(F.lit(1)).alias("n_eval_matches"),
         F.max("jaccard").alias("max_jaccard"),
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Cross-document duplicated-span REMOVAL (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" —
+    the ExactSubstr step): every token covered by at least one word
+    ``k``-gram appearing in >= 2 DISTINCT documents is dropped and
+    each document re-emits its surviving tokens in order.  Documents
+    whose every token is covered vanish.  ``carry`` columns ride
+    through unchanged (they join the reassembly group key — must be
+    functionally dependent on ``id_col``).
+
+    Shared by the registered `duplicate_span_removal` query and the
+    `traindata_curation_v2` pipeline stage; the full scale-shape
+    narrative (five bounded keyed shuffles, the merge-pinned
+    anti-join after the r11 sf10 broadcast-OOM) lives on the query's
+    docstring — this is the same plan, parameterized.
+
+    Returns ``(id_col, *carry, n_tokens, n_kept, n_removed,
+    cleaned_text)``.
+    """
+    _hint = _self_join_hinter(docs, strategy="merge")
+    toks = docs.select(
+        id_col, *carry, tokens(F.col(text_col)).alias("t")
+    )
+    gp = toks.filter(F.size("t") >= k).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - k),
+                lambda i: F.array_join(F.slice("t", i + 1, k), " "),
+            )
+        ).alias("i", "g"),
+    )
+    gd = gp.groupBy("g", id_col).agg(F.collect_list("i").alias("starts"))
+    flagged = gd.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    ).filter(F.col("df") >= 2)
+    covered = flagged.select(
+        id_col,
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "starts", lambda s: F.sequence(s, s + F.lit(k - 1))
+                )
+            )
+        ).alias("p"),
+    )
+    tokpos = toks.select(
+        id_col,
+        *carry,
+        F.size("t").cast("long").alias("n_tokens"),
+        F.posexplode("t").alias("p", "tok"),
+    )
+    kept = tokpos.join(_hint(covered), [id_col, "p"], "left_anti")
+    return kept.groupBy(id_col, *carry).agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_kept"),
+        (F.max("n_tokens") - F.count(F.lit(1))).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )

@@ -1949,57 +1949,11 @@ def q_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrower exchange), exactly as documented on the measuring
     twin."""
     from gaming_ai_analytics_spark.operators.dedup import (
-        _self_join_hinter,
+        remove_duplicate_spans,
     )
 
-    docs = _nonempty_docs(spark, sf_dir)
-    _hint = _self_join_hinter(docs, strategy="merge")
-    toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
-    k = _SPAN_K
-    # gram starts, 0-based: posexplode of the in-order gram array
-    gp = (
-        toks.filter(F.size("t") >= k)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("t") - k),
-                    lambda i: F.array_join(F.slice("t", i + 1, k), " "),
-                )
-            ).alias("i", "g"),
-        )
-    )
-    gd = gp.groupBy("g", "doc_id").agg(F.collect_list("i").alias("starts"))
-    flagged = gd.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("g"))
-    ).filter(F.col("df") >= 2)
-    covered = flagged.select(
-        "doc_id",
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "starts", lambda s: F.sequence(s, s + F.lit(k - 1))
-                )
-            )
-        ).alias("p"),
-    )
-    tokpos = toks.select(
-        "doc_id",
-        F.size("t").cast("long").alias("n_tokens"),
-        F.posexplode("t").alias("p", "tok"),
-    )
-    kept = tokpos.join(_hint(covered), ["doc_id", "p"], "left_anti")
-    return kept.groupBy("doc_id").agg(
-        F.max("n_tokens").alias("n_tokens"),
-        F.count(F.lit(1)).alias("n_kept"),
-        (F.max("n_tokens") - F.count(F.lit(1))).alias("n_removed"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("cleaned_text"),
+    return remove_duplicate_spans(
+        _nonempty_docs(spark, sf_dir), k=_SPAN_K
     )
 
 

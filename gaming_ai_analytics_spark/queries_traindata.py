@@ -3829,3 +3829,291 @@ register(
     q_bpe_apply_saved_vocab,
     _bpe_apply_saved_oracle(BPE_ROUNDS),
 )
+
+
+# --------------------------------------------------------------------------
+# end-to-end curation v2: rule gate -> span removal -> survivor-quality
+# dedup -> leakage-safe split -> BPE-priced packing (VERDICT r11 ask #4)
+# --------------------------------------------------------------------------
+_CURATION_V2_DIRS: dict[str, str] = {}  # sf_dir -> warehouse dir
+
+
+def _curation_v2_dir(sf_dir: str) -> str:
+    """Process-lifetime temp warehouse for the pipeline's one
+    materialized stage boundary (the span-cleaned corpus) — the
+    reuse-don't-leak pattern of `_fuzzy_index_dir`."""
+    if sf_dir not in _CURATION_V2_DIRS:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="gaa_curv2_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _CURATION_V2_DIRS[sf_dir] = d
+    return _CURATION_V2_DIRS[sf_dir]
+
+
+def q_traindata_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DOCUMENT-LEVEL end-to-end curation pipeline a 100 TB
+    pretraining build actually executes, as ONE registered query
+    chaining five measured operators (VERDICT r11 ask #4 — each stage
+    is the registered operator's plan, composed):
+
+      1. RULE GATE — `quality_gate_rules`' C4/Gopher keep predicate
+         (token bounds, word-length band, punctuation ceiling,
+         stopword floor), map-only on the scan.
+      2. SPAN REMOVAL — `duplicate_span_removal`'s Lee et al.
+         ExactSubstr step over the gated corpus
+         (:func:`operators.dedup.remove_duplicate_spans`): tokens
+         covered by cross-doc-duplicated 8-grams drop, documents
+         re-emit surviving tokens; fully-covered docs vanish.
+      3. SURVIVOR-QUALITY NEAR-DUP — `dedup_survivors_quality` over
+         the CLEANED text: 3-shingle Jaccard >= 0.5 pairs, connected
+         components, keep the argmax-quality copy per cluster.
+      4. LEAKAGE-SAFE SPLIT — `leakage_safe_split`'s multiplicative-
+         hash assignment on the survivor id.  Post-dedup every
+         near-dup cluster has exactly ONE surviving member (the
+         survivor IS its cluster's representative), so hashing it
+         keeps the cluster-coherence guarantee by construction — no
+         two copies of the same content can straddle train/test.
+      5. BPE-PRICED PACKING — `packing_bpe_budget`'s concat-and-chunk
+         assignment, priced under the tokenizer trained ONCE on the
+         RAW corpus (the fixed-tokenizer production shape of
+         `bpe_apply_saved_vocab`: the tokenizer release predates any
+         given curation batch), packing WITHIN each split so no
+         training sequence mixes split material.
+
+    Scale shape.  Stage 2's output is MATERIALIZED once as the
+    pipeline's stage-boundary table (TableStore parquet — what a real
+    DAG does between stages, reference `workflow.json:15-79`'s
+    dims→fact→quality sequencing): four downstream consumers
+    reference the cleaned corpus (pair generation self-join, quality
+    argmax, survivor anti-join, BPE pricing), and without the
+    materialization EACH would re-execute the five-shuffle ExactSubstr
+    subplan — re-deriving is the 100 TB trap here, not the write
+    (measured: tools/exp_curation_v2.py).  Everything after reads the
+    bounded cleaned table: the pair stage shuffles shingle keys only,
+    the cluster frame is tiny post-CC (broadcast joins), the split is
+    pure arithmetic, pricing is one explode + broadcast-vocab join
+    reduced map-side, and the packing window partitions by
+    (split, shard) — state bounded per shard exactly as the
+    standalone packer.  NOTE: construction executes stages 1–2 and
+    the BPE train (the winsorized plan-time precedent); the RETURNED
+    plan reads the cleaned table + one raw scan for the vocab."""
+    from gaming_ai_analytics_spark.functions.text import (
+        mean_word_length,
+        punctuation_ratio,
+        quality_score,
+        stopword_ratio,
+        token_count,
+    )
+    from gaming_ai_analytics_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        remove_duplicate_spans,
+    )
+    from gaming_ai_analytics_spark.operators.graph import dedup_clusters
+    from gaming_ai_analytics_spark.sources.io import TableStore
+
+    t = F.col("text")
+    # stage 1: the quality_gate_rules predicate (rounded metrics — the
+    # registered gate's exact knife-edge convention)
+    gated = _docs(spark, sf_dir).filter(
+        token_count(t).cast("int").between(5, 100_000)
+        & F.round(mean_word_length(t) + 5e-10, 4).between(2.0, 12.0)
+        & (F.round(punctuation_ratio(t) + 5e-10, 4) < 0.3)
+        & (F.round(stopword_ratio(t) + 5e-10, 4) > 0.01)
+    )
+    # stage 2: ExactSubstr span removal, materialized stage boundary
+    cleaned = remove_duplicate_spans(gated, carry=("source",)).select(
+        "doc_id",
+        "source",
+        "n_removed",
+        F.col("cleaned_text").alias("text"),
+    )
+    store = TableStore(spark, _curation_v2_dir(sf_dir))
+    store.save("cur", "cleaned_fx", cleaned, mode="overwrite")
+    cl = store.load("cur", "cleaned_fx")
+    # stage 3: survivor-quality near-dup selection on the cleaned text
+    q = quality_score(F.col("text"))
+    pairs = ngram_jaccard_pairs(cl, "doc_id", "text", k=3, threshold=0.5)
+    clusters = dedup_clusters(pairs, "id_a", "id_b")
+    members = cl.select("doc_id", q.alias("_q")).join(
+        F.broadcast(clusters), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("_q"), "doc_id")
+    losers = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select("doc_id")
+    )
+    survivors = cl.join(F.broadcast(losers), "doc_id", "left_anti")
+    # stage 5a: tokenizer trained once on the RAW corpus, vocab-bounded
+    _, state = bpe_train(
+        _word_counts(spark, sf_dir), BPE_ROUNDS, return_state=True
+    )
+    word_tokens = state.select(
+        "w", F.size(F.split("seg", _BPE_SEP)).alias("_n_tok")
+    )
+    priced = (
+        survivors.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+        )
+        .join(F.broadcast(word_tokens), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("_n_tok").cast("long").alias("n_bpe_tokens"))
+    )
+    # stage 4 + 5b: split assignment and within-split packing
+    base = survivors.select(
+        "doc_id",
+        "source",
+        split_assign(F.col("doc_id")).alias("split"),
+        (F.col("doc_id") % 8).cast("int").alias("shard"),
+        q.alias("quality"),
+        "n_removed",
+    ).join(priced, "doc_id")
+    wpk = Window.partitionBy("split", "shard").orderBy("doc_id")
+    cum = F.sum("n_bpe_tokens").over(wpk)
+    seq_len = 4096
+    return base.select(
+        "doc_id",
+        "source",
+        "split",
+        "shard",
+        "quality",
+        "n_removed",
+        "n_bpe_tokens",
+        ((cum - F.col("n_bpe_tokens")) / seq_len).cast("int").alias(
+            "seq_id"
+        ),
+        ((cum - F.col("n_bpe_tokens")) % seq_len).cast("int").alias(
+            "seq_offset"
+        ),
+    )
+
+
+def _curation_v2_oracle(rounds: int) -> str:
+    """The full five-stage chain as ONE DuckDB statement: the unrolled
+    BPE train (raw corpus, as shipped), then gate -> span removal ->
+    cleaned -> exact-Jaccard pairs -> recursive connected components ->
+    quality argmax -> split -> priced packing.  Every fragment is the
+    component operator's own oracle with `cv_`-prefixed CTE names (the
+    BPE chain owns `toks`/`wc`/`pairs*`)."""
+    from gaming_ai_analytics_spark.functions.text_sql import QUALITY
+
+    chain = _bpe_iterations_oracle(rounds)
+    head = chain[: chain.rindex("\n    SELECT CAST(1 AS INT)")]
+    head = head.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    split_sql = split_assign_sql("s.doc_id")
+    return head + f""",
+    word_tokens AS (
+      SELECT w, len(string_split(seg, chr(31))) AS n_tok
+      FROM toks{rounds}),
+    cv_gate AS (
+      SELECT doc_id, source, text FROM documents
+      WHERE {_NONEMPTY}
+        AND CAST(len({_TOKS}) AS INT) BETWEEN 5 AND 100000
+        AND ROUND({_MEAN_WORD_LEN} + 5e-10, 4) BETWEEN 2.0 AND 12.0
+        AND ROUND({_PUNCT_RATIO} + 5e-10, 4) < 0.3
+        AND ROUND({_STOP_RATIO} + 5e-10, 4) > 0.01),
+    cv_toks AS (
+      SELECT doc_id, source, {_TOKS} AS t FROM cv_gate),
+    cv_gp AS (
+      SELECT doc_id, i,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+               || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+               || ' ' || t[i+7] AS g
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+            FROM cv_toks WHERE len(t) >= 8)),
+    cv_dg AS (SELECT DISTINCT doc_id, g FROM cv_gp),
+    cv_dfr AS (
+      SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM cv_dg),
+    cv_fl AS (
+      SELECT cv_gp.doc_id, cv_gp.i
+      FROM cv_gp JOIN cv_dfr ON cv_gp.doc_id = cv_dfr.doc_id
+                            AND cv_gp.g = cv_dfr.g
+      WHERE cv_dfr.df >= 2),
+    cv_cov AS (
+      SELECT doc_id, unnest(generate_series(i, i + 7)) AS p FROM cv_fl),
+    cv_pos AS (
+      SELECT doc_id, source, len(t) AS n_tokens, unnest(t) AS tok,
+             unnest(generate_series(1, len(t))) AS p
+      FROM cv_toks),
+    cv_kept AS (
+      SELECT * FROM cv_pos
+      WHERE NOT EXISTS (SELECT 1 FROM cv_cov
+                        WHERE cv_cov.doc_id = cv_pos.doc_id
+                          AND cv_cov.p = cv_pos.p)),
+    cv_cleaned AS (
+      SELECT doc_id, source,
+             MAX(n_tokens) - COUNT(*) AS n_removed,
+             string_agg(tok, ' ' ORDER BY p) AS text
+      FROM cv_kept GROUP BY 1, 2),
+    cv_ctoks AS (
+      SELECT doc_id, string_split_regex(TRIM(text), ' +') AS t
+      FROM cv_cleaned),
+    cv_sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+            FROM cv_ctoks WHERE len(t) >= 3)),
+    cv_sizes AS (SELECT doc_id, COUNT(*) AS n FROM cv_sh GROUP BY 1),
+    cv_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM cv_sh a JOIN cv_sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    cv_jac AS (
+      SELECT id_a, id_b
+      FROM cv_pairs
+      JOIN cv_sizes na ON id_a = na.doc_id
+      JOIN cv_sizes nb ON id_b = nb.doc_id
+      WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5),
+    cv_edges AS (
+      SELECT id_a AS s, id_b AS d FROM cv_jac
+      UNION
+      SELECT id_b, id_a FROM cv_jac),
+    cv_reach AS (
+      SELECT s, d FROM cv_edges
+      UNION
+      SELECT r.s, e.d FROM cv_reach r JOIN cv_edges e ON r.d = e.s),
+    cv_clusters AS (
+      SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+      FROM cv_reach GROUP BY s),
+    cv_scored AS (
+      SELECT c.doc_id, c.cluster_id, {QUALITY} AS q
+      FROM cv_clusters c JOIN cv_cleaned ON c.doc_id = cv_cleaned.doc_id),
+    cv_ranked AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY q DESC, doc_id) AS rn
+      FROM cv_scored),
+    cv_survivors AS (
+      SELECT * FROM cv_cleaned
+      WHERE doc_id NOT IN (SELECT doc_id FROM cv_ranked WHERE rn > 1)),
+    cv_words AS (
+      SELECT doc_id, unnest({_TOKS}) AS w FROM cv_survivors),
+    cv_priced AS (
+      SELECT doc_id, CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens
+      FROM cv_words JOIN word_tokens USING (w) GROUP BY 1),
+    cv_base AS (
+      SELECT s.doc_id, s.source,
+             {split_sql} AS split,
+             CAST(s.doc_id % 8 AS INT) AS shard,
+             {QUALITY} AS quality,
+             s.n_removed, p.n_bpe_tokens
+      FROM cv_survivors s JOIN cv_priced p ON s.doc_id = p.doc_id),
+    cv_cums AS (
+      SELECT *, SUM(n_bpe_tokens) OVER (PARTITION BY split, shard
+                                        ORDER BY doc_id) AS cum
+      FROM cv_base)
+    SELECT doc_id, source, split, shard, quality, n_removed,
+           n_bpe_tokens,
+           CAST(FLOOR((cum - n_bpe_tokens) / 4096.0) AS INT) AS seq_id,
+           CAST((cum - n_bpe_tokens) % 4096 AS INT) AS seq_offset
+    FROM cv_cums
+    """
+
+
+register(
+    "traindata_curation_v2",
+    q_traindata_curation_v2,
+    _curation_v2_oracle(BPE_ROUNDS),
+)

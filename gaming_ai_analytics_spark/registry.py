@@ -143,7 +143,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "promo_revenue_share",
     "market_share",
     "agg_grouping_sets",
-    "nation_trade_flows",
+    # -- new r12 operators (displaced fillers; zero driver evidence) --
+    "traindata_curation_v2",
 )
 
 #: Everything still owed a fresh driver row AFTER this round's window,
@@ -155,6 +156,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: WINDOW (they have zero evidence), displacing fillers back to this
 #: list.
 ROTATION_BACKLOG: tuple[str, ...] = (
+    # r6-stable fillers displaced from the r12 window by new operators
+    "nation_trade_flows",
     # r9-green core tier (stale when CORRECTNESS_r12 lands)
     "join_anti_incremental",
     "events_asof_enrich",
@@ -416,6 +419,9 @@ CORE_TIER: frozenset[str] = frozenset({
     "bpe_apply_saved_vocab",
     # streaming surface is whole-cohort core
     "events_streaming_matview_upsert",
+    # r12: the composed five-stage curation pipeline is the definition
+    # of a multi-stage heavy plan
+    "traindata_curation_v2",
 })
 
 

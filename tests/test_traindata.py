@@ -1664,3 +1664,61 @@ def test_bpe_apply_saved_vocab_matches_in_query_pricing(spark):
     for s in want:
         assert got[s].n_words == want[s].n_words
         assert got[s].n_bpe_tokens == want[s].n_bpe_tokens
+
+
+def test_traindata_curation_v2_stages(spark, tmp_path):
+    """Planted corpus exercising every stage of the composed pipeline:
+    doc 1 fails the rule gate (punctuation); docs 2+3 and 4+5 each
+    share a boilerplate 8-gram that span removal strips (n_removed=8);
+    docs 4+5's CLEANED texts are 3-shingle near-dups (J~0.56, no
+    shared 8-gram — runs of 7), where doc 5's cleaned text scores
+    higher quality, so the survivor stage keeps 5 and drops 4; the
+    packing columns must satisfy the within-(split,shard) cumsum
+    arithmetic exactly."""
+    import collections
+
+    from gaming_ai_analytics_spark.queries_traindata import (
+        q_traindata_curation_v2,
+    )
+
+    s2 = "license text granted herein shall not be reproduced"
+    s4 = "copyright notice appears within every distributed binary build"
+    r1 = "the quick brown fox jumps over rivers"
+    r2 = "many of these samples contain plain words"
+    rows = [
+        (1, "!!! ??? *** %%% ^^^ &&& ::: ;;;", "und", "src1", 31),
+        (2, f"{s2} the unique tail of document two here", "en", "src1", 90),
+        (3, f"{s2} another distinct ending for the third document",
+         "en", "src2", 99),
+        (4, f"{s4} zz {r1} yy {r2}", "en", "src1", 130),
+        (5, f"{s4} magnificently {r1} extraordinarily {r2}",
+         "en", "src2", 150),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    out = {
+        r.doc_id: r
+        for r in q_traindata_curation_v2(spark, str(tmp_path)).collect()
+    }
+    # gate dropped 1; near-dup survivor selection dropped 4 (5 wins on
+    # cleaned-text quality)
+    assert set(out) == {2, 3, 5}, out
+    for d in (2, 3, 5):
+        assert out[d].n_removed == 8, out[d]  # exactly the shared 8-gram
+        assert out[d].n_bpe_tokens > 0
+        assert out[d].shard == d % 8
+        assert out[d].split in ("train", "val", "test")
+    assert out[2].source == "src1" and out[5].source == "src2"
+    # packing: exact concat-and-chunk cumsum within each (split, shard)
+    groups = collections.defaultdict(list)
+    for r in sorted(out.values(), key=lambda r: r.doc_id):
+        groups[(r.split, r.shard)].append(r)
+    for g in groups.values():
+        cum = 0
+        for r in g:
+            assert r.seq_id == cum // 4096, r
+            assert r.seq_offset == cum % 4096, r
+            cum += r.n_bpe_tokens
