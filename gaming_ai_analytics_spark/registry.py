@@ -406,12 +406,13 @@ CORE_TIER: frozenset[str] = frozenset({
     "multimodal_features",
     "multimodal_resize",
     # r11 additions: the corpus-level overlap matrix shuffles the
-    # shingle key (heavy-join family); the UniMax waterfilling, Zipf
-    # OLS and winsorized aggregate are new multi-layer plans that
-    # earn the short cap until a committed green history exists
+    # shingle key (heavy-join family); the winsorized aggregate keeps
+    # the short cap (its empty-input guard changed in r12).  The
+    # UniMax waterfilling and Zipf OLS — compact-frame closed-form
+    # plans, byte-stable, r11-green — moved to the hash-guarded
+    # stable tier in r12 (VERDICT r11 ask #6: spend tier slack by
+    # demoting proved compact plans, funding new core operators).
     "corpus_pair_overlap",
-    "mixture_unimax_budget",
-    "zipf_slope_by_source",
     "agg_winsorized_stats",
     # the saved-vocab apply is a BPE-family heavy (its siblings are
     # all core); the seasonal backtest is a compact-frame window

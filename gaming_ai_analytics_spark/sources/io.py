@@ -27,6 +27,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+def _partition_leaf_dirs(root: str, depth: int):
+    """Relative paths of the ``key=value[/key=value...]`` leaf
+    partition directories under a partitioned parquet write, one per
+    rewritten partition tuple (``depth`` = number of partition
+    columns).  Dot/underscore-prefixed entries (committer metadata,
+    interim backups) are skipped, matching Spark's own discovery."""
+    if depth == 0:
+        yield ""
+        return
+    for d in sorted(os.listdir(root)):
+        sub = os.path.join(root, d)
+        if not os.path.isdir(sub) or d.startswith((".", "_")) or "=" not in d:
+            continue
+        for rest in _partition_leaf_dirs(sub, depth - 1):
+            yield os.path.join(d, rest) if rest else d
+
+
 def table_path(warehouse_dir: str, layer: str, name: str) -> str:
     """``{warehouse}/{layer}_{name}`` — same layered naming contract as
     the reference's ``f"{catalog}.{schema}.{layer}_{table_name}"``
@@ -204,6 +221,7 @@ class TableStore:
         name: str,
         updates: DataFrame,
         key_cols: list[str],
+        partition_by: list[str] | None = None,
     ) -> None:
         """Keyed upsert — the OSS analog of Delta ``MERGE INTO ...
         WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT`` for whole-row
@@ -215,18 +233,87 @@ class TableStore:
         small — the table side never shuffles; cost is one table
         rewrite, which is why high-churn tables belong on ``delta``
         (real MERGE rewrites only touched files).
+
+        ``partition_by`` (VERDICT r11 ask #5) is the partition-pruned
+        MERGE: the table must have been saved partitioned by these
+        columns, and they must appear in ``updates``. The merge then
+        (1) collects the update batch's distinct partition tuples
+        (bounded by |partitions| — a date/bucket column by design),
+        (2) literal-filters the current table to those partitions
+        (parquet partition pruning at the SCAN — untouched partitions
+        are never read), and (3) stages the merged output partitioned
+        and rename-swaps ONLY the rewritten partition directories into
+        the live table (Spark refuses an in-place overwrite of a path
+        it is reading, and the per-directory swap keeps the crash
+        window to one partition — the interim backup name is
+        dot-prefixed so partition discovery never parses it).  Cost
+        tracks TOUCHED partitions instead of the whole
+        table — the lever that makes a continuously-maintained
+        serving table viable at 100 TB when micro-batch updates are
+        partition-local (time-keyed rollups).  When every batch
+        touches every partition (uniform key-hash updates) it buys
+        nothing over the full rewrite; measured both ways in
+        BASELINE.md (tools/exp_stream_throughput.py).
         """
-        from pyspark.sql import functions as F  # noqa: F401
+        import functools
+        import operator
+
+        from pyspark.sql import functions as F
 
         if not self.exists(layer, name):
-            self.save(layer, name, updates)
+            self.save(layer, name, updates, partition_by=partition_by)
+            return
+        p = self.path(layer, name)
+        if partition_by:
+            touched = updates.select(*partition_by).distinct().collect()
+            part_filter = functools.reduce(
+                operator.or_,
+                (
+                    functools.reduce(
+                        operator.and_,
+                        (F.col(c).eqNullSafe(F.lit(r[c]))
+                         for c in partition_by),
+                    )
+                    for r in touched
+                ),
+                F.lit(False),
+            )
+            current = self.load(layer, name).filter(part_filter)
+            keep = current.join(
+                updates.select(*key_cols).distinct(), key_cols, "left_anti"
+            )
+            merged = keep.unionByName(updates.select(*current.columns))
+            staging = p + "._upsert"
+            if os.path.isdir(staging):
+                shutil.rmtree(staging)
+            (
+                merged.write.format(self.fmt)
+                .mode("overwrite")
+                .partitionBy(*partition_by)
+                .save(staging)
+            )
+            for rel in _partition_leaf_dirs(staging, len(partition_by)):
+                live = os.path.join(p, rel)
+                fresh = os.path.join(staging, rel)
+                os.makedirs(os.path.dirname(live), exist_ok=True)
+                backup = os.path.join(
+                    os.path.dirname(live),
+                    "." + os.path.basename(live) + "._preupsert",
+                )
+                if os.path.isdir(backup):
+                    shutil.rmtree(backup)
+                if os.path.isdir(live):
+                    os.rename(live, backup)
+                os.rename(fresh, live)
+                if os.path.isdir(backup):
+                    shutil.rmtree(backup)
+            shutil.rmtree(staging)
             return
         current = self.load(layer, name)
         keep = current.join(
             updates.select(*key_cols).distinct(), key_cols, "left_anti"
         )
         merged = keep.unionByName(updates.select(*current.columns))
-        p = self.path(layer, name)
         staging = p + "._upsert"
         if os.path.isdir(staging):
             shutil.rmtree(staging)

@@ -337,6 +337,7 @@ def stream_matview_upsert(
     name: str,
     key_cols: list[str],
     checkpoint_dir: str | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Streaming MATERIALIZED VIEW: a watermarked aggregation in
     UPDATE output mode, each micro-batch's re-emitted (changed) rows
@@ -350,13 +351,26 @@ def stream_matview_upsert(
     from insert-only to update-in-place. Runs the bounded source to
     completion (availableNow) and returns the number of non-empty
     micro-batches it processed (from ``recentProgress``, so throughput
-    probes never hard-code a batch count — ADVICE r11)."""
+    probes never hard-code a batch count — ADVICE r11).
+
+    ``partition_by`` flows to :meth:`TableStore.upsert`'s
+    partition-pruned MERGE (VERDICT r11 ask #5): with a serving table
+    partitioned on a column that correlates with micro-batch update
+    locality (a day/window-start column on a time-keyed rollup), each
+    batch rewrites only its touched partitions instead of the whole
+    table — the per-batch rewrite cost that otherwise grows with
+    serving-table age.  A/B measured in BASELINE.md."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if store.exists(layer, name):
-            store.upsert(layer, name, batch_df, key_cols)
+            store.upsert(
+                layer, name, batch_df, key_cols, partition_by=partition_by
+            )
         else:
-            store.save(layer, name, batch_df, mode="overwrite")
+            store.save(
+                layer, name, batch_df, mode="overwrite",
+                partition_by=partition_by,
+            )
 
     writer = (
         agg_stream.writeStream.outputMode("update")

@@ -771,3 +771,53 @@ def test_avro_roundtrip_where_available(spark, tmp_path):
         raise
     back = spark.read.format("avro").load(str(tmp_path / "avro_rt"))
     assert sorted(r.v for r in back.collect()) == [0, 2, 4, 6, 8]
+
+
+def test_tablestore_upsert_partition_pruned(spark, tmp_path):
+    """VERDICT r11 ask #5 — the partition-pruned MERGE: result equals
+    the full-rewrite upsert, AND the untouched partition's data files
+    are bit-for-bit the ones written before the upsert (never read,
+    never rewritten: the physical property that makes the serving
+    table viable at 100 TB when updates are partition-local)."""
+    import os
+
+    from gaming_ai_analytics_spark.sources.io import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [("d1", 1, 10.0), ("d1", 2, 20.0), ("d2", 3, 30.0),
+         ("d3", 4, 40.0)],
+        ["day", "k", "x"],
+    )
+    store.upsert("serve", "kv", base, ["k"], partition_by=["day"])
+    p = store.path("serve", "kv")
+
+    def files_of(part):
+        d = os.path.join(p, f"day={part}")
+        return sorted(
+            (f, os.stat(os.path.join(d, f)).st_mtime_ns)
+            for f in os.listdir(d)
+            if not f.startswith((".", "_"))
+        )
+
+    d3_before = files_of("d3")
+    updates = spark.createDataFrame(
+        [("d1", 2, 99.0), ("d2", 5, 50.0), ("d4", 6, 60.0)],
+        ["day", "k", "x"],
+    )
+    store.upsert("serve", "kv", updates, ["k"], partition_by=["day"])
+    got = sorted(tuple(r) for r in store.load("serve", "kv").collect())
+    assert got == [
+        (1, 10.0, "d1"),   # untouched row in a touched partition
+        (2, 99.0, "d1"),   # matched -> replaced
+        (3, 30.0, "d2"),   # untouched row in a touched partition
+        (4, 40.0, "d3"),   # untouched partition
+        (5, 50.0, "d2"),   # inserted into existing partition
+        (6, 60.0, "d4"),   # inserted into a NEW partition
+    ]
+    # the untouched partition's files were not rewritten
+    assert files_of("d3") == d3_before
+    # no staging/backup leftovers
+    assert not [
+        d for d in os.listdir(p) if "._preupsert" in d or "._upsert" in d
+    ]

@@ -362,6 +362,60 @@ def test_stream_matview_upsert_equals_batch_aggregate(spark, tmp_path):
     assert again == want
 
 
+def test_stream_matview_upsert_partition_pruned_equals_batch(
+    spark, tmp_path
+):
+    """The partitioned serving-table variant (day-keyed daily rollup,
+    partition-pruned MERGE per micro-batch) must converge to the same
+    batch aggregate as ever — correctness of VERDICT r11 ask #5's
+    lever before its throughput A/B."""
+    from pyspark.sql import functions as F
+
+    from gaming_ai_analytics_spark.sources.io import TableStore
+    from gaming_ai_analytics_spark.streaming.events import (
+        stream_events,
+        stream_matview_upsert,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+
+    def daily(df):
+        return (
+            df.withWatermark("ts", "1 hour")
+            .groupBy(
+                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                .alias("day"),
+                "user_id",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+        )
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    stream_matview_upsert(
+        daily(stream_events(spark, sf_dir)),
+        store,
+        "serve",
+        "daily_totals",
+        ["day", "user_id"],
+        checkpoint_dir=str(tmp_path / "ck"),
+        partition_by=["day"],
+    )
+    # partition values are type-inferred on read ('2024-01-01' -> date);
+    # normalize both sides to str for the comparison
+    got = {
+        (str(r.day), r.user_id): (r.n_events, r.total_value)
+        for r in store.load("serve", "daily_totals").collect()
+    }
+    want = {
+        (str(r.day), r.user_id): (r.n_events, r.total_value)
+        for r in daily(load_events(spark, sf_dir)).collect()
+    }
+    assert got == want
+
+
 def test_python_stream_source_drains_all_offsets(spark):
     """The streaming Python DataSource must pull EVERY micro-batch
     (regression: availableNow silently reads one batch on sources

@@ -135,6 +135,88 @@ def drive_matview(spark, ev) -> tuple[float, int]:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def drive_matview_daily(
+    spark, ev, pruned: bool, aged_copies: int = 0
+) -> tuple[float, int]:
+    """VERDICT r11 ask #5 A/B: the same DAILY (day, user) rollup
+    matview driven through the full-rewrite MERGE vs the
+    partition-pruned MERGE (serving table partitioned by day; each
+    micro-batch rewrites only its touched day directories).  The
+    source replay is time-ordered, so a micro-batch's updates are
+    day-local — the workload shape partition pruning exists for.
+    Day count grows with the serving table's age; at sf10 the fixture
+    spans ~30 days and each of the 8 batches touches ~4-5, so the
+    pruned arm's per-batch rewrite is bounded by the batch's days
+    while the full arm rewrites all days seen so far.
+
+    ``aged_copies`` pre-seeds the serving table with that many
+    synthetic HISTORICAL copies of the full rollup (days shifted into
+    the past) before the stream starts — the months-old serving table
+    a real deployment maintains.  The full arm must rewrite the whole
+    aged table every micro-batch; the pruned arm's cost stays bounded
+    by the batch's touched days regardless of age."""
+    from pyspark.sql import functions as F
+
+    from gaming_ai_analytics_spark.sources.io import TableStore
+    from gaming_ai_analytics_spark.streaming.events import (
+        stream_matview_upsert,
+    )
+
+    wh = tempfile.mkdtemp(prefix="stream_tp_mvd_")
+    store = TableStore(spark, wh)
+    daily = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+            .alias("day"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    part = ["day"] if pruned else None
+    if aged_copies:
+        batch_daily = (
+            spark.read.parquet(SRC)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .groupBy(
+                F.date_trunc("day", "ts").alias("_d"), "user_id"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+        )
+        history = None
+        for k in range(1, aged_copies + 1):
+            shifted = batch_daily.select(
+                F.date_format(
+                    F.date_sub(F.col("_d"), 40 * k), "yyyy-MM-dd"
+                ).alias("day"),
+                "user_id",
+                "n_events",
+                "total_value",
+            )
+            history = shifted if history is None else history.unionAll(
+                shifted
+            )
+        store.save(
+            "serve", "daily_totals", history, mode="overwrite",
+            partition_by=part,
+        )
+    t0 = time.perf_counter()
+    try:
+        batches = stream_matview_upsert(
+            daily, store, "serve", "daily_totals", ["day", "user_id"],
+            partition_by=part,
+        )
+        return time.perf_counter() - t0, batches
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def main() -> None:
     from gaming_ai_analytics_spark.session import get_spark
     from gaming_ai_analytics_spark.streaming import events as se
@@ -163,6 +245,13 @@ def main() -> None:
     for name in wanted:
         if name == "matview_upsert":
             wall, batches = drive_matview(spark, read_stream(spark))
+        elif name.startswith("matview_daily"):
+            wall, batches = drive_matview_daily(
+                spark,
+                read_stream(spark),
+                pruned="pruned" in name,
+                aged_copies=12 if name.endswith("_aged") else 0,
+            )
         else:
             agg, mode = ops()[name]  # fresh stream per run
             wall, batches = drive(agg, mode)
