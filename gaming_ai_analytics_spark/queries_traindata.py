@@ -3853,6 +3853,76 @@ def _curation_v2_dir(sf_dir: str) -> str:
     return _CURATION_V2_DIRS[sf_dir]
 
 
+def _cv2_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curation-v2 stage 1: the `quality_gate_rules` keep predicate
+    (rounded metrics — the registered gate's exact knife-edge
+    convention), map-only on the scan."""
+    from gaming_ai_analytics_spark.functions.text import (
+        mean_word_length,
+        punctuation_ratio,
+        stopword_ratio,
+        token_count,
+    )
+
+    t = F.col("text")
+    return _docs(spark, sf_dir).filter(
+        token_count(t).cast("int").between(5, 100_000)
+        & F.round(mean_word_length(t) + 5e-10, 4).between(2.0, 12.0)
+        & (F.round(punctuation_ratio(t) + 5e-10, 4) < 0.3)
+        & (F.round(stopword_ratio(t) + 5e-10, 4) > 0.01)
+    )
+
+
+def _cv2_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curation-v2 stage 2: ExactSubstr span removal over the gated
+    corpus, MATERIALIZED as the pipeline's stage-boundary table and
+    read back (four downstream consumers; A/B of materializing vs
+    re-deriving in BASELINE.md / tools/exp_curation_v2.py)."""
+    from gaming_ai_analytics_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+    from gaming_ai_analytics_spark.sources.io import TableStore
+
+    cleaned = remove_duplicate_spans(
+        _cv2_gated(spark, sf_dir), carry=("source",)
+    ).select(
+        "doc_id",
+        "source",
+        "n_removed",
+        F.col("cleaned_text").alias("text"),
+    )
+    store = TableStore(spark, _curation_v2_dir(sf_dir))
+    store.save("cur", "cleaned_fx", cleaned, mode="overwrite")
+    return store.load("cur", "cleaned_fx")
+
+
+def _cv2_survivors(cl: DataFrame) -> DataFrame:
+    """curation-v2 stage 3: survivor-quality near-dup selection on the
+    cleaned text — exact 3-shingle Jaccard pairs, connected
+    components, keep the argmax-quality copy per cluster (tie: lowest
+    doc_id); the cluster frame is tiny post-CC, so every join back is
+    a broadcast."""
+    from gaming_ai_analytics_spark.functions.text import quality_score
+    from gaming_ai_analytics_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from gaming_ai_analytics_spark.operators.graph import dedup_clusters
+
+    q = quality_score(F.col("text"))
+    pairs = ngram_jaccard_pairs(cl, "doc_id", "text", k=3, threshold=0.5)
+    clusters = dedup_clusters(pairs, "id_a", "id_b")
+    members = cl.select("doc_id", q.alias("_q")).join(
+        F.broadcast(clusters), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("_q"), "doc_id")
+    losers = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select("doc_id")
+    )
+    return cl.join(F.broadcast(losers), "doc_id", "left_anti")
+
+
 def q_traindata_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DOCUMENT-LEVEL end-to-end curation pipeline a 100 TB
     pretraining build actually executes, as ONE registered query
@@ -3900,53 +3970,11 @@ def q_traindata_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     standalone packer.  NOTE: construction executes stages 1–2 and
     the BPE train (the winsorized plan-time precedent); the RETURNED
     plan reads the cleaned table + one raw scan for the vocab."""
-    from gaming_ai_analytics_spark.functions.text import (
-        mean_word_length,
-        punctuation_ratio,
-        quality_score,
-        stopword_ratio,
-        token_count,
-    )
-    from gaming_ai_analytics_spark.operators.dedup import (
-        ngram_jaccard_pairs,
-        remove_duplicate_spans,
-    )
-    from gaming_ai_analytics_spark.operators.graph import dedup_clusters
-    from gaming_ai_analytics_spark.sources.io import TableStore
+    cl = _cv2_cleaned(spark, sf_dir)
+    survivors = _cv2_survivors(cl)
+    from gaming_ai_analytics_spark.functions.text import quality_score
 
-    t = F.col("text")
-    # stage 1: the quality_gate_rules predicate (rounded metrics — the
-    # registered gate's exact knife-edge convention)
-    gated = _docs(spark, sf_dir).filter(
-        token_count(t).cast("int").between(5, 100_000)
-        & F.round(mean_word_length(t) + 5e-10, 4).between(2.0, 12.0)
-        & (F.round(punctuation_ratio(t) + 5e-10, 4) < 0.3)
-        & (F.round(stopword_ratio(t) + 5e-10, 4) > 0.01)
-    )
-    # stage 2: ExactSubstr span removal, materialized stage boundary
-    cleaned = remove_duplicate_spans(gated, carry=("source",)).select(
-        "doc_id",
-        "source",
-        "n_removed",
-        F.col("cleaned_text").alias("text"),
-    )
-    store = TableStore(spark, _curation_v2_dir(sf_dir))
-    store.save("cur", "cleaned_fx", cleaned, mode="overwrite")
-    cl = store.load("cur", "cleaned_fx")
-    # stage 3: survivor-quality near-dup selection on the cleaned text
     q = quality_score(F.col("text"))
-    pairs = ngram_jaccard_pairs(cl, "doc_id", "text", k=3, threshold=0.5)
-    clusters = dedup_clusters(pairs, "id_a", "id_b")
-    members = cl.select("doc_id", q.alias("_q")).join(
-        F.broadcast(clusters), "doc_id"
-    )
-    w = Window.partitionBy("cluster_id").orderBy(F.desc("_q"), "doc_id")
-    losers = (
-        members.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") > 1)
-        .select("doc_id")
-    )
-    survivors = cl.join(F.broadcast(losers), "doc_id", "left_anti")
     # stage 5a: tokenizer trained once on the RAW corpus, vocab-bounded
     _, state = bpe_train(
         _word_counts(spark, sf_dir), BPE_ROUNDS, return_state=True
@@ -4116,4 +4144,210 @@ register(
     "traindata_curation_v2",
     q_traindata_curation_v2,
     _curation_v2_oracle(BPE_ROUNDS),
+)
+
+
+def q_curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stage-by-stage AUDIT FUNNEL of `traindata_curation_v2` —
+    what a production curation run reports next to its output: how
+    many documents and whitespace tokens survive each stage (raw →
+    rule gate → span removal → near-dup survivors → per-split), so a
+    regression in any stage's yield is one diff away.  Token unit is
+    whitespace words throughout (comparable across stages; the BPE
+    pricing belongs to the packer, not the audit).
+
+    Scale shape: the raw and gate rows come from ONE corpus scan
+    (conditional aggregation over the gate predicate — not a second
+    scan); the cleaned/survivor/split rows ride the same materialized
+    stage-boundary table and tiny broadcast cluster frames as the
+    pipeline itself; every stage row is a map-side-combined aggregate
+    collapsed to one line.  The funnel's only real cost is the
+    pair/CC pass the survivor set needs anyway."""
+    from gaming_ai_analytics_spark.functions.text import (
+        mean_word_length,
+        punctuation_ratio,
+        stopword_ratio,
+        token_count,
+    )
+
+    t = F.col("text")
+    keep = (
+        token_count(t).cast("int").between(5, 100_000)
+        & F.round(mean_word_length(t) + 5e-10, 4).between(2.0, 12.0)
+        & (F.round(punctuation_ratio(t) + 5e-10, 4) < 0.3)
+        & (F.round(stopword_ratio(t) + 5e-10, 4) > 0.01)
+    )
+    n_tok = token_count(t).cast("long")
+    raw_and_gate = (
+        _docs(spark, sf_dir)
+        .select(keep.alias("_keep"), n_tok.alias("_n"))
+        .agg(
+            F.count(F.lit(1)).alias("_raw_docs"),
+            F.sum("_n").alias("_raw_toks"),
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("_gate_docs"),
+            F.sum(F.when(F.col("_keep"), F.col("_n")).otherwise(0))
+            .cast("long")
+            .alias("_gate_toks"),
+        )
+    )
+    s01 = raw_and_gate.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("0_raw").alias("stage"),
+                    F.col("_raw_docs").alias("n_docs"),
+                    F.col("_raw_toks").alias("n_tokens"),
+                ),
+                F.struct(
+                    F.lit("1_rule_gate").alias("stage"),
+                    F.col("_gate_docs").alias("n_docs"),
+                    F.col("_gate_toks").alias("n_tokens"),
+                ),
+            )
+        ).alias("_s")
+    ).select("_s.*")
+    cl = _cv2_cleaned(spark, sf_dir)
+    s2 = cl.agg(
+        F.lit("2_span_removal").alias("stage"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(t)).cast("long").alias("n_tokens"),
+    )
+    survivors = _cv2_survivors(cl)
+    s3 = survivors.agg(
+        F.lit("3_dedup_survivors").alias("stage"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(t)).cast("long").alias("n_tokens"),
+    )
+    s4 = (
+        survivors.groupBy(
+            F.concat(
+                F.lit("4_split_"), split_assign(F.col("doc_id"))
+            ).alias("stage")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(t)).cast("long").alias("n_tokens"),
+        )
+    )
+    return s01.unionByName(s2).unionByName(s3).unionByName(s4).orderBy(
+        "stage"
+    )
+
+
+def _curation_funnel_oracle() -> str:
+    """The funnel chain is curation-v2's oracle minus the BPE train
+    and pricing CTEs (whitespace-token audit only)."""
+    from gaming_ai_analytics_spark.functions.text_sql import QUALITY
+
+    split_sql = split_assign_sql("doc_id")
+    return f"""
+    WITH RECURSIVE cv_gate AS (
+      SELECT doc_id, source, text FROM documents
+      WHERE {_NONEMPTY}
+        AND CAST(len({_TOKS}) AS INT) BETWEEN 5 AND 100000
+        AND ROUND({_MEAN_WORD_LEN} + 5e-10, 4) BETWEEN 2.0 AND 12.0
+        AND ROUND({_PUNCT_RATIO} + 5e-10, 4) < 0.3
+        AND ROUND({_STOP_RATIO} + 5e-10, 4) > 0.01),
+    cv_toks AS (
+      SELECT doc_id, source, {_TOKS} AS t FROM cv_gate),
+    cv_gp AS (
+      SELECT doc_id, i,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+               || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+               || ' ' || t[i+7] AS g
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+            FROM cv_toks WHERE len(t) >= 8)),
+    cv_dg AS (SELECT DISTINCT doc_id, g FROM cv_gp),
+    cv_dfr AS (
+      SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM cv_dg),
+    cv_fl AS (
+      SELECT cv_gp.doc_id, cv_gp.i
+      FROM cv_gp JOIN cv_dfr ON cv_gp.doc_id = cv_dfr.doc_id
+                            AND cv_gp.g = cv_dfr.g
+      WHERE cv_dfr.df >= 2),
+    cv_cov AS (
+      SELECT doc_id, unnest(generate_series(i, i + 7)) AS p FROM cv_fl),
+    cv_pos AS (
+      SELECT doc_id, source, len(t) AS n_tokens, unnest(t) AS tok,
+             unnest(generate_series(1, len(t))) AS p
+      FROM cv_toks),
+    cv_kept AS (
+      SELECT * FROM cv_pos
+      WHERE NOT EXISTS (SELECT 1 FROM cv_cov
+                        WHERE cv_cov.doc_id = cv_pos.doc_id
+                          AND cv_cov.p = cv_pos.p)),
+    cv_cleaned AS (
+      SELECT doc_id, source,
+             MAX(n_tokens) - COUNT(*) AS n_removed,
+             string_agg(tok, ' ' ORDER BY p) AS text
+      FROM cv_kept GROUP BY 1, 2),
+    cv_ctoks AS (
+      SELECT doc_id, string_split_regex(TRIM(text), ' +') AS t
+      FROM cv_cleaned),
+    cv_sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+            FROM cv_ctoks WHERE len(t) >= 3)),
+    cv_sizes AS (SELECT doc_id, COUNT(*) AS n FROM cv_sh GROUP BY 1),
+    cv_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM cv_sh a JOIN cv_sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    cv_jac AS (
+      SELECT id_a, id_b
+      FROM cv_pairs
+      JOIN cv_sizes na ON id_a = na.doc_id
+      JOIN cv_sizes nb ON id_b = nb.doc_id
+      WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5),
+    cv_edges AS (
+      SELECT id_a AS s, id_b AS d FROM cv_jac
+      UNION
+      SELECT id_b, id_a FROM cv_jac),
+    cv_reach AS (
+      SELECT s, d FROM cv_edges
+      UNION
+      SELECT r.s, e.d FROM cv_reach r JOIN cv_edges e ON r.d = e.s),
+    cv_clusters AS (
+      SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+      FROM cv_reach GROUP BY s),
+    cv_scored AS (
+      SELECT c.doc_id, c.cluster_id, {QUALITY} AS q
+      FROM cv_clusters c JOIN cv_cleaned ON c.doc_id = cv_cleaned.doc_id),
+    cv_ranked AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY q DESC, doc_id) AS rn
+      FROM cv_scored),
+    cv_survivors AS (
+      SELECT * FROM cv_cleaned
+      WHERE doc_id NOT IN (SELECT doc_id FROM cv_ranked WHERE rn > 1))
+    SELECT '0_raw' AS stage, COUNT(*) AS n_docs,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+    FROM documents WHERE {_NONEMPTY}
+    UNION ALL
+    SELECT '1_rule_gate', COUNT(*),
+           CAST(SUM(len({_TOKS})) AS BIGINT)
+    FROM cv_gate
+    UNION ALL
+    SELECT '2_span_removal', COUNT(*),
+           CAST(SUM(len({_TOKS})) AS BIGINT)
+    FROM cv_cleaned
+    UNION ALL
+    SELECT '3_dedup_survivors', COUNT(*),
+           CAST(SUM(len({_TOKS})) AS BIGINT)
+    FROM cv_survivors
+    UNION ALL
+    SELECT '4_split_' || {split_sql}, COUNT(*),
+           CAST(SUM(len({_TOKS})) AS BIGINT)
+    FROM cv_survivors GROUP BY 1
+    ORDER BY stage
+    """
+
+
+register(
+    "curation_funnel_v2",
+    q_curation_funnel_v2,
+    _curation_funnel_oracle(),
 )

@@ -142,9 +142,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "idle_rich_customers",
     "promo_revenue_share",
     "market_share",
-    "agg_grouping_sets",
     # -- new r12 operators (displaced fillers; zero driver evidence) --
     "traindata_curation_v2",
+    "curation_funnel_v2",
 )
 
 #: Everything still owed a fresh driver row AFTER this round's window,
@@ -158,6 +158,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 ROTATION_BACKLOG: tuple[str, ...] = (
     # r6-stable fillers displaced from the r12 window by new operators
     "nation_trade_flows",
+    "agg_grouping_sets",
     # r9-green core tier (stale when CORRECTNESS_r12 lands)
     "join_anti_incremental",
     "events_asof_enrich",
@@ -421,8 +422,10 @@ CORE_TIER: frozenset[str] = frozenset({
     # streaming surface is whole-cohort core
     "events_streaming_matview_upsert",
     # r12: the composed five-stage curation pipeline is the definition
-    # of a multi-stage heavy plan
+    # of a multi-stage heavy plan; its audit funnel shares the
+    # pair/CC pass
     "traindata_curation_v2",
+    "curation_funnel_v2",
 })
 
 
