@@ -3967,7 +3967,15 @@ def q_traindata_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure arithmetic, pricing is one explode + broadcast-vocab join
     reduced map-side, and the packing window partitions by
     (split, shard) — state bounded per shard exactly as the
-    standalone packer.  NOTE: construction executes stages 1–2 and
+    standalone packer.  Plan review (r12, executedPlan read): the
+    survivor subplan is derived twice (attribute side + pricing
+    side) — both are cheap re-scans of the materialized cleaned
+    table joined to the post-CC broadcast frames, the documented
+    bound-first class; the vocab and cluster frames broadcast; the
+    final attach is planner-chosen from the cleaned table's HONEST
+    parquet estimate (not explode-derived — the planner-trust
+    criterion), so it degrades to sort-merge at scale on its own.
+    NOTE: construction executes stages 1–2 and
     the BPE train (the winsorized plan-time precedent); the RETURNED
     plan reads the cleaned table + one raw scan for the vocab."""
     cl = _cv2_cleaned(spark, sf_dir)
