@@ -1836,10 +1836,15 @@ def duplicate_ngram_spans_observed(
     """Probe/bench twin of `duplicate_ngram_spans` with the skew-guard
     metrics riding the job itself (VERDICT r11 ask #3): two
     ``DataFrame.observe`` taps — corpus size on the doc scan, hottest
-    gram df on the windowed frame — piggyback on the aggregation
-    partials for free, so ANY production-sized run of the probe path
-    reports the skew precondition it depends on, not just the fixture
-    (the fixture-side pin is test_duplicate_ngram_spans_skew_guard).
+    gram df on the windowed frame — so ANY production-sized run of
+    the probe path reports the skew precondition it depends on, not
+    just the fixture (the fixture-side pin is
+    test_duplicate_ngram_spans_skew_guard).  Measured cost of the
+    taps at sf1: ~0.3–0.6 s on a ~1.5 s query (the gram-side
+    CollectMetrics sits between the window and the partial aggregate,
+    narrowing the codegen span) — fine for a diagnostics/probe run,
+    which is why the taps live on this twin and not the registered
+    query.
 
     Returns ``(result, check)``: materialize ``result`` first (an
     Observation is populated by job completion), then ``check()``
