@@ -72,94 +72,19 @@ def _load_all() -> None:
 #: checked window.  So the window is pinned EXPLICITLY: these names are
 #: moved to the front (in this order) after all modules register.
 #:
-#: ROUND-12 COMPOSITION (VERDICT r11 ask #1 — CORRECTNESS_r11 landed
-#: 50/50 green and the r11 artifacts are committed, f94a685).  Exactly
-#: the r11 backlog's pre-planned order: `dedup_survivors_quality`
-#: first (the one zero-driver-evidence name, landed after the r11
-#: window filled), then the 27 r8-green core-tier names that crossed
-#: the 3-round core cap when CORRECTNESS_r11 landed, then 2 of the 16
-#: r9-green core names that cross the cap the moment CORRECTNESS_r12
-#: lands (taken early: the flagship's plan changed in r11 — the
-#: size-gated broadcast — so a fresh driver row is the most valuable
-#: slot in the round; the other 14 head the backlog as the r13 plan),
-#: then the 10 r6-stable names due by r16 and the 10 r6-stable
-#: fillers displaced from the r11 window.  New r12 operators displace
-#: fillers from the TAIL of this window as they are registered
-#: (fillers move back to the backlog).
+#: ROUND-13 COMPOSITION (VERDICT r12 ask #1 — CORRECTNESS_r12 landed
+#: 50/50 green and the driver committed the r12 artifacts itself,
+#: 092d288).  Exactly the r12 backlog's pre-planned order: the 14
+#: r9-green core-tier names that crossed the 3-round core cap when
+#: CORRECTNESS_r12 landed, then the 15 r10-green core names that
+#: cross the cap the moment CORRECTNESS_r13 lands (refreshed in the
+#: same round, the established pattern), then the oldest stable-tier
+#: fillers (r6/r7-green — not due until r16/r17, taken early to buy
+#: future slack).  New r13 operators displace fillers from the TAIL
+#: of this window as they are registered (fillers move back to the
+#: backlog).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- zero-evidence r11 late addition (backlog head) ---------------
-    "dedup_survivors_quality",
-    # -- r8-green core tier (crossed the 3-round cap at r11) ----------
-    "fact_build_transform",
-    "join_salted_skew",
-    "join_skew_isolated",
-    "pit_dim_join",
-    "text_analysis_profile",
-    "dedup_incremental_index",
-    "dedup_simhash_pairs",
-    "dedup_semantic",
-    "multimodal_features",
-    "multimodal_resize",
-    "blocking_snm_candidates",
-    "dedup_containment",
-    "events_streaming_tumbling",
-    "events_session_window",
-    "events_streaming_session",
-    "events_stream_stream_join",
-    "events_streaming_rate_alert",
-    "traindata_sequence_packing",
-    "sample_weighted",
-    "quality_classifier_distill",
-    "lm_perplexity_score",
-    "quality_psi_drift",
-    "inverted_index_postings",
-    "pagerank_trade_graph",
-    "frequent_itemset_pairs",
-    "triangle_count_parts",
-    "audience_overlap_sketch",
-    # -- r9-green core taken one round early (plan changed r11 /
-    #    heavy ANN path; the other 14 r9-green names head the backlog)
-    "flagship_star_metrics",
-    "similarity_topk",
-    # -- r6-stable remainder (due by r16, taken early — slots exist) --
-    "shipping_priority",
-    "forecast_revenue_delta",
-    "product_profit_by_nation_year",
-    "customer_order_distribution",
-    "top_supplier_revenue",
-    "supplier_part_variety",
-    "large_volume_customers",
-    "dominant_part_suppliers",
-    "sole_return_suppliers",
-    "fulfillment_latency_profile",
-    # -- r6-stable fillers (displaceable tail; newest-registered new
-    #    operators take these slots first) ----------------------------
-    "min_cost_supplier",
-    "disjunctive_predicate_join",
-    "small_quantity_revenue",
-    "lateral_topk_suppliers",
-    "supplier_value_concentration",
-    "idle_rich_customers",
-    "promo_revenue_share",
-    "market_share",
-    # -- new r12 operators (displaced fillers; zero driver evidence) --
-    "traindata_curation_v2",
-    "curation_funnel_v2",
-)
-
-#: Everything still owed a fresh driver row AFTER this round's window,
-#: pre-ordered as the r13 window plan.  Composition — count it from the
-#: list, not this comment (ADVICE r9): the 14 r9-green core-tier names
-#: that cross the 3-round core cap once CORRECTNESS_r12 lands (last
-#: green r9 <= 12 - 3; two of the sixteen were taken early into the
-#: r12 window above).  New operators registered mid-round go to the
-#: WINDOW (they have zero evidence), displacing fillers back to this
-#: list.
-ROTATION_BACKLOG: tuple[str, ...] = (
-    # r6-stable fillers displaced from the r12 window by new operators
-    "nation_trade_flows",
-    "agg_grouping_sets",
-    # r9-green core tier (stale when CORRECTNESS_r12 lands)
+    # -- r9-green core tier (crossed the 3-round cap at r12) ----------
     "join_anti_incremental",
     "events_asof_enrich",
     "events_range_join",
@@ -174,6 +99,105 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "bpe_merge_pairs",
     "user_event_sequences",
     "dedup_cluster_assign_star",
+    # -- r10-green core tier (cross the cap when CORRECTNESS_r13
+    #    lands; refreshed in the same round) --------------------------
+    "agg_geomean_udaf",
+    "agg_percentile",
+    "binaryfile_ingest_scan",
+    "bpe_compression_by_source",
+    "bpe_merge_iterations",
+    "bpe_vocab_segmentation",
+    "dataset_hash_split",
+    "dedup_embedding_lsh",
+    "doc_chunking_udtf",
+    "grouped_zscore_applyinpandas",
+    "leakage_safe_split",
+    "mapinarrow_bytelen",
+    "orc_roundtrip_scan",
+    "pareto_revenue_share",
+    "python_datasource_stream",
+    # -- oldest stable-tier fillers (r6-green, due r16) ---------------
+    "nation_trade_flows",
+    "agg_grouping_sets",
+    # -- r7-green stable fillers (due r17; displaceable tail — newest-
+    #    registered new operators take these slots first) -------------
+    "set_except_all",
+    "set_intersect_all",
+    "union_by_name_evolution",
+    "try_arithmetic_safety",
+    "pivot_lang_counts",
+    "dq_observed_metrics",
+    "string_agg_langs",
+    "events_local_hour_profile",
+    "quantity_width_buckets",
+    "regex_token_mentions",
+    "content_hash_manifest",
+    "token_array_hof_profile",
+    "doc_chunking",
+    "vocab_top_terms",
+    "sample_stratified",
+    "quality_repetition",
+    "funnel_conversion",
+    "retention_cohorts",
+    "anomaly_zscore",
+)
+
+#: Everything still owed a fresh driver row AFTER this round's window,
+#: pre-ordered as the r14 window plan.  Composition — count it from the
+#: list, not this comment (ADVICE r9): the 40 r11-green core-tier names
+#: that cross the 3-round core cap the moment CORRECTNESS_r14 lands
+#: (last green r11 <= 14 - 3), then the r7-green stable fillers not
+#: taken into the r13 window.  New operators registered mid-round go
+#: to the WINDOW (they have zero evidence), displacing fillers back to
+#: this list.
+ROTATION_BACKLOG: tuple[str, ...] = (
+    # r11-green core tier (stale when CORRECTNESS_r14 lands)
+    "agg_rollup",
+    "agg_scale_sketches",
+    "agg_winsorized_stats",
+    "bpe_apply_saved_vocab",
+    "bpe_fertility_by_lang",
+    "chunk_dedup_clean",
+    "contamination_span_lengths",
+    "corpus_pair_overlap",
+    "decontaminate_eval_overlap",
+    "decontaminate_fuzzy",
+    "decontaminate_fuzzy_incremental",
+    "dedup_cluster_assign",
+    "dedup_embedding_cosine",
+    "dedup_exact_canonical",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dsir_importance_weights",
+    "duplicate_ngram_spans",
+    "duplicate_span_removal",
+    "events_sliding_window",
+    "events_stream_stream_left_join",
+    "events_streaming_dedupe",
+    "events_streaming_dedupe_ttl",
+    "events_streaming_matview_upsert",
+    "events_streaming_stateful_totals",
+    "events_streaming_static_join",
+    "events_tumbling_hourly",
+    "export_shards",
+    "join_null_safe",
+    "metric_view_curation",
+    "mixture_bpe_budget",
+    "multimodal_frame_sample",
+    "packing_bpe_budget",
+    "pii_redact",
+    "python_datasource_scan",
+    "sql_ai_functions",
+    "temporal_embargo_split",
+    "tf_idf",
+    "traindata_curation_pipeline",
+    "zorder_key_events",
+    # r7-green stable fillers not taken into the r13 window (due r17)
+    "agg_incremental_merge",
+    "agg_sketch_rollup",
+    "latest_event_per_user",
+    "window_forward_fill",
+    "window_value_range_frame",
 )
 
 #: --- Rotation tiers (VERDICT r7 ask #2) -------------------------------
