@@ -350,8 +350,12 @@ def stream_matview_upsert(
     recovery contract as :func:`stream_append_idempotent`, extended
     from insert-only to update-in-place. Runs the bounded source to
     completion (availableNow) and returns the number of non-empty
-    micro-batches it processed (from ``recentProgress``, so throughput
-    probes never hard-code a batch count — ADVICE r11).
+    micro-batches it processed, counted INSIDE the foreachBatch sink
+    (ADVICE r12: ``recentProgress`` is a ring buffer capped by
+    ``spark.sql.streaming.numRecentProgressUpdates`` — default 100 —
+    so a >100-batch run would silently undercount; the sink-side
+    counter has no cap, and throughput probes never hard-code a batch
+    count — ADVICE r11).
 
     ``partition_by`` flows to :meth:`TableStore.upsert`'s
     partition-pruned MERGE (VERDICT r11 ask #5): with a serving table
@@ -361,7 +365,12 @@ def stream_matview_upsert(
     table — the per-batch rewrite cost that otherwise grows with
     serving-table age.  A/B measured in BASELINE.md."""
 
+    non_empty = [0]
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        non_empty[0] += 1
         if store.exists(layer, name):
             store.upsert(
                 layer, name, batch_df, key_cols, partition_by=partition_by
@@ -381,9 +390,8 @@ def stream_matview_upsert(
         writer = writer.option("checkpointLocation", checkpoint_dir)
     q = writer.start()
     q.processAllAvailable()
-    batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
     q.stop()
-    return batches
+    return non_empty[0]
 
 
 # --------------------------------------------------------------------------

@@ -778,7 +778,13 @@ def test_tablestore_upsert_partition_pruned(spark, tmp_path):
     the full-rewrite upsert, AND the untouched partition's data files
     are bit-for-bit the ones written before the upsert (never read,
     never rewritten: the physical property that makes the serving
-    table viable at 100 TB when updates are partition-local)."""
+    table viable at 100 TB when updates are partition-local).
+
+    The key is ``(day, k)`` — partition columns MUST be part of the
+    key (ADVICE r12): the pruned anti-join never scans untouched
+    partitions, so a bare-``k`` key whose day changed would leave its
+    stale row alive there. ``upsert`` now rejects that shape
+    (tested below)."""
     import os
 
     from gaming_ai_analytics_spark.sources.io import TableStore
@@ -789,7 +795,7 @@ def test_tablestore_upsert_partition_pruned(spark, tmp_path):
          ("d3", 4, 40.0)],
         ["day", "k", "x"],
     )
-    store.upsert("serve", "kv", base, ["k"], partition_by=["day"])
+    store.upsert("serve", "kv", base, ["day", "k"], partition_by=["day"])
     p = store.path("serve", "kv")
 
     def files_of(part):
@@ -805,7 +811,7 @@ def test_tablestore_upsert_partition_pruned(spark, tmp_path):
         [("d1", 2, 99.0), ("d2", 5, 50.0), ("d4", 6, 60.0)],
         ["day", "k", "x"],
     )
-    store.upsert("serve", "kv", updates, ["k"], partition_by=["day"])
+    store.upsert("serve", "kv", updates, ["day", "k"], partition_by=["day"])
     got = sorted(tuple(r) for r in store.load("serve", "kv").collect())
     assert got == [
         (1, 10.0, "d1"),   # untouched row in a touched partition
@@ -821,3 +827,26 @@ def test_tablestore_upsert_partition_pruned(spark, tmp_path):
     assert not [
         d for d in os.listdir(p) if "._preupsert" in d or "._upsert" in d
     ]
+
+
+def test_tablestore_upsert_pruned_rejects_unsafe_shapes(spark, tmp_path):
+    """ADVICE r12 guards: (1) partition columns not covered by the key
+    would let a partition-moving key leave a stale duplicate in an
+    untouched partition — rejected up front; (2) underscore/dot-leading
+    partition column names produce ``_day=...`` leaf dirs that both
+    Spark's read-side discovery and the staged-swap loop skip as
+    committer metadata — the rewritten partition would be silently
+    lost — also rejected."""
+    import pytest as _pytest
+
+    from gaming_ai_analytics_spark.sources.io import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([("d1", 1, 10.0)], ["day", "k", "x"])
+    with _pytest.raises(ValueError, match="subset of key_cols"):
+        store.upsert("serve", "kv2", df, ["k"], partition_by=["day"])
+    df2 = df.withColumnRenamed("day", "_day")
+    with _pytest.raises(ValueError, match="must not start with"):
+        store.upsert(
+            "serve", "kv3", df2, ["_day", "k"], partition_by=["_day"]
+        )
