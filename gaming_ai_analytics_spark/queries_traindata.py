@@ -3836,6 +3836,12 @@ register(
 # dedup -> leakage-safe split -> BPE-priced packing (VERDICT r11 ask #4)
 # --------------------------------------------------------------------------
 _CURATION_V2_DIRS: dict[str, str] = {}  # sf_dir -> warehouse dir
+#: sf_dir -> source fingerprint the cleaned_fx table was built from
+#: (VERDICT r12 ask #3: the cached-or-build guard below)
+_CURATION_V2_BUILT: dict[str, str] = {}
+import threading as _threading  # noqa: E402  (module-local lock import)
+
+_CURATION_V2_LOCK = _threading.Lock()
 
 
 def _curation_v2_dir(sf_dir: str) -> str:
@@ -3851,6 +3857,27 @@ def _curation_v2_dir(sf_dir: str) -> str:
         atexit.register(shutil.rmtree, d, ignore_errors=True)
         _CURATION_V2_DIRS[sf_dir] = d
     return _CURATION_V2_DIRS[sf_dir]
+
+
+def _cv2_source_fingerprint(sf_dir: str) -> str:
+    """Cheap staleness key for the cached stage-boundary table: the
+    (name, size, mtime) listing of the source documents parquet.  A
+    regenerated fixture drifts the fingerprint and forces a rebuild;
+    os.stat only — no Spark job."""
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    paths = [p]
+    if os.path.isdir(p):
+        paths = sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(p)
+            for f in fs
+            if not f.startswith((".", "_"))
+        )
+    return ";".join(
+        f"{q}:{os.stat(q).st_size}:{os.stat(q).st_mtime_ns}" for q in paths
+    )
 
 
 def _cv2_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3877,22 +3904,39 @@ def _cv2_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """curation-v2 stage 2: ExactSubstr span removal over the gated
     corpus, MATERIALIZED as the pipeline's stage-boundary table and
     read back (four downstream consumers; A/B of materializing vs
-    re-deriving in BASELINE.md / tools/exp_curation_v2.py)."""
+    re-deriving in BASELINE.md / tools/exp_curation_v2.py).
+
+    CACHED-OR-BUILD (VERDICT r12 ask #3): the build runs at most once
+    per (process, sf_dir, source fingerprint) under a lock — the
+    funnel twin and the pipeline share the table instead of each
+    re-running the gate + ExactSubstr job and racing on the same
+    write path.  After the first build, constructing either v2 query
+    is plan-only on this stage (the remaining plan-time execution —
+    the first build itself and the BPE train — is documented in
+    tools/plan_audit.py's exception list).  The fingerprint (source
+    parquet name/size/mtime listing) forces a rebuild if the fixture
+    is regenerated mid-process."""
     from gaming_ai_analytics_spark.operators.dedup import (
         remove_duplicate_spans,
     )
     from gaming_ai_analytics_spark.sources.io import TableStore
 
-    cleaned = remove_duplicate_spans(
-        _cv2_gated(spark, sf_dir), carry=("source",)
-    ).select(
-        "doc_id",
-        "source",
-        "n_removed",
-        F.col("cleaned_text").alias("text"),
-    )
-    store = TableStore(spark, _curation_v2_dir(sf_dir))
-    store.save("cur", "cleaned_fx", cleaned, mode="overwrite")
+    with _CURATION_V2_LOCK:
+        fp = _cv2_source_fingerprint(sf_dir)
+        store = TableStore(spark, _curation_v2_dir(sf_dir))
+        if _CURATION_V2_BUILT.get(sf_dir) != fp or not store.exists(
+            "cur", "cleaned_fx"
+        ):
+            cleaned = remove_duplicate_spans(
+                _cv2_gated(spark, sf_dir), carry=("source",)
+            ).select(
+                "doc_id",
+                "source",
+                "n_removed",
+                F.col("cleaned_text").alias("text"),
+            )
+            store.save("cur", "cleaned_fx", cleaned, mode="overwrite")
+            _CURATION_V2_BUILT[sf_dir] = fp
     return store.load("cur", "cleaned_fx")
 
 
@@ -3921,6 +3965,40 @@ def _cv2_survivors(cl: DataFrame) -> DataFrame:
         .select("doc_id")
     )
     return cl.join(F.broadcast(losers), "doc_id", "left_anti")
+
+
+#: sf_dir -> source fingerprint the vocab_fx table was built from
+_CV2_VOCAB_BUILT: dict[str, str] = {}
+
+
+def _cv2_priced_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curation-v2 stage 5a: the tokenizer's priced vocabulary
+    (word -> trained-BPE token count), trained ONCE on the raw corpus
+    and MATERIALIZED next to the stage-boundary table under the same
+    cached-or-build guard (VERDICT r12 ask #3): the BPE train is an
+    iterative driver-paced job, so without the cache every
+    construction of the v2 pipeline — including plan-only consumers
+    like tools/plan_audit.py — re-paid the full train."""
+    from gaming_ai_analytics_spark.sources.io import TableStore
+
+    with _CURATION_V2_LOCK:
+        fp = _cv2_source_fingerprint(sf_dir)
+        store = TableStore(spark, _curation_v2_dir(sf_dir))
+        if _CV2_VOCAB_BUILT.get(sf_dir) != fp or not store.exists(
+            "cur", "vocab_fx"
+        ):
+            _, state = bpe_train(
+                _word_counts(spark, sf_dir), BPE_ROUNDS, return_state=True
+            )
+            store.save(
+                "cur",
+                "vocab_fx",
+                state.select(
+                    "w", F.size(F.split("seg", _BPE_SEP)).alias("_n_tok")
+                ),
+            )
+            _CV2_VOCAB_BUILT[sf_dir] = fp
+    return store.load("cur", "vocab_fx")
 
 
 def q_traindata_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3975,21 +4053,19 @@ def q_traindata_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     final attach is planner-chosen from the cleaned table's HONEST
     parquet estimate (not explode-derived — the planner-trust
     criterion), so it degrades to sort-merge at scale on its own.
-    NOTE: construction executes stages 1–2 and
-    the BPE train (the winsorized plan-time precedent); the RETURNED
-    plan reads the cleaned table + one raw scan for the vocab."""
+    NOTE: the FIRST construction per process executes stages 1–2 and
+    the BPE train and materializes both (the winsorized plan-time
+    precedent, now bounded: cached-or-build under a lock keyed on the
+    source fingerprint — VERDICT r12 ask #3); every later
+    construction, including the funnel twin and plan-audit sweeps, is
+    plan-only reads of the two materialized tables."""
     cl = _cv2_cleaned(spark, sf_dir)
     survivors = _cv2_survivors(cl)
     from gaming_ai_analytics_spark.functions.text import quality_score
 
     q = quality_score(F.col("text"))
     # stage 5a: tokenizer trained once on the RAW corpus, vocab-bounded
-    _, state = bpe_train(
-        _word_counts(spark, sf_dir), BPE_ROUNDS, return_state=True
-    )
-    word_tokens = state.select(
-        "w", F.size(F.split("seg", _BPE_SEP)).alias("_n_tok")
-    )
+    word_tokens = _cv2_priced_vocab(spark, sf_dir)
     priced = (
         survivors.select(
             "doc_id", F.explode(tokens(F.col("text"))).alias("w")

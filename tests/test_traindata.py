@@ -1722,3 +1722,45 @@ def test_traindata_curation_v2_stages(spark, tmp_path):
             assert r.seq_id == cum // 4096, r
             assert r.seq_offset == cum % 4096, r
             cum += r.n_bpe_tokens
+
+
+def test_curation_v2_concurrent_construction_builds_once(spark):
+    """VERDICT r12 ask #3: constructing the pipeline and its funnel
+    twin CONCURRENTLY must be safe — the stage-boundary materialization
+    is cached-or-build under a lock, so the two threads share ONE
+    build instead of racing overwrites on the same parquet path, and a
+    SECOND construction round is plan-only (no further builds)."""
+    import concurrent.futures
+
+    from gaming_ai_analytics_spark import queries_traindata as qt
+
+    calls = []
+    orig = qt._cv2_gated
+
+    def counting_gated(sp, sf):
+        calls.append(sf)
+        return orig(sp, sf)
+
+    sf = "/root/testdata/sf0.001"
+    # force a fresh build for this sf_dir regardless of earlier tests
+    qt._CURATION_V2_BUILT.pop(sf, None)
+    qt._CV2_VOCAB_BUILT.pop(sf, None)
+    qt._CURATION_V2_DIRS.pop(sf, None)
+    qt._cv2_gated = counting_gated
+    try:
+        with concurrent.futures.ThreadPoolExecutor(2) as ex:
+            f1 = ex.submit(qt.q_traindata_curation_v2, spark, sf)
+            f2 = ex.submit(qt.q_curation_funnel_v2, spark, sf)
+            df1, df2 = f1.result(), f2.result()
+        # _cv2_gated feeds ONLY the span-removal build (the funnel's
+        # raw+gate audit row is its own inline conditional aggregate)
+        # — exactly one build between the two concurrent constructions
+        assert len(calls) == 1, calls
+        assert df1.count() > 0 and df2.count() > 0
+        # second construction round: plan-only, no further gate calls
+        calls.clear()
+        qt.q_traindata_curation_v2(spark, sf)
+        qt.q_curation_funnel_v2(spark, sf)
+        assert calls == [], calls
+    finally:
+        qt._cv2_gated = orig

@@ -2,12 +2,26 @@
 
 Sweeps every registered batch query (plan construction only — no
 execution, AQE off so the executed-plan text shows real scans rather
-than reprinted reused subtrees; exception: `agg_winsorized_stats`
-collects its percentile cuts at DataFrame-construction time, so that
-one query executes its pass 1 here — its RETURNED plan is a single
-literal-inlined lineitem scan, which is exactly what the audit should
-see and why it carries no MULTI_SCAN_JUSTIFIED entry, ADVICE r11) and
-reports:
+than reprinted reused subtrees) and reports findings.  Documented
+construction-time execution exceptions (VERDICT r12 ask #3 — every
+other query constructs side-effect-free):
+
+- `agg_winsorized_stats` collects its percentile cuts at
+  DataFrame-construction time (bounded: one 2-row quantile pass); its
+  RETURNED plan is a single literal-inlined lineitem scan, which is
+  exactly what the audit should see and why it carries no
+  MULTI_SCAN_JUSTIFIED entry (ADVICE r11).
+- `traindata_curation_v2` / `curation_funnel_v2`: the FIRST
+  construction per (process, sf_dir) runs the rule gate + ExactSubstr
+  span-removal job and the BPE train, materializing the pipeline's
+  two stage-boundary tables.  Both builds are cached-or-build under
+  one lock keyed on the source-parquet fingerprint
+  (queries_traindata.py `_cv2_cleaned` / `_cv2_priced_vocab`), so the
+  twin queries share the tables instead of racing on the write path,
+  and every construction after the first — including this audit's —
+  is plan-only reads of the materialized tables.
+
+It reports:
 
 - **multi-scan**: the same source table scanned more than once in one
   query. Re-referencing a fact subplan across branches depends on
