@@ -1456,12 +1456,43 @@ def cross_corpus_minhash(
     )
 
 
+def distinct_kgrams(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """The corpus's distinct word ``k``-gram PRESENCE SET — one
+    ``(g)`` row per gram string appearing anywhere.  This is the
+    state :func:`remove_duplicate_spans_state` persists for
+    incremental span removal: in a full rebuild over
+    (corpus ∪ increment), an increment gram is duplicated (df >= 2)
+    iff it appears >= 2 times within the increment OR at least once
+    in the corpus — so corpus presence, not corpus df, is what the
+    nightly probe needs.  Map-only explode + one distinct shuffle on
+    the gram key."""
+    toks = docs.select(id_col, tokens(F.col(text_col)).alias("t"))
+    return (
+        toks.filter(F.size("t") >= k)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - k),
+                    lambda i: F.array_join(F.slice("t", i + 1, k), " "),
+                )
+            ).alias("g")
+        )
+        .distinct()
+    )
+
+
 def remove_duplicate_spans(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
     carry: tuple[str, ...] = (),
+    extra_flag_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-document duplicated-span REMOVAL (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better" —
@@ -1471,6 +1502,16 @@ def remove_duplicate_spans(
     whose every token is covered vanish.  ``carry`` columns ride
     through unchanged (they join the reassembly group key — must be
     functionally dependent on ``id_col``).
+
+    ``extra_flag_grams`` (the INCREMENTAL form, VERDICT r12 ask #2):
+    a ``(g)`` frame of grams known duplicated elsewhere — the
+    persisted corpus presence set from :func:`distinct_kgrams`.  A
+    gram is then flagged if duplicated WITHIN ``docs`` (df >= 2) OR
+    present in the set, which is exactly what a full rebuild over
+    (corpus ∪ docs) would decide for ``docs``'s tokens.  The set
+    side joins on the gram key — persisted bucketed on ``g``, the
+    corpus side never re-shuffles; the default ``None`` path plans
+    byte-identically to before.
 
     Shared by the registered `duplicate_span_removal` query and the
     `traindata_curation_v2` pipeline stage; the full scale-shape
@@ -1495,9 +1536,18 @@ def remove_duplicate_spans(
         ).alias("i", "g"),
     )
     gd = gp.groupBy("g", id_col).agg(F.collect_list("i").alias("starts"))
-    flagged = gd.withColumn(
+    with_df = gd.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("g"))
-    ).filter(F.col("df") >= 2)
+    )
+    if extra_flag_grams is not None:
+        known = extra_flag_grams.select("g").withColumn(
+            "_known", F.lit(True)
+        )
+        flagged = with_df.join(known, "g", "left").filter(
+            (F.col("df") >= 2) | F.col("_known").isNotNull()
+        )
+    else:
+        flagged = with_df.filter(F.col("df") >= 2)
     covered = flagged.select(
         id_col,
         F.explode(

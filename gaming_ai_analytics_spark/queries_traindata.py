@@ -3841,7 +3841,9 @@ _CURATION_V2_DIRS: dict[str, str] = {}  # sf_dir -> warehouse dir
 _CURATION_V2_BUILT: dict[str, str] = {}
 import threading as _threading  # noqa: E402  (module-local lock import)
 
-_CURATION_V2_LOCK = _threading.Lock()
+# RLock: `_cv2i_state` composes `_cv2_priced_vocab` while already
+# holding the guard — re-entry by the same thread must not deadlock
+_CURATION_V2_LOCK = _threading.RLock()
 
 
 def _curation_v2_dir(sf_dir: str) -> str:
@@ -4434,4 +4436,438 @@ register(
     "curation_funnel_v2",
     q_curation_funnel_v2,
     _curation_funnel_oracle(),
+)
+
+
+# --------------------------------------------------------------------------
+# curation v2 INCREMENTAL: the nightly-increment composition over
+# persisted state (VERDICT r12 ask #2)
+# --------------------------------------------------------------------------
+_CV2I_DIRS: dict[str, str] = {}  # sf_dir -> state warehouse dir
+_CV2I_BUILT: dict[str, str] = {}  # sf_dir -> source fingerprint built
+
+
+def _cv2i_dir(sf_dir: str) -> str:
+    if sf_dir not in _CV2I_DIRS:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="gaa_curv2i_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _CV2I_DIRS[sf_dir] = d
+    return _CV2I_DIRS[sf_dir]
+
+
+def _cv2i_token(sf_dir: str) -> str:
+    """Stable per-sf suffix for the CATALOG-managed bucketed state
+    tables (band/shingle/gram indexes): managed table names are
+    process-global, so without this a build at one sf would be read
+    back by a cached probe at another."""
+    import hashlib
+
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+
+
+def _cv2i_state(spark: SparkSession, sf_dir: str):
+    """Build-ONCE persisted curation state the nightly increment runs
+    against (cached-or-build under the same lock + source-fingerprint
+    guard as the full pipeline's stage boundary; rebuilt if the
+    session's catalog lost the bucketed tables):
+
+    - ``grams{tok}`` — the GATED corpus's distinct 8-gram presence
+      set, bucketed on ``g`` (``distinct_kgrams``): the increment's
+      span-removal probe joins it on the gram key with zero corpus
+      re-shuffle.
+    - ``cleaned_fx`` / ``survivors_fx`` — the corpus side of stages
+      2-3 (its own ExactSubstr + survivor-quality dedup, exactly the
+      full pipeline restricted to the corpus slice).
+    - ``surv{tok}_lsh*`` — ``save_minhash_index`` over the corpus
+      SURVIVORS' cleaned text (+ parameter meta, so a probe cannot
+      hash differently than the build).
+    - ``packstate_fx`` — per-(split, shard) total BPE tokens of the
+      packed corpus survivors: the 24-row frame increment packing
+      continues from.
+
+    Returns the state's TableStore."""
+    from gaming_ai_analytics_spark.operators.dedup import (
+        distinct_kgrams,
+        remove_duplicate_spans,
+        save_minhash_index,
+    )
+    from gaming_ai_analytics_spark.sources.io import TableStore
+
+    tok = _cv2i_token(sf_dir)
+    with _CURATION_V2_LOCK:
+        fp = _cv2_source_fingerprint(sf_dir)
+        store = TableStore(spark, _cv2i_dir(sf_dir))
+        if (
+            _CV2I_BUILT.get(sf_dir) != fp
+            or not store.exists("cur", "packstate_fx")
+            or not spark.catalog.tableExists(
+                store.table_name("cur", f"grams{tok}")
+            )
+        ):
+            gated = _cv2_gated(spark, sf_dir).filter(
+                F.col("doc_id") % 10 != 0
+            )
+            store.save_bucketed(
+                "cur", f"grams{tok}", distinct_kgrams(gated),
+                ["g"], 8, sort_cols=["g"],
+            )
+            cleaned = remove_duplicate_spans(
+                gated, carry=("source",)
+            ).select(
+                "doc_id",
+                "source",
+                "n_removed",
+                F.col("cleaned_text").alias("text"),
+            )
+            store.save("cur", "cleaned_fx", cleaned)
+            store.save(
+                "cur", "survivors_fx",
+                _cv2_survivors(store.load("cur", "cleaned_fx")),
+            )
+            surv = store.load("cur", "survivors_fx")
+            save_minhash_index(
+                store, "cur", f"surv{tok}", surv, "doc_id", "text",
+                num_buckets=8,
+            )
+            vocab = _cv2_priced_vocab(spark, sf_dir)
+            priced = (
+                surv.select(
+                    "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+                )
+                .join(F.broadcast(vocab), "w")
+                .groupBy("doc_id")
+                .agg(F.sum("_n_tok").cast("long").alias("n_bpe_tokens"))
+            )
+            packstate = (
+                surv.select(
+                    "doc_id",
+                    split_assign(F.col("doc_id")).alias("split"),
+                    (F.col("doc_id") % 8).cast("int").alias("shard"),
+                )
+                .join(priced, "doc_id")
+                .groupBy("split", "shard")
+                .agg(F.sum("n_bpe_tokens").cast("long").alias("base_cum"))
+            )
+            store.save("cur", "packstate_fx", packstate)
+            _CV2I_BUILT[sf_dir] = fp
+    return store
+
+
+def q_traindata_curation_v2_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The NIGHTLY-INCREMENT form of `traindata_curation_v2` — the
+    production shape the full rebuild lacks (VERDICT r12 ask #2): a
+    document increment (``doc_id % 10 = 0``, the
+    `dedup_incremental_index` convention) runs through the SAME five
+    stages against PERSISTED state built once from the corpus slice
+    (``doc_id % 10 != 0``), composing the three measured incremental
+    primitives.  Returns the curated increment DELTA — the rows a
+    nightly run appends — with the full pipeline's exact schema.
+
+      1. RULE GATE on the increment — map-only, same predicate.
+      2. SPAN REMOVAL, incremental: a token drops iff covered by an
+         8-gram duplicated WITHIN the gated increment (df >= 2) or
+         PRESENT in the persisted gated-corpus gram set — exactly
+         the duplication verdict a full rebuild over
+         (corpus ∪ increment) reaches for increment tokens
+         (``remove_duplicate_spans(extra_flag_grams=...)`` probing
+         the ``g``-bucketed presence index; corpus text is never
+         re-tokenized).
+      3. SURVIVOR-QUALITY NEAR-DUP, two-sided with corpus-wins
+         semantics: within-increment exact 3-shingle Jaccard >= 0.5
+         pairs → connected components → argmax-quality survivor
+         (identical machinery to the full pipeline on the small
+         increment frame), then every increment survivor matching a
+         persisted CORPUS survivor at Jaccard >= 0.5 is dropped via
+         ``minhash_lsh_pairs_incremental`` against the saved index —
+         the corpus copy already serves that content.  An increment
+         doc can NOT displace a lower-quality corpus survivor: an
+         append-only nightly cannot retract served rows (the one
+         deliberate, documented divergence from a full rebuild —
+         retraction requires the full-rebuild pipeline, run at
+         whatever cadence the product tolerates).
+      4. LEAKAGE-SAFE SPLIT — the multiplicative hash is pure
+         per-key arithmetic, so an increment doc lands in the SAME
+         split a full rebuild would give it, by construction.
+      5. BPE-PRICED PACKING, continued: priced under the SAME saved
+         vocabulary as the full pipeline (`_cv2_priced_vocab` — the
+         tokenizer release predates the batch), packed within
+         (split, shard) CONTINUING from the persisted corpus
+         packing offsets (``packstate_fx``), so increment sequences
+         append after the corpus sequences instead of restarting
+         shard positions at zero.
+
+    Scale shape — the per-night cost: one increment scan through the
+    gate; gram probe = increment grams shuffled to the bucketed
+    presence index (corpus side pre-bucketed on ``g``, never
+    re-shuffles); within-increment pairs shuffle increment shingles
+    only; the cross probe broadcasts the increment's band entries
+    against the bucketed band index (zero corpus exchange — the
+    `minhash_lsh_pairs_incremental` plan); pricing is one explode +
+    broadcast-vocab join; packing state is a 24-row broadcast.  No
+    stage re-scans corpus TEXT — the nightly cost tracks the
+    increment (sf10 decomposition in BASELINE.md vs the full
+    rebuild).  The in-query state build keeps the oracle
+    self-contained (the `dedup_incremental_index` precedent);
+    production builds state once and re-uses it every night.
+
+    Oracle recall note: the Spark cross-probe is banded-LSH-gated
+    with exact verification while the oracle computes exact
+    all-pairs Jaccard on the cleaned text; recall is 1.0 at the
+    fixtures' similarity gap, pinned by the dead-zone fixture
+    invariant test (the `decontaminate_fuzzy` discipline)."""
+    from gaming_ai_analytics_spark.functions.text import quality_score
+    from gaming_ai_analytics_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+        remove_duplicate_spans,
+    )
+
+    store = _cv2i_state(spark, sf_dir)
+    tok = _cv2i_token(sf_dir)
+    inc_gated = _cv2_gated(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    corpus_grams = spark.table(store.table_name("cur", f"grams{tok}"))
+    inc_cl = remove_duplicate_spans(
+        inc_gated, carry=("source",), extra_flag_grams=corpus_grams
+    ).select(
+        "doc_id", "source", "n_removed",
+        F.col("cleaned_text").alias("text"),
+    )
+    inc_surv = _cv2_survivors(inc_cl)
+    cross = minhash_lsh_pairs_incremental(
+        store, "cur", f"surv{tok}", inc_surv, "doc_id", "text",
+        threshold=0.5,
+    )
+    keep = inc_surv.join(
+        F.broadcast(
+            cross.select(F.col("id_new").alias("doc_id")).distinct()
+        ),
+        "doc_id",
+        "left_anti",
+    )
+    vocab = _cv2_priced_vocab(spark, sf_dir)
+    priced = (
+        keep.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("_n_tok").cast("long").alias("n_bpe_tokens"))
+    )
+    base = (
+        keep.select(
+            "doc_id",
+            "source",
+            split_assign(F.col("doc_id")).alias("split"),
+            (F.col("doc_id") % 8).cast("int").alias("shard"),
+            quality_score(F.col("text")).alias("quality"),
+            "n_removed",
+        )
+        .join(priced, "doc_id")
+        .join(
+            F.broadcast(store.load("cur", "packstate_fx")),
+            ["split", "shard"],
+            "left",
+        )
+        .na.fill({"base_cum": 0})
+    )
+    wpk = Window.partitionBy("split", "shard").orderBy("doc_id")
+    cum = F.sum("n_bpe_tokens").over(wpk)
+    off = F.col("base_cum") + cum - F.col("n_bpe_tokens")
+    seq_len = 4096
+    return base.select(
+        "doc_id",
+        "source",
+        "split",
+        "shard",
+        "quality",
+        "n_removed",
+        "n_bpe_tokens",
+        (off / seq_len).cast("int").alias("seq_id"),
+        (off % seq_len).cast("int").alias("seq_offset"),
+    )
+
+
+def _cv2i_span_chain_sql(p: str, pred: str, flag_extra: str = "") -> str:
+    """gate → ExactSubstr span-removal CTE chain for ONE side of the
+    incremental pipeline (prefix ``p``, doc predicate ``pred``),
+    textually the `_curation_v2_oracle` cv_ chain parameterized;
+    ``flag_extra`` widens the duplicated-gram condition (the
+    increment side ORs in the corpus presence probe)."""
+    return f"""
+    {p}gate AS (
+      SELECT doc_id, source, text FROM documents
+      WHERE {_NONEMPTY} AND ({pred})
+        AND CAST(len({_TOKS}) AS INT) BETWEEN 5 AND 100000
+        AND ROUND({_MEAN_WORD_LEN} + 5e-10, 4) BETWEEN 2.0 AND 12.0
+        AND ROUND({_PUNCT_RATIO} + 5e-10, 4) < 0.3
+        AND ROUND({_STOP_RATIO} + 5e-10, 4) > 0.01),
+    {p}toks AS (
+      SELECT doc_id, source, {_TOKS} AS t FROM {p}gate),
+    {p}gp AS (
+      SELECT doc_id, i,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+               || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+               || ' ' || t[i+7] AS g
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+            FROM {p}toks WHERE len(t) >= 8)),
+    {p}dg AS (SELECT DISTINCT doc_id, g FROM {p}gp),
+    {p}dfr AS (
+      SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM {p}dg),
+    {p}fl AS (
+      SELECT {p}gp.doc_id, {p}gp.i
+      FROM {p}gp JOIN {p}dfr ON {p}gp.doc_id = {p}dfr.doc_id
+                            AND {p}gp.g = {p}dfr.g
+      WHERE {p}dfr.df >= 2{flag_extra}),
+    {p}cov AS (
+      SELECT doc_id, unnest(generate_series(i, i + 7)) AS p FROM {p}fl),
+    {p}pos AS (
+      SELECT doc_id, source, len(t) AS n_tokens, unnest(t) AS tok,
+             unnest(generate_series(1, len(t))) AS p
+      FROM {p}toks),
+    {p}kept AS (
+      SELECT * FROM {p}pos
+      WHERE NOT EXISTS (SELECT 1 FROM {p}cov
+                        WHERE {p}cov.doc_id = {p}pos.doc_id
+                          AND {p}cov.p = {p}pos.p)),
+    {p}cleaned AS (
+      SELECT doc_id, source,
+             MAX(n_tokens) - COUNT(*) AS n_removed,
+             string_agg(tok, ' ' ORDER BY p) AS text
+      FROM {p}kept GROUP BY 1, 2)"""
+
+
+def _cv2i_cc_chain_sql(p: str) -> str:
+    """cleaned → exact-Jaccard pairs → recursive CC → quality-argmax
+    survivors for one side (same fragments as `_curation_v2_oracle`,
+    prefixed)."""
+    from gaming_ai_analytics_spark.functions.text_sql import QUALITY
+
+    return f"""
+    {p}ctoks AS (
+      SELECT doc_id, string_split_regex(TRIM(text), ' +') AS t
+      FROM {p}cleaned),
+    {p}sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+            FROM {p}ctoks WHERE len(t) >= 3)),
+    {p}sizes AS (SELECT doc_id, COUNT(*) AS n FROM {p}sh GROUP BY 1),
+    {p}pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM {p}sh a JOIN {p}sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    {p}jac AS (
+      SELECT id_a, id_b
+      FROM {p}pairs
+      JOIN {p}sizes na ON id_a = na.doc_id
+      JOIN {p}sizes nb ON id_b = nb.doc_id
+      WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5),
+    {p}edges AS (
+      SELECT id_a AS s, id_b AS d FROM {p}jac
+      UNION
+      SELECT id_b, id_a FROM {p}jac),
+    {p}reach AS (
+      SELECT s, d FROM {p}edges
+      UNION
+      SELECT r.s, e.d FROM {p}reach r JOIN {p}edges e ON r.d = e.s),
+    {p}clusters AS (
+      SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+      FROM {p}reach GROUP BY s),
+    {p}scored AS (
+      SELECT c.doc_id, c.cluster_id, {QUALITY} AS q
+      FROM {p}clusters c JOIN {p}cleaned ON c.doc_id = {p}cleaned.doc_id),
+    {p}ranked AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY q DESC, doc_id) AS rn
+      FROM {p}scored),
+    {p}survivors AS (
+      SELECT * FROM {p}cleaned
+      WHERE doc_id NOT IN (SELECT doc_id FROM {p}ranked WHERE rn > 1))"""
+
+
+def _cv2i_oracle(rounds: int) -> str:
+    """The incremental pipeline as ONE DuckDB statement: the oracle
+    RECOMPUTES the persisted state from scratch (corpus-side chain,
+    gram presence set, packing offsets, the shared full-corpus BPE
+    vocabulary) and then runs the increment chain against it — the
+    self-contained-oracle shape of `dedup_incremental_index`, scaled
+    up to the whole pipeline.  Cross-side survivor matching is exact
+    all-pairs Jaccard on the cleaned text (the Spark side is
+    banded-LSH-gated with exact verification; recall 1.0 at the
+    fixture gap, dead-zone-pinned by test)."""
+    from gaming_ai_analytics_spark.functions.text_sql import QUALITY
+
+    chain = _bpe_iterations_oracle(rounds)
+    head = chain[: chain.rindex("\n    SELECT CAST(1 AS INT)")]
+    head = head.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    split_sql = split_assign_sql("s.doc_id")
+    corpus = _cv2i_span_chain_sql("cp_", "doc_id % 10 <> 0")
+    increment = _cv2i_span_chain_sql(
+        "ic_",
+        "doc_id % 10 = 0",
+        " OR ic_dfr.g IN (SELECT g FROM cp_grams)",
+    )
+    return head + f""",
+    word_tokens AS (
+      SELECT w, len(string_split(seg, chr(31))) AS n_tok
+      FROM toks{rounds}),{corpus},
+    cp_grams AS (SELECT DISTINCT g FROM cp_gp),{_cv2i_cc_chain_sql("cp_")},
+    cp_words AS (
+      SELECT doc_id, unnest({_TOKS}) AS w FROM cp_survivors),
+    cp_priced AS (
+      SELECT doc_id, CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens
+      FROM cp_words JOIN word_tokens USING (w) GROUP BY 1),
+    cp_pack AS (
+      SELECT {split_sql} AS split,
+             CAST(s.doc_id % 8 AS INT) AS shard,
+             CAST(SUM(p.n_bpe_tokens) AS BIGINT) AS base_cum
+      FROM cp_survivors s JOIN cp_priced p ON s.doc_id = p.doc_id
+      GROUP BY 1, 2),{increment},{_cv2i_cc_chain_sql("ic_")},
+    x_drop AS (
+      SELECT DISTINCT i.doc_id
+      FROM (SELECT sh.* FROM ic_sh sh
+            JOIN ic_survivors sv ON sh.doc_id = sv.doc_id) i
+      JOIN (SELECT sh.doc_id, sh.s FROM cp_sh sh
+            JOIN cp_survivors sv ON sh.doc_id = sv.doc_id) c
+        ON i.s = c.s
+      JOIN ic_sizes na ON i.doc_id = na.doc_id
+      JOIN cp_sizes nb ON c.doc_id = nb.doc_id
+      GROUP BY i.doc_id, c.doc_id, na.n, nb.n
+      HAVING COUNT(*) * 1.0 / (na.n + nb.n - COUNT(*)) >= 0.5),
+    ic_keep AS (
+      SELECT * FROM ic_survivors
+      WHERE doc_id NOT IN (SELECT doc_id FROM x_drop)),
+    ic_words AS (
+      SELECT doc_id, unnest({_TOKS}) AS w FROM ic_keep),
+    ic_priced AS (
+      SELECT doc_id, CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens
+      FROM ic_words JOIN word_tokens USING (w) GROUP BY 1),
+    ic_base AS (
+      SELECT s.doc_id, s.source,
+             {split_sql} AS split,
+             CAST(s.doc_id % 8 AS INT) AS shard,
+             {QUALITY} AS quality,
+             s.n_removed, p.n_bpe_tokens
+      FROM ic_keep s JOIN ic_priced p ON s.doc_id = p.doc_id),
+    ic_cums AS (
+      SELECT b.*, COALESCE(k.base_cum, 0)
+               + SUM(b.n_bpe_tokens) OVER (PARTITION BY b.split, b.shard
+                                           ORDER BY b.doc_id) AS cum
+      FROM ic_base b
+      LEFT JOIN cp_pack k ON b.split = k.split AND b.shard = k.shard)
+    SELECT doc_id, source, split, shard, quality, n_removed,
+           n_bpe_tokens,
+           CAST(FLOOR((cum - n_bpe_tokens) / 4096.0) AS INT) AS seq_id,
+           CAST((cum - n_bpe_tokens) % 4096 AS INT) AS seq_offset
+    FROM ic_cums
+    """
+
+
+register(
+    "traindata_curation_v2_incremental",
+    q_traindata_curation_v2_incremental,
+    _cv2i_oracle(BPE_ROUNDS),
 )

@@ -139,7 +139,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "quality_repetition",
     "funnel_conversion",
     "retention_cohorts",
-    "anomaly_zscore",
+    # -- new r13 operators (displaced fillers; zero driver evidence) --
+    "traindata_curation_v2_incremental",
 )
 
 #: Everything still owed a fresh driver row AFTER this round's window,
@@ -198,6 +199,9 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "latest_event_per_user",
     "window_forward_fill",
     "window_value_range_frame",
+    # r7-green stable filler displaced from the r13 window tail by the
+    # round's new operator
+    "anomaly_zscore",
 )
 
 #: --- Rotation tiers (VERDICT r7 ask #2) -------------------------------
@@ -450,6 +454,9 @@ CORE_TIER: frozenset[str] = frozenset({
     # pair/CC pass
     "traindata_curation_v2",
     "curation_funnel_v2",
+    # r13: the nightly-increment composition over persisted dedup/BPE
+    # state (VERDICT r12 ask #2) — same multi-stage heavy family
+    "traindata_curation_v2_incremental",
 })
 
 

@@ -4,6 +4,7 @@ JSON queries in queries_ext."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from gaming_ai_analytics_spark.functions.text import token_chunks
@@ -1722,6 +1723,174 @@ def test_traindata_curation_v2_stages(spark, tmp_path):
             assert r.seq_id == cum // 4096, r
             assert r.seq_offset == cum % 4096, r
             cum += r.n_bpe_tokens
+
+
+def test_traindata_curation_v2_incremental_stages(spark, tmp_path):
+    """Planted corpus/increment exercising every incremental stage
+    (VERDICT r12 ask #2).  Corpus ids are % 10 != 0, increment % 10
+    == 0:
+
+    - 30 fails the rule gate (punctuation) — absent.
+    - 10 shares the 8-gram S8 with CORPUS doc 4 (df=1 within the
+      increment): the persisted presence set flags it — n_removed=8,
+      exactly what a full rebuild decides for doc 10.
+    - 20 is a cleaned-text near-dup (J=5/7≈0.714, no shared 8-gram)
+      of corpus SURVIVOR 7, which has higher quality — dropped.
+    - 60 near-dups corpus survivor 9 but scores HIGHER quality —
+      still dropped (corpus-wins: an append-only nightly cannot
+      retract served rows).  The full rebuild keeps 60 and drops 9 —
+      the ONE documented divergence, asserted below.
+    - 40/50 are within-increment near-dups with equal quality — the
+      tie breaks to the lowest doc_id, 40 survives.
+    - Packing: every delta row's seq arithmetic continues from the
+      persisted per-(split, shard) corpus offsets.
+
+    Also pins the equivalence regime: on increment doc_ids the delta
+    equals the FULL REBUILD over (corpus ∪ increment) — same docs,
+    same n_removed/quality/pricing — except the no-retraction case
+    (60) and the packing offsets (append-after-corpus vs interleaved
+    by doc_id; compared columns exclude seq_id/seq_offset)."""
+    from gaming_ai_analytics_spark import queries_traindata as qt
+
+    s2 = "license text granted herein shall not be reproduced"
+    s8 = "copyright notice appears within every distributed binary build"
+    run_a = "alpha terms govern of binary distribution rights"
+    run_b = "omega clauses restrict of source redistribution duty"
+    run_c = "sigma rules permit of nightly ingestion flows"
+    rows = [
+        # corpus (% 10 != 0)
+        (2, f"{s2} the unique tail of document two here", "en", "src1", 90),
+        (3, f"{s2} another distinct ending for the third document",
+         "en", "src2", 99),
+        (4, f"the different opening {s8} another closing phrase",
+         "en", "src1", 110),
+        (7, f"the {run_a}", "en", "src2", 55),
+        (9, f"qqq {run_b}", "en", "src1", 56),
+        # increment (% 10 == 0)
+        (10, f"the intro words {s8} closing words remain", "en", "src1",
+         100),
+        (20, f"zzz {run_a}", "en", "src2", 55),
+        (30, "!!! ??? *** %%% ^^^ &&& ::: ;;;", "und", "src1", 31),
+        (40, f"ua {run_c}", "en", "src1", 52),
+        (50, f"ub {run_c}", "en", "src2", 52),
+        (60, f"the {run_b}", "en", "src1", 55),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    sf = str(tmp_path)
+
+    delta = {
+        r.doc_id: r
+        for r in qt.q_traindata_curation_v2_incremental(spark, sf).collect()
+    }
+    assert set(delta) == {10, 40}, delta
+    assert delta[10].n_removed == 8          # presence-probe span removal
+    assert delta[40].n_removed == 0
+    assert all(r.n_bpe_tokens > 0 for r in delta.values())
+
+    # packing continues from the persisted corpus offsets
+    store = qt._cv2i_state(spark, sf)
+    base = {
+        (r.split, r.shard): r.base_cum
+        for r in store.load("cur", "packstate_fx").collect()
+    }
+    import collections
+
+    groups = collections.defaultdict(list)
+    for r in sorted(delta.values(), key=lambda r: r.doc_id):
+        groups[(r.split, r.shard)].append(r)
+    for key, g in groups.items():
+        cum = base.get(key, 0)
+        for r in g:
+            assert r.seq_id == cum // 4096, (key, r)
+            assert r.seq_offset == cum % 4096, (key, r)
+            cum += r.n_bpe_tokens
+
+    # equivalence regime vs the full rebuild over corpus ∪ increment
+    full = {
+        r.doc_id: r
+        for r in qt.q_traindata_curation_v2(spark, sf).collect()
+        if r.doc_id % 10 == 0
+    }
+    # full rebuild RETRACTS corpus doc 9 in favor of higher-quality 60;
+    # the append-only nightly cannot — the one divergence
+    assert set(full) == {10, 40, 60}, full
+    assert set(delta) == set(full) - {60}
+    for d in delta:
+        for col in ("source", "split", "shard", "quality", "n_removed",
+                    "n_bpe_tokens"):
+            assert getattr(delta[d], col) == getattr(full[d], col), (
+                d, col, delta[d], full[d],
+            )
+
+
+@pytest.mark.parametrize(
+    "sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_cv2i_fixture_cross_pairs_outside_lsh_dead_zone(sfd):
+    """The `decontaminate_fuzzy` dead-zone discipline applied to
+    `traindata_curation_v2_incremental`'s cross-side survivor probe:
+    its Spark path is LSH-candidate-gated (16x4 banding) while the
+    oracle computes exact all-pairs Jaccard on the CLEANED text, so a
+    fixture pair whose increment-survivor x corpus-survivor cleaned
+    Jaccard lands in the banding dead zone [0.5, ~0.7) could diverge
+    between engines.  Pins the invariant the green rows rely on, at
+    BOTH the smoke and the driver-gate scale; a regenerated fixture
+    that violates it fails HERE with the fix spelled out instead of
+    flaking the driver gate."""
+    import duckdb
+
+    from gaming_ai_analytics_spark import queries_traindata as qt
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sfd}/documents.parquet')"
+    )
+    corpus = qt._cv2i_span_chain_sql("cp_", "doc_id % 10 <> 0")
+    increment = qt._cv2i_span_chain_sql(
+        "ic_", "doc_id % 10 = 0",
+        " OR ic_dfr.g IN (SELECT g FROM cp_grams)",
+    )
+    sql = (
+        "WITH RECURSIVE "
+        + corpus.lstrip()
+        + ",\n    cp_grams AS (SELECT DISTINCT g FROM cp_gp),"
+        + qt._cv2i_cc_chain_sql("cp_")
+        + ","
+        + increment
+        + ","
+        + qt._cv2i_cc_chain_sql("ic_")
+        + """,
+    x_j AS (
+      SELECT c * 1.0 / (na.n + nb.n - c) AS j
+      FROM (
+        SELECT i.doc_id AS di, c.doc_id AS dc, COUNT(*) AS c
+        FROM (SELECT sh.* FROM ic_sh sh
+              JOIN ic_survivors sv ON sh.doc_id = sv.doc_id) i
+        JOIN (SELECT sh.doc_id, sh.s FROM cp_sh sh
+              JOIN cp_survivors sv ON sh.doc_id = sv.doc_id) c
+          ON i.s = c.s
+        GROUP BY 1, 2) p
+      JOIN ic_sizes na ON p.di = na.doc_id
+      JOIN cp_sizes nb ON p.dc = nb.doc_id)
+    SELECT CASE WHEN j < 0.5 THEN 'below'
+                WHEN j < 0.7 THEN 'dead_zone'
+                ELSE 'above' END AS zone,
+           COUNT(*), MIN(j), MAX(j)
+    FROM x_j GROUP BY 1
+    """
+    )
+    zones = {z: (n, lo, hi) for z, n, lo, hi in con.execute(sql).fetchall()}
+    assert "dead_zone" not in zones, (
+        "fixture grew increment-x-corpus cleaned-text pairs inside the "
+        f"LSH banding dead zone {zones.get('dead_zone')}: re-plant the "
+        "cross-side near-dups at J >= 0.7 (or widen the banding in "
+        "save_minhash_index) before trusting the driver gate on "
+        "traindata_curation_v2_incremental"
+    )
 
 
 def test_curation_v2_concurrent_construction_builds_once(spark):
