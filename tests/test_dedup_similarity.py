@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from gaming_ai_analytics_spark.operators.dedup import (
@@ -391,12 +392,38 @@ def test_ivf_index_persist_roundtrip(spark, tmp_path):
     store = TableStore(spark, str(tmp_path / "wh"))
     assigned, cents = build_ivf_index(emb)
     save_ivf_index(store, "gold", "emb_ivf", assigned, cents)
-    l_assigned, l_cents = load_ivf_index(spark, store, "gold", "emb_ivf")
+    l_assigned, l_cents, meta = load_ivf_index(spark, store, "gold", "emb_ivf")
+    assert (meta["n_clusters"], meta["dim"]) == cents.shape
     from_index = ivf_probe(l_assigned, l_cents, probes, k=3)
 
     a = sorted(tuple(r) for r in direct.collect())
     b = sorted(tuple(r) for r in from_index.collect())
     assert a == b and len(a) == 12
+
+    # the saved-probe wrapper answers identically and its parameter-
+    # meta guard rejects out-of-range n_probe and wrong-dim probes
+    from gaming_ai_analytics_spark.operators.similarity import (
+        topk_similar_ivf_saved,
+    )
+
+    c = sorted(
+        tuple(r)
+        for r in topk_similar_ivf_saved(
+            spark, store, "gold", "emb_ivf", probes, k=3, n_probe=4
+        ).collect()
+    )
+    assert c == a
+    with pytest.raises(ValueError, match="exceeds the saved quantizer"):
+        topk_similar_ivf_saved(
+            spark, store, "gold", "emb_ivf", probes, k=3, n_probe=999
+        )
+    bad_dim = probes.select(
+        "probe_id", F.slice("embedding", 1, 3).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="dim"):
+        topk_similar_ivf_saved(
+            spark, store, "gold", "emb_ivf", bad_dim, k=3, n_probe=4
+        )
 
 
 def test_dedup_rate_by_source_counts_exact_dups(spark):
