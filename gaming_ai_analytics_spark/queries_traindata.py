@@ -4557,6 +4557,45 @@ def _cv2i_state(spark: SparkSession, sf_dir: str):
     return store
 
 
+def _cv2i_inc_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NIGHTLY batch's stage boundary: incremental ExactSubstr
+    over the gated increment (within-increment df >= 2 OR present in
+    the persisted corpus gram set), MATERIALIZED once per (process,
+    sf_dir, source fingerprint) under the shared guard — the same
+    reason the full pipeline materializes its cleaned table: the
+    survivor selection references it three times and pricing twice
+    more, and re-deriving the span-removal subplan per reference is
+    the trap, not the write.  Builds the corpus state first (the gram
+    probe needs it)."""
+    from gaming_ai_analytics_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    with _CURATION_V2_LOCK:
+        store = _cv2i_state(spark, sf_dir)
+        tok = _cv2i_token(sf_dir)
+        fp = _cv2_source_fingerprint(sf_dir)
+        if _CV2I_BUILT.get(sf_dir + "#inc") != fp or not store.exists(
+            "cur", "inc_cleaned_fx"
+        ):
+            inc_gated = _cv2_gated(spark, sf_dir).filter(
+                F.col("doc_id") % 10 == 0
+            )
+            corpus_grams = spark.table(
+                store.table_name("cur", f"grams{tok}")
+            )
+            inc_cl = remove_duplicate_spans(
+                inc_gated, carry=("source",),
+                extra_flag_grams=corpus_grams,
+            ).select(
+                "doc_id", "source", "n_removed",
+                F.col("cleaned_text").alias("text"),
+            )
+            store.save("cur", "inc_cleaned_fx", inc_cl)
+            _CV2I_BUILT[sf_dir + "#inc"] = fp
+    return store.load("cur", "inc_cleaned_fx")
+
+
 def q_traindata_curation_v2_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4605,11 +4644,14 @@ def q_traindata_curation_v2_incremental(
     Scale shape — the per-night cost: one increment scan through the
     gate; gram probe = increment grams shuffled to the bucketed
     presence index (corpus side pre-bucketed on ``g``, never
-    re-shuffles); within-increment pairs shuffle increment shingles
-    only; the cross probe broadcasts the increment's band entries
-    against the bucketed band index (zero corpus exchange — the
-    `minhash_lsh_pairs_incremental` plan); pricing is one explode +
-    broadcast-vocab join; packing state is a 24-row broadcast.  No
+    re-shuffles); the cleaned increment MATERIALIZES once as the
+    nightly batch's stage boundary (`_cv2i_inc_cleaned` — survivor
+    selection + pricing reference it five times, the full pipeline's
+    re-derivation trap); within-increment pairs shuffle increment
+    shingles only; the cross probe broadcasts the increment's band
+    entries against the bucketed band index (zero corpus exchange —
+    the `minhash_lsh_pairs_incremental` plan); pricing is one explode
+    + broadcast-vocab join; packing state is a 24-row broadcast.  No
     stage re-scans corpus TEXT — the nightly cost tracks the
     increment (sf10 decomposition in BASELINE.md vs the full
     rebuild).  The in-query state build keeps the oracle
@@ -4629,14 +4671,7 @@ def q_traindata_curation_v2_incremental(
 
     store = _cv2i_state(spark, sf_dir)
     tok = _cv2i_token(sf_dir)
-    inc_gated = _cv2_gated(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
-    corpus_grams = spark.table(store.table_name("cur", f"grams{tok}"))
-    inc_cl = remove_duplicate_spans(
-        inc_gated, carry=("source",), extra_flag_grams=corpus_grams
-    ).select(
-        "doc_id", "source", "n_removed",
-        F.col("cleaned_text").alias("text"),
-    )
+    inc_cl = _cv2i_inc_cleaned(spark, sf_dir)
     inc_surv = _cv2_survivors(inc_cl)
     cross = minhash_lsh_pairs_incremental(
         store, "cur", f"surv{tok}", inc_surv, "doc_id", "text",

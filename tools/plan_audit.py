@@ -11,15 +11,19 @@ other query constructs side-effect-free):
   RETURNED plan is a single literal-inlined lineitem scan, which is
   exactly what the audit should see and why it carries no
   MULTI_SCAN_JUSTIFIED entry (ADVICE r11).
-- `traindata_curation_v2` / `curation_funnel_v2`: the FIRST
-  construction per (process, sf_dir) runs the rule gate + ExactSubstr
-  span-removal job and the BPE train, materializing the pipeline's
-  two stage-boundary tables.  Both builds are cached-or-build under
-  one lock keyed on the source-parquet fingerprint
-  (queries_traindata.py `_cv2_cleaned` / `_cv2_priced_vocab`), so the
-  twin queries share the tables instead of racing on the write path,
-  and every construction after the first — including this audit's —
-  is plan-only reads of the materialized tables.
+- `traindata_curation_v2` / `curation_funnel_v2` /
+  `traindata_curation_v2_incremental`: the FIRST construction per
+  (process, sf_dir) runs the rule gate + ExactSubstr span-removal
+  job(s) and the BPE train, materializing the pipeline's
+  stage-boundary tables (the incremental additionally builds its
+  persisted corpus state: gram presence set, survivor MinHash index,
+  packing offsets).  All builds are cached-or-build under one RLock
+  keyed on the source-parquet fingerprint (queries_traindata.py
+  `_cv2_cleaned` / `_cv2_priced_vocab` / `_cv2i_state` /
+  `_cv2i_inc_cleaned`), so the queries share the tables instead of
+  racing on the write path, and every construction after the first —
+  including this audit's — is plan-only reads of the materialized
+  tables.
 
 It reports:
 
