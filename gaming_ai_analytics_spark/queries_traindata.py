@@ -4609,6 +4609,37 @@ def _cv2i_inc_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.load("cur", "inc_cleaned_fx")
 
 
+def _cv2i_keep(
+    spark: SparkSession, sf_dir: str
+) -> tuple:
+    """Stages 1–3 of the nightly increment run, shared by the
+    registered pipeline and its audit funnel: (state store, cleaned
+    increment, within-increment survivors, post-cross-drop keep
+    frame).  The cross probe rides the persisted corpus-survivor
+    MinHash index with corpus-wins semantics (see
+    :func:`q_traindata_curation_v2_incremental`)."""
+    from gaming_ai_analytics_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+    )
+
+    store = _cv2i_state(spark, sf_dir)
+    tok = _cv2i_token(sf_dir)
+    inc_cl = _cv2i_inc_cleaned(spark, sf_dir)
+    inc_surv = _cv2_survivors(inc_cl)
+    cross = minhash_lsh_pairs_incremental(
+        store, "cur", f"surv{tok}", inc_surv, "doc_id", "text",
+        threshold=0.5,
+    )
+    keep = inc_surv.join(
+        F.broadcast(
+            cross.select(F.col("id_new").alias("doc_id")).distinct()
+        ),
+        "doc_id",
+        "left_anti",
+    )
+    return store, inc_cl, inc_surv, keep
+
+
 def q_traindata_curation_v2_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4677,26 +4708,8 @@ def q_traindata_curation_v2_incremental(
     fixtures' similarity gap, pinned by the dead-zone fixture
     invariant test (the `decontaminate_fuzzy` discipline)."""
     from gaming_ai_analytics_spark.functions.text import quality_score
-    from gaming_ai_analytics_spark.operators.dedup import (
-        minhash_lsh_pairs_incremental,
-        remove_duplicate_spans,
-    )
 
-    store = _cv2i_state(spark, sf_dir)
-    tok = _cv2i_token(sf_dir)
-    inc_cl = _cv2i_inc_cleaned(spark, sf_dir)
-    inc_surv = _cv2_survivors(inc_cl)
-    cross = minhash_lsh_pairs_incremental(
-        store, "cur", f"surv{tok}", inc_surv, "doc_id", "text",
-        threshold=0.5,
-    )
-    keep = inc_surv.join(
-        F.broadcast(
-            cross.select(F.col("id_new").alias("doc_id")).distinct()
-        ),
-        "doc_id",
-        "left_anti",
-    )
+    store, _, _, keep = _cv2i_keep(spark, sf_dir)
     vocab = _cv2_priced_vocab(spark, sf_dir)
     priced = (
         keep.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
@@ -4918,4 +4931,168 @@ register(
     "traindata_curation_v2_incremental",
     q_traindata_curation_v2_incremental,
     _cv2i_oracle(BPE_ROUNDS),
+)
+
+
+def q_curation_funnel_v2_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The stage-by-stage AUDIT FUNNEL of the NIGHTLY increment run —
+    the yield report a production nightly ships next to its delta
+    (the `curation_funnel_v2` discipline applied to
+    `traindata_curation_v2_incremental`): documents and whitespace
+    tokens surviving each stage of the increment — raw slice → rule
+    gate → incremental span removal → within-increment dedup →
+    corpus-wins cross-dedup → per-split — so a regression in any
+    nightly stage's yield (a corrupt gram index suddenly stripping
+    everything, a broken cross probe dropping nothing) is one diff
+    away.
+
+    Scale shape: the raw and gate rows come from ONE scan of the
+    increment slice (cheap slice predicate below the conditional
+    aggregate — the `_cv2_gated` ordering lesson); the later rows
+    ride the SAME materialized nightly boundary, persisted indexes,
+    and broadcast cluster frames as the pipeline itself.  Token unit
+    is whitespace words throughout (the BPE pricing belongs to the
+    packer, not the audit)."""
+    from gaming_ai_analytics_spark.functions.text import (
+        mean_word_length,
+        punctuation_ratio,
+        stopword_ratio,
+        token_count,
+    )
+
+    t = F.col("text")
+    keep_pred = (
+        token_count(t).cast("int").between(5, 100_000)
+        & F.round(mean_word_length(t) + 5e-10, 4).between(2.0, 12.0)
+        & (F.round(punctuation_ratio(t) + 5e-10, 4) < 0.3)
+        & (F.round(stopword_ratio(t) + 5e-10, 4) > 0.01)
+    )
+    n_tok = token_count(t).cast("long")
+    raw_and_gate = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(keep_pred.alias("_keep"), n_tok.alias("_n"))
+        .agg(
+            F.count(F.lit(1)).alias("_raw_docs"),
+            F.sum("_n").alias("_raw_toks"),
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("_gate_docs"),
+            F.sum(F.when(F.col("_keep"), F.col("_n")).otherwise(0))
+            .cast("long")
+            .alias("_gate_toks"),
+        )
+    )
+    s01 = raw_and_gate.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("0_raw").alias("stage"),
+                    F.col("_raw_docs").alias("n_docs"),
+                    F.col("_raw_toks").alias("n_tokens"),
+                ),
+                F.struct(
+                    F.lit("1_rule_gate").alias("stage"),
+                    F.col("_gate_docs").alias("n_docs"),
+                    F.col("_gate_toks").alias("n_tokens"),
+                ),
+            )
+        ).alias("_s")
+    ).select("_s.*")
+
+    _, inc_cl, inc_surv, keep = _cv2i_keep(spark, sf_dir)
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(t)).cast("long").alias("n_tokens"),
+        )
+
+    s5 = keep.groupBy(
+        F.concat(
+            F.lit("5_split_"), split_assign(F.col("doc_id"))
+        ).alias("stage")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(t)).cast("long").alias("n_tokens"),
+    )
+    return (
+        s01.unionByName(stage(inc_cl, "2_span_removal"))
+        .unionByName(stage(inc_surv, "3_dedup_within"))
+        .unionByName(stage(keep, "4_dedup_cross"))
+        .unionByName(s5)
+        .orderBy("stage")
+    )
+
+
+def _cv2i_funnel_oracle() -> str:
+    """The incremental funnel chain is the incremental pipeline's
+    oracle minus the BPE train, pricing, and packing CTEs
+    (whitespace-token audit only)."""
+    split_sql = split_assign_sql("doc_id")
+    corpus = _cv2i_span_chain_sql("cp_", "doc_id % 10 <> 0")
+    increment = _cv2i_span_chain_sql(
+        "ic_",
+        "doc_id % 10 = 0",
+        " OR ic_dfr.g IN (SELECT g FROM cp_grams)",
+    )
+    return (
+        "WITH RECURSIVE "
+        + corpus.lstrip()
+        + ",\n    cp_grams AS (SELECT DISTINCT g FROM cp_gp),"
+        + _cv2i_cc_chain_sql("cp_")
+        + ","
+        + increment
+        + ","
+        + _cv2i_cc_chain_sql("ic_")
+        + f""",
+    x_drop AS (
+      SELECT DISTINCT i.doc_id
+      FROM (SELECT sh.* FROM ic_sh sh
+            JOIN ic_survivors sv ON sh.doc_id = sv.doc_id) i
+      JOIN (SELECT sh.doc_id, sh.s FROM cp_sh sh
+            JOIN cp_survivors sv ON sh.doc_id = sv.doc_id) c
+        ON i.s = c.s
+      JOIN ic_sizes na ON i.doc_id = na.doc_id
+      JOIN cp_sizes nb ON c.doc_id = nb.doc_id
+      GROUP BY i.doc_id, c.doc_id, na.n, nb.n
+      HAVING COUNT(*) * 1.0 / (na.n + nb.n - COUNT(*)) >= 0.5),
+    ic_keep AS (
+      SELECT * FROM ic_survivors
+      WHERE doc_id NOT IN (SELECT doc_id FROM x_drop))
+    SELECT '0_raw' AS stage, COUNT(*) AS n_docs,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+    FROM documents WHERE {_NONEMPTY} AND doc_id % 10 = 0
+    UNION ALL
+    SELECT '1_rule_gate', COUNT(*),
+           CAST(SUM(len({_TOKS})) AS BIGINT)
+    FROM ic_gate
+    UNION ALL
+    SELECT '2_span_removal', COUNT(*),
+           CAST(SUM(len({_TOKS})) AS BIGINT)
+    FROM ic_cleaned
+    UNION ALL
+    SELECT '3_dedup_within', COUNT(*),
+           CAST(SUM(len({_TOKS})) AS BIGINT)
+    FROM ic_survivors
+    UNION ALL
+    SELECT '4_dedup_cross', COUNT(*),
+           CAST(SUM(len({_TOKS})) AS BIGINT)
+    FROM ic_keep
+    UNION ALL
+    SELECT '5_split_' || {split_sql}, COUNT(*),
+           CAST(SUM(len({_TOKS})) AS BIGINT)
+    FROM ic_keep GROUP BY 1
+    ORDER BY stage
+    """
+    )
+
+
+register(
+    "curation_funnel_v2_incremental",
+    q_curation_funnel_v2_incremental,
+    _cv2i_funnel_oracle(),
 )

@@ -137,10 +137,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "vocab_top_terms",
     "sample_stratified",
     "quality_repetition",
-    "funnel_conversion",
     # -- new r13 operators (displaced fillers; zero driver evidence) --
     "traindata_curation_v2_incremental",
     "similarity_topk_ivf_saved",
+    "curation_funnel_v2_incremental",
 )
 
 #: Everything still owed a fresh driver row AFTER this round's window,
@@ -203,6 +203,7 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     # the round's new operators
     "anomaly_zscore",
     "retention_cohorts",
+    "funnel_conversion",
 )
 
 #: --- Rotation tiers (VERDICT r7 ask #2) -------------------------------
@@ -457,15 +458,16 @@ CORE_TIER: frozenset[str] = frozenset({
     "curation_funnel_v2",
     # r13: the nightly-increment composition over persisted dedup/BPE
     # state (VERDICT r12 ask #2) — same multi-stage heavy family.
-    # (`similarity_topk_ivf_saved`, the round's other new operator, is
-    # budgeted STABLE under the hash guard — VERDICT r9 ask #6
-    # precedent: its value is the SAME recall contract the core
-    # `similarity_topk_ivf_recall` re-proves every 3 rounds, over the
-    # same operator pair at the same parameters, and the saved index's
-    # answer-equality with the in-memory build is test-pinned; a
-    # second core slot would push steady-state demand past the
-    # 47-slot slack bound, and any edit re-promotes it to the core
-    # cap anyway.)
+    # (`similarity_topk_ivf_saved` and `curation_funnel_v2_incremental`,
+    # the round's other new operators, are budgeted STABLE under the
+    # hash guard — VERDICT r9 ask #6 precedent: the IVF contract is
+    # the SAME recall readout the core `similarity_topk_ivf_recall`
+    # re-proves every 3 rounds with saved-vs-in-memory equality
+    # test-pinned, and the incremental funnel is an aggregate readout
+    # over exactly the stage frames the core incremental pipeline
+    # carries; further core slots would push steady-state demand past
+    # the 47-slot slack bound, and any edit re-promotes them to the
+    # core cap anyway.)
     "traindata_curation_v2_incremental",
 })
 

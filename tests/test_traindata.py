@@ -1808,6 +1808,23 @@ def test_traindata_curation_v2_incremental_stages(spark, tmp_path):
             assert r.seq_offset == cum % 4096, (key, r)
             cum += r.n_bpe_tokens
 
+    # the nightly audit funnel reports the same stage yields
+    funnel = {
+        r.stage: (r.n_docs, r.n_tokens)
+        for r in qt.q_curation_funnel_v2_incremental(spark, sf).collect()
+    }
+    assert funnel["0_raw"][0] == 6          # increment slice only
+    assert funnel["1_rule_gate"][0] == 5    # 30 fails the gate
+    assert funnel["2_span_removal"][0] == 5  # 10 loses tokens, survives
+    assert funnel["3_dedup_within"][0] == 4  # 50 loses the tie to 40
+    assert funnel["4_dedup_cross"][0] == 2   # 20 and 60 match corpus
+    # span removal dropped exactly doc 10's 8 covered tokens
+    assert (
+        funnel["1_rule_gate"][1] - funnel["2_span_removal"][1] == 8
+    ), funnel
+    split_stages = {s: v for s, v in funnel.items() if s.startswith("5_")}
+    assert sum(v[0] for v in split_stages.values()) == 2
+
     # equivalence regime vs the full rebuild over corpus ∪ increment
     full = {
         r.doc_id: r

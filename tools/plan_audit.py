@@ -313,6 +313,12 @@ MULTI_SCAN_JUSTIFIED: dict[str, tuple[dict[str, int], str]] = {
         "recall contract: exact tier (2 refs) vs map-side LSH tier "
         "(1 ref)",
     ),
+    "similarity_topk_ivf_saved": (
+        {"embeddings": 3},
+        "recall contract: exact tier (2 refs) vs the saved-index probe "
+        "(1 ref for the probe batch; the corpus side reads the "
+        "persisted cell-bucketed index, not the fixture)",
+    ),
     "small_quantity_revenue": (
         {"lineitem": 2},
         "per-part average threshold: the aggregate-join form scans "
