@@ -151,6 +151,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: taken into the r13 window.  New operators registered mid-round go
 #: to the WINDOW (they have zero evidence), displacing fillers back to
 #: this list.
+#: r14 TIER-SLACK PLAN (staged here per the VERDICT r12 ask #6
+#: discipline — spend slack BEFORE registering): steady-state demand
+#: now sits exactly at the 47-slot bound (|core|=101, |stable|=110,
+#: |frozen|=39), so r14's first structural move before adding any
+#: operator is to promote ~10 hash-guarded stable names that will
+#: then carry >=3 committed green rounds (the r7-green filler cohort
+#: refreshed by this r13 window qualifies) into FROZEN_TIER — stable
+#: 110→100 and frozen 39→49 takes demand to 46, funding a round of
+#: growth; `curation_funnel_v2` also becomes a core→stable demotion
+#: candidate once CORRECTNESS_r15 gives it a second green round.
 ROTATION_BACKLOG: tuple[str, ...] = (
     # r11-green core tier (stale when CORRECTNESS_r14 lands)
     "agg_rollup",
