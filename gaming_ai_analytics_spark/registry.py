@@ -152,14 +152,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: to the WINDOW (they have zero evidence), displacing fillers back to
 #: this list.
 #: r14 TIER-SLACK PLAN (staged here per the VERDICT r12 ask #6
-#: discipline — spend slack BEFORE registering): steady-state demand
-#: now sits exactly at the 47-slot bound (|core|=101, |stable|=110,
-#: |frozen|=39), so r14's first structural move before adding any
-#: operator is to promote ~10 hash-guarded stable names that will
-#: then carry >=3 committed green rounds (the r7-green filler cohort
-#: refreshed by this r13 window qualifies) into FROZEN_TIER — stable
-#: 110→100 and frozen 39→49 takes demand to 46, funding a round of
-#: growth; `curation_funnel_v2` also becomes a core→stable demotion
+#: discipline — spend slack BEFORE registering).  The r13 session
+#: executed the EARLY TRANCHE: the five stable names that already
+#: carried >=3 committed greens on r1-r12 evidence were promoted to
+#: FROZEN_TIER, agg_rollup (5 greens, the frozen agg_cube's twin)
+#: moved core→frozen, and pareto_revenue_share (plan-pinned, r7-
+#: byte-stable) moved core→stable — demand 47→46, funding this
+#: round's new core operators.  REMAINING for r14: the r7-green
+#: filler cohort reaches its third green when CORRECTNESS_r13 lands;
+#: promoting ~10 of them takes stable ~110→100 (demand −1 more);
+#: `curation_funnel_v2` also becomes a core→stable demotion
 #: candidate once CORRECTNESS_r15 gives it a second green round.
 ROTATION_BACKLOG: tuple[str, ...] = (
     # r11-green core tier (stale when CORRECTNESS_r14 lands)
@@ -334,6 +336,24 @@ FROZEN_TIER: frozenset[str] = frozenset({
     "unpivot_measures",
     "events_json_props",
     "weekly_active_users",
+    # r13 early tranche of the staged r14 promotion (the registry
+    # comment above ROTATION_BACKLOG): the only names that already
+    # carry >=3 committed green rounds BEFORE CORRECTNESS_r13 lands
+    # (the r7-green filler cohort reaches its third green only when
+    # the r13 window is recorded, so it stays staged for r14).  Each
+    # is a compact one/two-table plan, byte-stable since its last
+    # green round (function-level `git log -L` checked at promotion),
+    # hash-guarded, with greens asserted by
+    # test_frozen_tier_membership_is_earned:
+    "dedup_survivors",       # greens r8/r9/r10 — post-CC argmin frame
+    "mixture_rebalance",     # greens r8/r9/r10 — compact mixture math
+    "scd2_customer_segment", # greens r8/r9/r10 — single window-lag plan
+    "skew_top_keys",         # greens r8/r9/r10 — one groupBy + top-k
+    "timeseries_gap_fill",   # greens r8/r9/r10 — sequence + one join
+    # core -> frozen (r13): the rollup twin of the already-frozen
+    # agg_cube — a single groupBy rollup aggregate, byte-identical
+    # since its r1 registration, greens r1/r2/r3/r7/r11.
+    "agg_rollup",
 })
 
 CORE_TIER: frozenset[str] = frozenset({
@@ -357,10 +377,10 @@ CORE_TIER: frozenset[str] = frozenset({
     "join_salted_skew",
     "join_skew_isolated",
     "pit_dim_join",
-    # §2.6 aggregation ladder
+    # §2.6 aggregation ladder (agg_rollup moved to FROZEN_TIER r13 —
+    # the single-rollup twin of the frozen agg_cube, 5 greens)
     "agg_percentile",
     "agg_scale_sketches",
-    "agg_rollup",
     # §2.10 UDF ladder
     "sql_ai_functions",
     "grouped_zscore_applyinpandas",
@@ -396,7 +416,11 @@ CORE_TIER: frozenset[str] = frozenset({
     "triangle_count_parts",
     "pagerank_trade_graph",
     "frequent_itemset_pairs",
-    "pareto_revenue_share",
+    # pareto_revenue_share: core -> hash-guarded stable (r13).  The
+    # r7 rework retired its last unbounded window; the plan is pinned
+    # in tests/test_analytics_plans.py, byte-stable since r7
+    # (function-level git history), green r6 and r10 — the proved
+    # compact-plan demotion pattern of VERDICT r11/r12 ask #6.
     "audience_overlap_sketch",
     # streaming surface (whole cohort)
     "events_tumbling_hourly",
