@@ -27,6 +27,7 @@ higher-order functions, codegen'd — no Python, no UDF).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -657,3 +658,303 @@ def semantic_dedup(
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the COMPRESSION tier of the ANN ladder
+# ---------------------------------------------------------------------------
+
+#: Codebook training reads a bounded deterministic sample, never the
+#: whole corpus: published PQ practice (Jégou et al., "Product
+#: Quantization for Nearest Neighbor Search", TPAMI 2011; FAISS trains
+#: PQ on ~10⁵ vectors regardless of corpus size) — k-means over m
+#: low-dimensional subspaces saturates long before 10⁵ points, so at
+#: 100 TB the train cost is a constant, not a scan.
+PQ_TRAIN_SAMPLE_ROWS = 16384
+
+
+def _lloyd(X: np.ndarray, k: int, rng: np.random.RandomState,
+           iters: int = 20) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a driver-side sample (the
+    bounded PQ_TRAIN_SAMPLE_ROWS × dsub slice — numpy, no Spark jobs).
+    kmeans++ seeding from ``rng``; an emptied cluster re-seeds to the
+    point farthest from its assigned centroid so all k codes stay
+    live (a dead code wastes 1/k of the quantizer's range)."""
+    n = X.shape[0]
+    if n == 0:
+        raise ValueError("PQ training sample is empty")
+    if n <= k:
+        # fewer points than codes: every point is its own code, the
+        # remainder duplicates the last point (never selected by
+        # argmin ties, which prefer the lower index)
+        return X[np.minimum(np.arange(k), n - 1)].copy()
+    # kmeans++ init
+    centers = np.empty((k, X.shape[1]), dtype=np.float64)
+    centers[0] = X[rng.randint(n)]
+    d2 = np.sum((X - centers[0]) ** 2, axis=1)
+    for i in range(1, k):
+        tot = d2.sum()
+        if tot <= 0:
+            centers[i:] = centers[0]
+            break
+        centers[i] = X[rng.choice(n, p=d2 / tot)]
+        d2 = np.minimum(d2, np.sum((X - centers[i]) ** 2, axis=1))
+    for _ in range(iters):
+        # (n, k) distances via the expanded form; argmin ties take the
+        # lowest code index (np.argmin semantics)
+        d = np.sum(centers**2, axis=1)[None, :] - 2.0 * (X @ centers.T)
+        assign = np.argmin(d, axis=1)
+        moved = False
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                nc = X[mask].mean(axis=0)
+            else:
+                worst = np.argmax(d[np.arange(n), assign])
+                nc = X[worst]
+            if not np.array_equal(nc, centers[c]):
+                centers[c] = nc
+                moved = True
+        if not moved:
+            break
+    return centers
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    sample_rows: int = PQ_TRAIN_SAMPLE_ROWS,
+) -> np.ndarray:
+    """Train per-subspace PQ codebooks → ``(m, ksub, dim // m)``.
+
+    Driver state is BOUNDED by construction: one ``count()`` sizes a
+    deterministic hash-stride sample (``xxhash64(id) % stride == 0`` —
+    engine-portable, no ordering shuffle), at most ~``sample_rows``
+    vectors collect, and Lloyd's runs in numpy on the (sample, dsub)
+    slices. Same seed + same corpus → identical codebooks."""
+    if dim is None:  # fallback only — callers should pass the dim
+        dim = len(corpus.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    vecs = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).filter(F.col("_v").isNotNull() & (F.size("_v") == dim))
+    n = vecs.count()
+    stride = max(1, n // sample_rows)
+    if stride > 1:
+        vecs = vecs.filter(
+            F.pmod(F.xxhash64(F.col("_id")), F.lit(stride)) == 0
+        )
+    X = np.asarray(
+        [list(r._v) for r in vecs.select("_v").collect()], dtype=np.float64
+    )
+    dsub = dim // m
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    for j in range(m):
+        books[j] = _lloyd(X[:, j * dsub:(j + 1) * dsub], ksub, rng)
+    return books
+
+
+def _pq_codes_expr(vec: "F.Column", books: np.ndarray) -> "F.Column":
+    """Expression-form encoder: per subspace, argmin squared distance
+    over the (tiny, literal) codebook via array_sort of (dist, code)
+    structs — ties take the lower code, matching np.argmin. Pure
+    Catalyst; kept for small inputs and plan-only construction."""
+    m, ksub, dsub = books.shape
+    from gaming_ai_analytics_spark.functions.vectors import matrix_lit
+
+    def _dist_struct(sub):
+        # closure factory: pyspark reads the lambda's arity, so the
+        # subvector must be captured, not passed as a default arg
+        return lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    sub, c, lambda v, mu: (v.cast("double") - mu) ** 2
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            i.alias("i"),
+        )
+
+    codes = []
+    for j in range(m):
+        sub = F.slice(vec, j * dsub + 1, dsub)
+        structs = F.transform(matrix_lit(books[j]), _dist_struct(sub))
+        codes.append(F.element_at(F.array_sort(structs), 1)["i"])
+    return F.array(*codes)
+
+
+def _pq_codes_arrow(vec: "F.Column", books: np.ndarray) -> "F.Column":
+    """Arrow-batched encoder: ONE numpy pass per batch computes every
+    subspace's argmin at once (‖x‖² is constant per row, so the
+    expanded ‖c‖² − 2x·c suffices). The scale path — m·ksub·dsub
+    multiplies per row stay SIMD instead of interpreted lambda evals."""
+    from pyspark.sql import types as T
+
+    m, ksub, dsub = books.shape
+    mats = [np.ascontiguousarray(books[j].T) for j in range(m)]
+    c2 = [np.sum(books[j] ** 2, axis=1) for j in range(m)]
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _kernel(vs: pd.Series) -> pd.Series:
+        X = np.stack(vs.to_numpy()).astype(np.float64)
+        out = np.empty((X.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            S = X[:, j * dsub:(j + 1) * dsub]
+            out[:, j] = np.argmin(c2[j][None, :] - 2.0 * (S @ mats[j]), axis=1)
+        return pd.Series([row.tolist() for row in out])
+
+    return _kernel(vec)
+
+
+def pq_encode(
+    df: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    arrow: bool | None = None,
+) -> DataFrame:
+    """Encode a vector frame to ``(vec_id, _codes array<int>)`` —
+    map-only, no shuffle. A serving table stores the codes instead of
+    the raw vectors: m log₂(ksub)-bit codes per vector (m=8, ksub=16 →
+    4 bytes) vs dim·4 raw bytes (64-dim float → 256 bytes), a 64×
+    scan-size reduction for the ADC stage at 100 TB. ``arrow`` picks
+    the encoder (None = auto from Catalyst size statistics, the
+    ``_rhp_sig_auto`` discipline — no job)."""
+    if arrow is None:
+        arrow = est_bytes(df) >= ARROW_FANOUT_MIN_BYTES
+    enc = _pq_codes_arrow if arrow else _pq_codes_expr
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        enc(F.col(vec_col), books).alias("_codes"),
+    )
+
+
+def topk_similar_pq(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    m: int = 8,
+    ksub: int = 16,
+    refine: int = 10,
+    dim: int | None = None,
+    seed: int = 42,
+    probe_rows: list | None = None,
+    codebooks: np.ndarray | None = None,
+    arrow: bool | None = None,
+) -> DataFrame:
+    """PQ-ADC ANN top-k with exact re-ranking — the compression tier
+    next to :func:`topk_similar_lsh` (pruning by collision) and
+    :func:`topk_similar_ivf` (pruning by cell). PQ prunes nothing; it
+    shrinks every comparison: vectors are quantized to ``m`` codes and
+    a probe scores a row by summing ``m`` lookup-table entries
+    (asymmetric distance, Jégou et al. 2011) instead of a dim-wide
+    dot. The same inner-product metric as the exact tier, so ADC
+    ranks approach exact ranks as m·log₂(ksub) grows.
+
+    Plan shape (100 TB): codebooks train on a BOUNDED sample; encoding
+    is map-only (Arrow-batched above the fan-out threshold); each
+    probe's LUT is a LITERAL (m·ksub doubles — probes are small by the
+    tier contract), so ADC scoring is map-only with zero data
+    movement; the only shuffle in the query is the top-R tournament.
+    The top ``k·refine`` ADC candidates per probe (a bounded frame)
+    broadcast back onto the corpus for ONE exact re-scoring pass —
+    recall then only requires the true top-k to survive the ADC
+    top-R cut, not that ADC order be exact. Candidate scan cost: codes
+    + id only (the 64× smaller frame); the raw-vector scan happens
+    once, for the bounded candidate join."""
+    from gaming_ai_analytics_spark.functions.vectors import (
+        long_array_lit,
+        matrix_lit,
+    )
+
+    if dim is None:  # fallback only — callers should pass the dim
+        dim = len(corpus.select(vec_col).first()[0])
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, id_col, vec_col, dim, m, ksub, seed
+        )
+    m, ksub, dsub = codebooks.shape
+    if probe_rows is None:
+        probe_rows = [
+            (r[probe_id_col], list(r[vec_col])) for r in probes.collect()
+        ]
+    pids = [int(p) for p, _ in probe_rows]
+    P = np.asarray([v for _, v in probe_rows], dtype=np.float64)
+    # per-probe ADC lookup tables: lut[p, j*ksub + c] = <p_sub_j, c_jc>
+    luts = np.concatenate(
+        [P[:, j * dsub:(j + 1) * dsub] @ codebooks[j].T for j in range(m)],
+        axis=1,
+    )  # (n_probes, m*ksub)
+    probe_lit = F.expr(
+        "array("
+        + ",".join(
+            "named_struct('probe_id',{}L,'lut',array({}))".format(
+                pid, ",".join(f"{float(x)!r}D" for x in lut)
+            )
+            for pid, lut in zip(pids, luts)
+        )
+        + ")"
+    )
+    offs = long_array_lit([j * ksub for j in range(m)])
+
+    c = ensure_parallelism(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv")
+        ).filter(F.col("_cv").isNotNull())
+    )
+    coded = pq_encode(c, codebooks, "vec_id", "_cv", arrow=arrow)
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("_codes"),
+            offs,
+            lambda code, off: F.element_at(
+                F.col("_p.lut"), (off + code + 1).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        coded.select("vec_id", "_codes", F.explode(probe_lit).alias("_p"))
+        .select(
+            F.col("_p.probe_id").alias("probe_id"),
+            "vec_id",
+            adc.alias("cosine"),
+        )
+        .filter(F.col("vec_id") != F.col("probe_id"))
+    )
+    cands = _topk_per_probe(
+        scored, k * refine, size_hint=coded
+    ).select("probe_id", "vec_id")
+    # exact re-rank: bounded candidate frame broadcasts onto the raw
+    # corpus; probe vectors resolve through literal arrays (no join)
+    pid_arr = long_array_lit(pids)
+    pmat = matrix_lit(P)
+    exact = (
+        c.join(F.broadcast(cands), "vec_id")
+        .withColumn(
+            "_pv",
+            F.element_at(
+                pmat, F.array_position(pid_arr, F.col("probe_id")).cast("int")
+            ),
+        )
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(dot(F.col("_cv"), F.col("_pv")), 6).alias("cosine"),
+        )
+    )
+    # candidate frame is |probes|·k·refine rows by construction — the
+    # single-window ranking plan is the right one
+    return _topk_per_probe(exact, k, n_buckets=1)

@@ -136,11 +136,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_chunking",
     "vocab_top_terms",
     "sample_stratified",
-    "quality_repetition",
     # -- new r13 operators (displaced fillers; zero driver evidence) --
     "traindata_curation_v2_incremental",
     "similarity_topk_ivf_saved",
     "curation_funnel_v2_incremental",
+    "similarity_topk_pq_recall",
 )
 
 #: Everything still owed a fresh driver row AFTER this round's window,
@@ -216,6 +216,7 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "anomaly_zscore",
     "retention_cohorts",
     "funnel_conversion",
+    "quality_repetition",
 )
 
 #: --- Rotation tiers (VERDICT r7 ask #2) -------------------------------
@@ -410,6 +411,7 @@ CORE_TIER: frozenset[str] = frozenset({
     "hard_negative_mining",
     "similarity_topk_lsh_recall",
     "similarity_topk_ivf_recall",
+    "similarity_topk_pq_recall",
     "blocking_snm_candidates",
     "inverted_index_postings",
     # graph / heavy analytics

@@ -835,3 +835,90 @@ def test_cross_corpus_minhash_hint_gate(spark, monkeypatch, sf_dir):
     plan = hinted_df._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan, plan[:1500]
     assert sorted(map(tuple, hinted_df.collect())) == planner
+
+
+# ---------------------------------------------------------------------------
+# product quantization (r13)
+# ---------------------------------------------------------------------------
+def test_pq_codebooks_deterministic_and_shaped(spark):
+    """Same corpus + seed → byte-identical codebooks; shape is
+    (m, ksub, dim/m); the hash-stride sample keeps the collect
+    bounded even when sample_rows < corpus."""
+    import numpy as np
+
+    from gaming_ai_analytics_spark.operators.similarity import (
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    b1 = train_pq_codebooks(emb, dim=64, m=8, ksub=16)
+    b2 = train_pq_codebooks(emb, dim=64, m=8, ksub=16)
+    assert b1.shape == (8, 16, 8)
+    assert np.array_equal(b1, b2)
+    # bounded-sample path: stride > 1 still trains every subspace
+    b3 = train_pq_codebooks(emb, dim=64, m=8, ksub=16, sample_rows=100)
+    assert b3.shape == (8, 16, 8)
+    import pytest
+
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq_codebooks(emb, dim=64, m=7)
+
+
+def test_pq_encode_codes_in_range_and_kernel_parity(spark):
+    """Both encoders emit m codes in [0, ksub); the Arrow kernel and
+    the expression form agree (identical distance geometry — ties on
+    the fixture's continuous data are measure-zero)."""
+    from gaming_ai_analytics_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    books = train_pq_codebooks(emb, dim=64, m=8, ksub=16)
+    expr = {
+        r.vec_id: tuple(r._codes)
+        for r in pq_encode(emb, books, arrow=False).collect()
+    }
+    arrow = {
+        r.vec_id: tuple(r._codes)
+        for r in pq_encode(emb, books, arrow=True).collect()
+    }
+    assert expr == arrow
+    assert all(
+        len(c) == 8 and all(0 <= x < 16 for x in c) for c in expr.values()
+    )
+
+
+def test_pq_recall_vs_exact_and_refine_exactness(spark):
+    """The REGISTERED configuration (m=16, ksub=32, refine=20) must
+    carry its 0.8 floor, and every PQ hit's cosine must EQUAL the
+    exact tier's value for that (probe, vec) — the re-rank stage
+    scores candidates with the same rounded fold, so a divergence is
+    a refine-path bug, not quantization error."""
+    from gaming_ai_analytics_spark.operators.similarity import (
+        topk_similar,
+        topk_similar_pq,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = emb.filter("vec_id < 5").withColumnRenamed("vec_id", "probe_id")
+    exact = {
+        (r.probe_id, r.vec_id): r.cosine
+        for r in topk_similar(emb, probes, k=5).collect()
+    }
+    pq_rows = topk_similar_pq(
+        emb, probes, k=5, dim=64, m=16, ksub=32, refine=20
+    ).collect()
+    pq = {(r.probe_id, r.vec_id): r.cosine for r in pq_rows}
+    hits = set(exact) & set(pq)
+    assert len(hits) / len(exact) >= 0.8
+    assert all(exact[h] == pq[h] for h in hits)
+    assert all(pid != vid for pid, vid in pq)
+    # determinism: a second run returns the identical result set
+    pq2 = {
+        (r.probe_id, r.vec_id): r.cosine
+        for r in topk_similar_pq(
+            emb, probes, k=5, dim=64, m=16, ksub=32, refine=20
+        ).collect()
+    }
+    assert pq == pq2

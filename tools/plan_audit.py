@@ -11,6 +11,12 @@ other query constructs side-effect-free):
   RETURNED plan is a single literal-inlined lineitem scan, which is
   exactly what the audit should see and why it carries no
   MULTI_SCAN_JUSTIFIED entry (ADVICE r11).
+- `similarity_topk_pq_recall` trains its PQ codebooks at most once
+  per (process, sf_dir) during construction (queries_llm.py
+  `_pq_codebooks_cached`, RLock-serialized): one count + one bounded
+  ≤PQ_TRAIN_SAMPLE_ROWS sample collect, then numpy Lloyd's on the
+  driver — the winsorized-cuts class of bounded plan-time execution,
+  with no filesystem side effects.
 - `traindata_curation_v2` / `curation_funnel_v2` /
   `traindata_curation_v2_incremental`: the FIRST construction per
   (process, sf_dir) runs the rule gate + ExactSubstr span-removal
@@ -307,6 +313,11 @@ MULTI_SCAN_JUSTIFIED: dict[str, tuple[dict[str, int], str]] = {
     "similarity_topk_ivf_recall": (
         {"embeddings": 4},
         "recall contract: exact tier (2 refs) vs IVF tier (2 refs)",
+    ),
+    "similarity_topk_pq_recall": (
+        {"embeddings": 4},
+        "recall contract: exact tier (2 refs) vs PQ tier (encode scan "
+        "+ exact re-rank scan; probes ride pre-collected rows)",
     ),
     "similarity_topk_lsh_recall": (
         {"embeddings": 3},
