@@ -476,3 +476,69 @@ register(
     FROM events GROUP BY 1
     """,
 )
+
+
+def q_documents_streaming_curation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming document ingest through the curation gate: readStream
+    over the documents fixture → C4/Gopher rule gate (map-only, the
+    `quality_gate_rules` predicates verbatim) → first-seen-wins exact
+    dedup on the md5 content fingerprint → append-mode memory sink.
+    The continuous-ingest twin of the batch curation pipeline's front
+    stages — the shape a 100 TB corpus actually arrives in — with
+    streaming state equal to the admitted-fingerprint set (the dedup
+    index, not the corpus; see streaming/documents.py for the
+    TTL-bounded production variant). Emitted columns are pure
+    functions of the text, so the result is micro-batch-order
+    independent and equals the batch DISTINCT the oracle computes."""
+    from gaming_ai_analytics_spark.streaming.documents import (
+        curated_manifest,
+        stream_documents,
+    )
+
+    return run_stream_to_memory(
+        curated_manifest(stream_documents(spark, sf_dir)),
+        spark,
+        output_mode="append",
+    )
+
+
+# the oracle re-derives the gate from scratch with the
+# quality_gate_rules metric SQL (queries_traindata) and dedups on the
+# same md5 the Spark side computes — byte-for-byte hex parity
+# established by content_hash_manifest
+register(
+    "documents_streaming_curation",
+    q_documents_streaming_curation,
+    """
+    WITH m AS (
+      SELECT text,
+             CAST(len(string_split_regex(TRIM(text), ' +')) AS INT)
+               AS n_tokens,
+             ROUND(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0.0 ELSE
+               CAST(list_sum(list_transform(
+                 string_split_regex(TRIM(text), ' +'),
+                 tk -> LENGTH(tk))) AS DOUBLE)
+               / len(string_split_regex(TRIM(text), ' +')) END + 5e-10, 4)
+               AS mean_word_len,
+             ROUND(CASE WHEN LENGTH(text) = 0 THEN 0.0 ELSE
+               (LENGTH(text) -
+                LENGTH(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+               * 1.0 / LENGTH(text) END + 5e-10, 4) AS punct_ratio,
+             ROUND(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0.0 ELSE
+               len(list_filter(string_split_regex(TRIM(LOWER(text)), ' +'),
+                 tk -> tk IN ('the','a','of','and','to','in')))
+               * 1.0 / len(string_split_regex(TRIM(LOWER(text)), ' +'))
+               END + 5e-10, 4) AS stop_ratio
+      FROM documents
+      WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0
+    )
+    SELECT DISTINCT md5(text) AS fp, n_tokens
+    FROM m
+    WHERE n_tokens BETWEEN 5 AND 100000
+      AND mean_word_len BETWEEN 2.0 AND 12.0
+      AND punct_ratio < 0.3
+      AND stop_ratio > 0.01
+    """,
+)

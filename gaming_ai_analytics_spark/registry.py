@@ -135,12 +135,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "token_array_hof_profile",
     "doc_chunking",
     "vocab_top_terms",
-    "sample_stratified",
     # -- new r13 operators (displaced fillers; zero driver evidence) --
     "traindata_curation_v2_incremental",
     "similarity_topk_ivf_saved",
     "curation_funnel_v2_incremental",
     "similarity_topk_pq_recall",
+    "documents_streaming_curation",
 )
 
 #: Everything still owed a fresh driver row AFTER this round's window,
@@ -217,6 +217,7 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "retention_cohorts",
     "funnel_conversion",
     "quality_repetition",
+    "sample_stratified",
 )
 
 #: --- Rotation tiers (VERDICT r7 ask #2) -------------------------------
@@ -437,6 +438,7 @@ CORE_TIER: frozenset[str] = frozenset({
     "events_streaming_rate_alert",
     "events_stream_stream_join",
     "events_stream_stream_left_join",
+    "documents_streaming_curation",
     # train-data pipeline heavies
     "dataset_hash_split",
     "leakage_safe_split",

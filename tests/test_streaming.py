@@ -703,3 +703,83 @@ def test_stream_dedup_sink_replay_is_idempotent(spark, tmp_path):
     finally:
         for t in (t_bands, t_sh):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+# ---------------------------------------------------------------------------
+# streaming document curation (r13)
+# ---------------------------------------------------------------------------
+def test_documents_streaming_curation_matches_batch(spark):
+    """The shared gate+dedup definition must produce identical results
+    through the streaming engine (availableNow file source) and the
+    plain batch path — the module's batch/stream-parity promise."""
+    from gaming_ai_analytics_spark.streaming.documents import (
+        curated_manifest,
+        stream_documents,
+    )
+    from gaming_ai_analytics_spark.streaming.events import (
+        run_stream_to_memory,
+    )
+
+    batch = {
+        (r.fp, r.n_tokens)
+        for r in curated_manifest(
+            spark.read.parquet(f"{SF}/documents.parquet")
+        ).collect()
+    }
+    streamed = {
+        (r.fp, r.n_tokens)
+        for r in run_stream_to_memory(
+            curated_manifest(stream_documents(spark, SF)),
+            spark,
+            output_mode="append",
+        ).collect()
+    }
+    assert streamed == batch
+    assert batch  # the fixture must admit at least one document
+
+
+def test_documents_streaming_curation_multibatch_and_gate(spark, tmp_path):
+    """Micro-batch independence + gate semantics on planted docs: the
+    same corpus split across three files streamed one file per
+    trigger (duplicates STRADDLING micro-batches) must still dedup to
+    one row per fingerprint, and gate-failing docs never appear."""
+    import pyspark.sql.functions as F
+    from gaming_ai_analytics_spark.streaming.documents import (
+        curated_manifest,
+    )
+    from gaming_ai_analytics_spark.streaming.events import (
+        run_stream_to_memory,
+    )
+
+    good = "the quick brown fox jumps of the lazy dog and friends"
+    rows = [
+        (1, good, "en", "web", len(good)),
+        (2, good, "en", "books", len(good)),  # exact dup, other source
+        (3, "tiny", "en", "web", 4),  # fails the 5-token floor
+        (4, "!!! ??? *** $$$ %%% ^^^ @@@ ###", "en", "web", 31),  # punct
+        (5, "the best of the rest and more of the same to end in style",
+         "en", "web", 58),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    src = tmp_path / "docs"
+    for i, r in enumerate(rows):
+        df.filter(F.col("doc_id") == r[0]).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    out = run_stream_to_memory(
+        curated_manifest(stream), spark, output_mode="append"
+    ).collect()
+    batch = curated_manifest(df).collect()
+    assert {(r.fp, r.n_tokens) for r in out} == {
+        (r.fp, r.n_tokens) for r in batch
+    }
+    assert len(out) == 2  # docs 1/2 collapse to one fp; 3 and 4 gated out
