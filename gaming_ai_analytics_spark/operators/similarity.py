@@ -873,22 +873,44 @@ def topk_similar_pq(
     top-R cut, not that ADC order be exact. Candidate scan cost: codes
     + id only (the 64× smaller frame); the raw-vector scan happens
     once, for the bounded candidate join."""
-    from gaming_ai_analytics_spark.functions.vectors import (
-        long_array_lit,
-        matrix_lit,
-    )
-
     if dim is None:  # fallback only — callers should pass the dim
         dim = len(corpus.select(vec_col).first()[0])
     if codebooks is None:
         codebooks = train_pq_codebooks(
             corpus, id_col, vec_col, dim, m, ksub, seed
         )
-    m, ksub, dsub = codebooks.shape
     if probe_rows is None:
         probe_rows = [
             (r[probe_id_col], list(r[vec_col])) for r in probes.collect()
         ]
+    c = ensure_parallelism(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv")
+        ).filter(F.col("_cv").isNotNull())
+    )
+    coded = pq_encode(c, codebooks, "vec_id", "_cv", arrow=arrow)
+    return _pq_adc_refine(c, coded, codebooks, probe_rows, k, refine)
+
+
+def _pq_adc_refine(
+    c: DataFrame,
+    coded: DataFrame,
+    codebooks: np.ndarray,
+    probe_rows: list,
+    k: int,
+    refine: int,
+) -> DataFrame:
+    """Shared ADC-score + exact-re-rank core: ``c`` is the raw corpus
+    ``(vec_id, _cv)`` (read once, for the bounded candidate join) and
+    ``coded`` the code frame ``(vec_id, _codes)`` — in-query encoded
+    by :func:`topk_similar_pq`, or a PERSISTED codes table on the
+    saved-index serving path (:func:`topk_similar_pq_saved`)."""
+    from gaming_ai_analytics_spark.functions.vectors import (
+        long_array_lit,
+        matrix_lit,
+    )
+
+    m, ksub, dsub = codebooks.shape
     pids = [int(p) for p, _ in probe_rows]
     P = np.asarray([v for _, v in probe_rows], dtype=np.float64)
     # per-probe ADC lookup tables: lut[p, j*ksub + c] = <p_sub_j, c_jc>
@@ -907,13 +929,6 @@ def topk_similar_pq(
         + ")"
     )
     offs = long_array_lit([j * ksub for j in range(m)])
-
-    c = ensure_parallelism(
-        corpus.select(
-            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv")
-        ).filter(F.col("_cv").isNotNull())
-    )
-    coded = pq_encode(c, codebooks, "vec_id", "_cv", arrow=arrow)
     adc = F.aggregate(
         F.zip_with(
             F.col("_codes"),
@@ -958,3 +973,112 @@ def topk_similar_pq(
     # candidate frame is |probes|·k·refine rows by construction — the
     # single-window ranking plan is the right one
     return _topk_per_probe(exact, k, n_buckets=1)
+
+
+def save_pq_index(
+    store,
+    layer: str,
+    name: str,
+    coded: DataFrame,
+    codebooks: np.ndarray,
+    seed: int = 42,
+) -> None:
+    """Persist a PQ index: the code frame as a table (the 25× smaller
+    ADC-scan input — at 100 TB THIS is what the nightly probe reads
+    instead of the raw vectors), the codebook tensor as a per-(j, c)
+    table, and a one-row PARAMETER-META table (m, ksub, dsub, seed) —
+    the `save_ivf_index` / `save_minhash_index` discipline: a probe
+    session cannot silently score codes against the wrong codebooks;
+    :func:`load_pq_index` cross-checks the persisted tensor against
+    the meta and :func:`topk_similar_pq_saved` validates the probe
+    dimensionality."""
+    spark = coded.sparkSession
+    store.save(layer, f"{name}_codes", coded)
+    m, ksub, dsub = codebooks.shape
+    rows = [
+        (j, cc, [float(x) for x in codebooks[j, cc]])
+        for j in range(m)
+        for cc in range(ksub)
+    ]
+    store.save(
+        layer,
+        f"{name}_codebooks",
+        spark.createDataFrame(rows, ["j", "c", "centroid"]),
+    )
+    store.save(
+        layer,
+        f"{name}_pqmeta",
+        spark.createDataFrame(
+            [(int(m), int(ksub), int(dsub), int(seed))],
+            "m int, ksub int, dsub int, seed int",
+        ),
+    )
+
+
+def load_pq_index(
+    spark, store, layer: str, name: str
+) -> tuple[DataFrame, np.ndarray, dict]:
+    """Load a persisted PQ index; the codebook tensor collects to the
+    driver (m × ksub × dsub — tiny by construction). Raises if the
+    tensor disagrees with the recorded parameter meta — a torn or
+    manually edited index must fail loudly, not mis-score codes."""
+    coded = store.load(layer, f"{name}_codes")
+    meta = store.load(layer, f"{name}_pqmeta").first().asDict()
+    rows = store.load(layer, f"{name}_codebooks").orderBy("j", "c").collect()
+    books = np.asarray([r.centroid for r in rows], dtype=np.float64)
+    want = (meta["m"] * meta["ksub"], meta["dsub"])
+    if books.shape != want:
+        raise ValueError(
+            f"PQ index '{layer}.{name}' is inconsistent: codebook "
+            f"table shape {books.shape} vs recorded meta {want}"
+        )
+    return (
+        coded,
+        books.reshape(meta["m"], meta["ksub"], meta["dsub"]),
+        meta,
+    )
+
+
+def topk_similar_pq_saved(
+    spark,
+    store,
+    layer: str,
+    name: str,
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    refine: int = 10,
+    probe_rows: list | None = None,
+) -> DataFrame:
+    """The nightly PQ serving path: probe a PERSISTED index without
+    re-training codebooks or re-encoding the corpus — the per-night
+    cost is the ADC scan over the (25× smaller) codes table plus the
+    bounded exact re-rank against the raw vectors. Parameter-meta
+    guard: probe dimensionality is validated against m·dsub (one
+    bounded ``first()`` — a wrong-dim probe frame would otherwise
+    produce truncated lookup tables silently)."""
+    coded, books, meta = load_pq_index(spark, store, layer, name)
+    if probe_rows is None:
+        probe_rows = [
+            (r[probe_id_col], list(r[vec_col])) for r in probes.collect()
+        ]
+    dim = meta["m"] * meta["dsub"]
+    if probe_rows and len(probe_rows[0][1]) != dim:
+        raise ValueError(
+            f"probe vectors have dim {len(probe_rows[0][1])} but the "
+            f"saved index was built at dim {dim}"
+        )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv")
+    ).filter(F.col("_cv").isNotNull())
+    # the persisted codes table is compact (80-bit codes), so its file
+    # split count under-parallelizes the interpreted ADC lambda stage —
+    # widen it the way the in-query path widens the corpus scan (first
+    # measured 0.63× WITHOUT this: the 3-split codes scan serialized
+    # the LUT stage while the in-query twin ran it 32-wide)
+    return _pq_adc_refine(
+        c, ensure_parallelism(coded), books, probe_rows, k, refine
+    )

@@ -134,13 +134,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "content_hash_manifest",
     "token_array_hof_profile",
     "doc_chunking",
-    "vocab_top_terms",
     # -- new r13 operators (displaced fillers; zero driver evidence) --
     "traindata_curation_v2_incremental",
     "similarity_topk_ivf_saved",
     "curation_funnel_v2_incremental",
     "similarity_topk_pq_recall",
     "documents_streaming_curation",
+    "similarity_topk_pq_saved",
 )
 
 #: Everything still owed a fresh driver row AFTER this round's window,
@@ -218,6 +218,7 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "funnel_conversion",
     "quality_repetition",
     "sample_stratified",
+    "vocab_top_terms",
 )
 
 #: --- Rotation tiers (VERDICT r7 ask #2) -------------------------------
@@ -413,6 +414,7 @@ CORE_TIER: frozenset[str] = frozenset({
     "similarity_topk_lsh_recall",
     "similarity_topk_ivf_recall",
     "similarity_topk_pq_recall",
+    "similarity_topk_pq_saved",
     "blocking_snm_candidates",
     "inverted_index_postings",
     # graph / heavy analytics

@@ -922,3 +922,71 @@ def test_pq_recall_vs_exact_and_refine_exactness(spark):
         ).collect()
     }
     assert pq == pq2
+
+
+def test_pq_index_persist_roundtrip_and_meta_guard(spark, tmp_path):
+    """Build-once/probe-many: a saved+reloaded PQ index answers
+    IDENTICALLY to the in-memory build (same codebooks by seed, codes
+    persisted verbatim), and the meta guard rejects a torn index and
+    a wrong-dimensionality probe frame."""
+    import pytest
+
+    from gaming_ai_analytics_spark.operators.similarity import (
+        load_pq_index,
+        pq_encode,
+        save_pq_index,
+        topk_similar_pq,
+        topk_similar_pq_saved,
+        train_pq_codebooks,
+    )
+    from gaming_ai_analytics_spark.sources.io import TableStore
+    from gaming_ai_analytics_spark.sources.star import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    probes = emb.filter("vec_id < 4").select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    books = train_pq_codebooks(emb, dim=64, m=8, ksub=16)
+    direct = {
+        (r.probe_id, r.rank, r.vec_id, r.cosine)
+        for r in topk_similar_pq(
+            emb, probes, k=3, dim=64, codebooks=books
+        ).collect()
+    }
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    save_pq_index(store, "gold", "emb_pq", pq_encode(emb, books), books)
+    coded, l_books, meta = load_pq_index(spark, store, "gold", "emb_pq")
+    assert meta["m"] == 8 and meta["ksub"] == 16 and meta["dsub"] == 8
+    import numpy as np
+
+    assert np.array_equal(books, l_books)
+    saved = {
+        (r.probe_id, r.rank, r.vec_id, r.cosine)
+        for r in topk_similar_pq_saved(
+            spark, store, "gold", "emb_pq", emb, probes, k=3
+        ).collect()
+    }
+    assert saved == direct
+
+    # wrong-dim probe frame fails loudly before any scan
+    bad = probes.select(
+        "probe_id", F.slice("embedding", 1, 32).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="dim 32"):
+        topk_similar_pq_saved(
+            spark, store, "gold", "emb_pq", emb, bad, k=3
+        )
+
+    # torn index (codebook rows missing) fails the meta cross-check —
+    # materialize the truncated rows first (overwriting a table from
+    # a plan that reads the same path is a read-under-write)
+    torn = store.load("gold", "emb_pq_codebooks").filter("j > 0").collect()
+    store.save(
+        "gold",
+        "emb_pq_codebooks",
+        spark.createDataFrame(torn, ["j", "c", "centroid"]),
+    )
+    with pytest.raises(ValueError, match="inconsistent"):
+        load_pq_index(spark, store, "gold", "emb_pq")

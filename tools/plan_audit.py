@@ -17,6 +17,11 @@ other query constructs side-effect-free):
   ≤PQ_TRAIN_SAMPLE_ROWS sample collect, then numpy Lloyd's on the
   driver — the winsorized-cuts class of bounded plan-time execution,
   with no filesystem side effects.
+- `similarity_topk_pq_saved` additionally encodes and PERSISTS the
+  codes/codebooks/meta tables on FIRST construction per (process,
+  sf_dir) (same `_PQ_LOCK`, `tableExists`-guarded — the curation-v2
+  cached-or-build class); every later construction, including this
+  audit's, is plan-only reads of the persisted index.
 - `traindata_curation_v2` / `curation_funnel_v2` /
   `traindata_curation_v2_incremental`: the FIRST construction per
   (process, sf_dir) runs the rule gate + ExactSubstr span-removal
@@ -318,6 +323,13 @@ MULTI_SCAN_JUSTIFIED: dict[str, tuple[dict[str, int], str]] = {
         {"embeddings": 4},
         "recall contract: exact tier (2 refs) vs PQ tier (encode scan "
         "+ exact re-rank scan; probes ride pre-collected rows)",
+    ),
+    "similarity_topk_pq_saved": (
+        {"embeddings": 4},
+        "recall contract: exact tier (2 refs) vs the saved-index probe "
+        "(the ADC stage reads the persisted codes table, not the "
+        "fixture; 1 raw-vector ref for the bounded re-rank join + 1 "
+        "for the probe batch)",
     ),
     "similarity_topk_lsh_recall": (
         {"embeddings": 3},
