@@ -2180,8 +2180,11 @@ def q_similarity_topk_pq_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = TableStore(spark, _ivf_saved_dir(sf_dir))
     name = f"pq{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
     with _PQ_LOCK:
-        if sf_dir not in _PQ_SAVED_BUILT or not spark.catalog.tableExists(
-            store.table_name("idx", f"{name}_codes")
+        # path-existence check, not catalog.tableExists: save() writes
+        # path-based parquet (only save_bucketed registers catalog
+        # tables), so a catalog check would rebuild every construction
+        if sf_dir not in _PQ_SAVED_BUILT or not store.exists(
+            "idx", f"{name}_codes"
         ):
             books = _pq_codebooks_cached(spark, sf_dir)
             coded = pq_encode(

@@ -990,3 +990,47 @@ def test_pq_index_persist_roundtrip_and_meta_guard(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="inconsistent"):
         load_pq_index(spark, store, "gold", "emb_pq")
+
+
+def test_pq_saved_concurrent_construction_builds_once(spark):
+    """The cached-or-build race pin (the curation-v2 discipline):
+    constructing the PQ recall query and its saved-index twin
+    CONCURRENTLY must share ONE codebook train and ONE index persist
+    under _PQ_LOCK — not race the sample collect or the codes-table
+    write — and a second construction round is plan-only."""
+    import concurrent.futures
+
+    from gaming_ai_analytics_spark import queries_llm as ql
+    from gaming_ai_analytics_spark.operators import similarity as sim
+
+    trains, saves = [], []
+    orig_train, orig_save = sim.train_pq_codebooks, sim.save_pq_index
+
+    def counting_train(*a, **kw):
+        trains.append(1)
+        return orig_train(*a, **kw)
+
+    def counting_save(*a, **kw):
+        saves.append(1)
+        return orig_save(*a, **kw)
+
+    sf = "/root/testdata/sf0.001"
+    # force a fresh build for this sf_dir regardless of earlier tests
+    ql._PQ_BOOKS.pop(sf, None)
+    ql._PQ_SAVED_BUILT.discard(sf)
+    ql._IVF_SAVED_DIRS.pop(sf, None)
+    sim.train_pq_codebooks, sim.save_pq_index = counting_train, counting_save
+    try:
+        with concurrent.futures.ThreadPoolExecutor(2) as ex:
+            f1 = ex.submit(ql.q_similarity_topk_pq_recall, spark, sf)
+            f2 = ex.submit(ql.q_similarity_topk_pq_saved, spark, sf)
+            df1, df2 = f1.result(), f2.result()
+        assert len(trains) == 1, trains
+        assert len(saves) == 1, saves
+        assert df1.count() == 1 and df2.count() == 1
+        trains.clear(), saves.clear()
+        ql.q_similarity_topk_pq_recall(spark, sf)
+        ql.q_similarity_topk_pq_saved(spark, sf)
+        assert trains == [] and saves == [], (trains, saves)
+    finally:
+        sim.train_pq_codebooks, sim.save_pq_index = orig_train, orig_save
