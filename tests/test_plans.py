@@ -723,3 +723,33 @@ def test_unimax_single_scan_compact_windows(spark, sf_dir):
     plan = _plan(q_mixture_unimax_budget(spark, sf_dir))
     assert plan.count("documents.parquet") <= 1, "second corpus scan"
     assert "Generate" not in plan, "explode entered the token count"
+
+
+def test_pq_plan_broadcasts_candidates_and_avoids_cartesian(spark, sf_dir):
+    """PQ ANN plan shape (r13): the refine join must BROADCAST the
+    bounded candidate frame onto the raw corpus (never shuffle or
+    nested-loop the corpus side), the ADC stage must carry no Python
+    eval (codes + lookup tables are pure Catalyst expressions on the
+    small-fixture path), and no CartesianProduct may appear anywhere —
+    the probe fan-out is a literal-array explode, not a join."""
+    from gaming_ai_analytics_spark.operators.similarity import (
+        topk_similar_pq,
+        train_pq_codebooks,
+    )
+    from gaming_ai_analytics_spark.sources.star import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    books = train_pq_codebooks(emb, dim=64, m=8, ksub=16)
+    df = topk_similar_pq(
+        emb, probes, k=5, dim=64, codebooks=books, arrow=False
+    )
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # candidates onto raw corpus
+    assert "PythonUDF" not in plan  # arrow=False path is pure Catalyst
+    # probe fan-out rides a literal explode, not a probe-table join
+    assert plan.count("BroadcastHashJoin") == 1
