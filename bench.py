@@ -144,6 +144,34 @@ def duckdb_totals(
     return round(seq, 3), round(time.perf_counter() - t0, 3), per_query
 
 
+def _parse_duck_child_stdout(
+    stdout: str,
+) -> tuple[float | None, dict[str, float] | None, bool]:
+    """Parse a DuckDB sf1 child's stdout: the final summary line when
+    the child finished, else the per-query lines it streamed before a
+    timeout killed it — ``(total, queries, partial)``; ``total`` is
+    None when partial so a truncated sum can never masquerade as the
+    full-tier comparator."""
+    lines = [ln for ln in stdout.strip().splitlines() if ln.strip()]
+    final = {}
+    if lines:
+        try:
+            final = json.loads(lines[-1])
+        except ValueError:
+            final = {}
+    if "total" in final:
+        return final["total"], final["queries"], False
+    partial: dict[str, float] = {}
+    for ln in lines:
+        try:
+            row = json.loads(ln)
+        except ValueError:
+            continue
+        if "q" in row:
+            partial[row["q"]] = row["s"]
+    return None, (partial or None), True
+
+
 def _sf1_dir() -> str | None:
     """The derived 10× scale-up of sf0.1 (tools/make_scaled_sf.py) —
     the regime where per-query scheduling floors amortize and the
@@ -310,21 +338,40 @@ def main() -> None:
         import subprocess
 
         def duck_child(flag: str):
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), flag, sf1_dir],
-                capture_output=True, text=True, timeout=1800,
-            )
-            payload = json.loads(proc.stdout.strip().splitlines()[-1])
-            return payload["total"], payload["queries"]
+            """Run one DuckDB sf1 child; on timeout, salvage the
+            per-query lines it already streamed (r13: the tier-2 child
+            hit the 1800 s cap on a slow host and lost ALL its rows —
+            the child now prints each query as it completes, so a
+            timeout costs only the unfinished tail). Returns
+            (total_or_None, queries, partial: bool); ``total`` is None
+            when partial so a truncated sum can never masquerade as
+            the full-tier comparator."""
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), flag, sf1_dir],
+                    capture_output=True, text=True, timeout=1800,
+                )
+                stdout = proc.stdout
+            except subprocess.TimeoutExpired as exc:
+                stdout = exc.stdout or ""
+                if isinstance(stdout, bytes):
+                    stdout = stdout.decode("utf-8", "replace")
+            return _parse_duck_child_stdout(stdout)
 
         try:
-            duck_sf1, duck_sf1_queries = duck_child("--duck-sf1")
+            duck_sf1, duck_sf1_queries, duck_sf1_partial = duck_child(
+                "--duck-sf1"
+            )
         except Exception:
             duck_sf1 = duck_sf1_queries = None
+            duck_sf1_partial = False
         try:  # separate child: a tier-2 timeout must not cost tier 1
-            duck_sf1_t2, duck_sf1_t2_queries = duck_child("--duck-sf1-t2")
+            duck_sf1_t2, duck_sf1_t2_queries, duck_sf1_t2_partial = (
+                duck_child("--duck-sf1-t2")
+            )
         except Exception:
             duck_sf1_t2 = duck_sf1_t2_queries = None
+            duck_sf1_t2_partial = False
 
     def ratios(
         spark_q: dict[str, float], duck_q: dict[str, float] | None
@@ -379,6 +426,8 @@ def main() -> None:
         out["sf1_queries"] = sf1_timings
         out["sf1_duckdb_total_warm"] = duck_sf1
         out["sf1_duckdb_queries"] = duck_sf1_queries
+        if duck_sf1_partial:
+            out["sf1_duckdb_partial"] = True
         out["sf1_ratio_queries"] = ratios(sf1_timings, duck_sf1_queries)
         out["sf1_ratio_total"] = (
             round(sum(sf1_timings.values()) / duck_sf1, 2)
@@ -390,6 +439,8 @@ def main() -> None:
         out["sf1_tier2_queries"] = sf1_tier2
         out["sf1_tier2_duckdb_total_warm"] = duck_sf1_t2
         out["sf1_tier2_duckdb_queries"] = duck_sf1_t2_queries
+        if duck_sf1_t2_partial:
+            out["sf1_tier2_duckdb_partial"] = True
         out["sf1_tier2_ratio_queries"] = ratios(
             sf1_tier2, duck_sf1_t2_queries
         )
@@ -440,11 +491,34 @@ def duck_sf1_child(sf1_dir: str, names: list[str] | None = None) -> None:
     with no resident JVM, same conditions as the sf0.1 phase."""
     from gaming_ai_analytics_spark import registry
 
-    total, _, queries = duckdb_totals(
-        sf1_dir, registry.oracle_sql(), warm_runs=1,
-        names=names, concurrent=False,
-    )
-    print(json.dumps({"total": total, "queries": queries}))
+    import duckdb
+
+    oracles = registry.oracle_sql()
+    names = HEADLINE if names is None else names
+    sql = dict(oracles)
+    sql["similarity_topk_lsh"] = sql["similarity_topk"]  # exact twin
+    con = duckdb.connect()
+    con.execute("SET threads=32")
+    for t in _DUCK_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf1_dir}/{t}.parquet'"
+        )
+    queries: dict[str, float] = {}
+    # per query: one cold run, then the timed warm run (same warm
+    # number as before — DuckDB has no cross-query JIT, so the global
+    # cold pass bought nothing a per-query cold run doesn't), STREAMED
+    # as it completes so the parent can salvage finished rows if this
+    # child hits its timeout (a slow host lost the whole tier-2
+    # comparator to one 1800 s cap).
+    for name in names:
+        con.execute(sql[name]).fetchall()  # cold
+        t0 = time.perf_counter()
+        con.execute(sql[name]).fetchall()
+        queries[name] = round(time.perf_counter() - t0, 3)
+        print(json.dumps({"q": name, "s": queries[name]}), flush=True)
+    print(json.dumps(
+        {"total": round(sum(queries.values()), 3), "queries": queries}
+    ))
 
 
 if __name__ == "__main__":
