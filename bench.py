@@ -297,8 +297,16 @@ def main() -> None:
     except Exception:
         tier2_timings = None
 
-    # sf1 row: cold + single warm per query (time-bounded; the floor
-    # amortizes at this volume so one warm run is stable enough)
+    # sf1 row: cold + MEDIAN of three warm runs per query (r13: the
+    # single-warm-run protocol recorded similarity_topk at 14.8 s
+    # where interleaved re-probes read a 1.2–2.6 s steady state — one
+    # host steal-burst landing on the one timed run poisoned the row;
+    # the median absorbs it. Old single-run numbers stand in
+    # BENCH_r12/BENCH_LOCAL_r12. The DuckDB sf1 children stay at one
+    # warm run: their slowest twins already brush the 1800 s child
+    # cap, and tripling them would trade comparator coverage for
+    # stability — documented asymmetry, per-query ratios remain the
+    # round-over-round signal.)
     sf1_timings: dict[str, float] | None = None
     if sf1_dir:
         try:
@@ -306,11 +314,18 @@ def main() -> None:
             for name in HEADLINE:
                 fn = qs[name]
                 materialize(fn(spark, sf1_dir))  # cold
-                t0 = time.perf_counter()
-                materialize(fn(spark, sf1_dir))
-                sf1_timings[name] = round(time.perf_counter() - t0, 3)
+                runs = []
+                for _ in range(WARM_RUNS):
+                    t0 = time.perf_counter()
+                    materialize(fn(spark, sf1_dir))
+                    runs.append(time.perf_counter() - t0)
+                sf1_timings[name] = round(statistics.median(runs), 3)
         except Exception:
             sf1_timings = None
+    # tier 2 keeps the single warm run: its sf1 entries run 2–115 s,
+    # long enough to average a steal burst out within the run, and
+    # tripling the ~2-minute star-CC query would add more wall than
+    # the whole tier-1 median upgrade
     sf1_tier2: dict[str, float] | None = None
     if sf1_dir:
         try:
