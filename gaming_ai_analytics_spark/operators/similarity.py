@@ -135,11 +135,77 @@ def topk_similar(
         F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
     )
     prows = p.collect() if est_bytes(c) >= ARROW_FANOUT_MIN_BYTES else None
+    if prows and cosine_band is None:
+        # Arrow fan-out WITH in-kernel pruning (r13, guide §2.3
+        # "aggregate before you shuffle"): the old shape scored every
+        # corpus row against every probe and exploded n·p rows into
+        # the JVM (500k at sf1, 5M at sf10) only for the tournament to
+        # throw all but p·k away. The kernel now keeps, per batch and
+        # per probe, only rows whose RAW cosine is within 2e-6 of the
+        # batch's k-th best — every other row has ≥k batch-mates whose
+        # ROUNDED cosine is strictly greater (|round(x)−x| ≤ 5e-7, so
+        # a 2e-6 raw gap survives rounding), hence can never enter the
+        # global top-k under (round(cosine,6) DESC, vec_id). Rounding
+        # and ranking stay JVM-side exactly as before, so results are
+        # bit-identical; post-Arrow rows shrink from n·p to
+        # ~batches·p·k and the tournament collapses to the single
+        # trivial window (n_buckets=1).
+        ids = [r["probe_id"] for r in prows]
+        mat = np.asarray([list(r["_pv"]) for r in prows], dtype=np.float64)
+        id_arr = F.array(*[F.lit(i) for i in ids])
+        id_type = c.schema["vec_id"].dataType.simpleString()
+        mat_t = np.ascontiguousarray(mat.T)
+        probe_ids_np = np.asarray(ids)
+        kk = k
+
+        def _score_prune(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                vid = pdf["vec_id"].to_numpy()
+                cs = np.stack(pdf["_cv"].to_numpy()).astype(np.float64) @ mat_t
+                outs = []
+                for j in range(cs.shape[1]):
+                    col = cs[:, j]
+                    valid = vid != probe_ids_np[j]  # self-exclusion
+                    vals = col[valid]
+                    if vals.size > kk:
+                        kth = np.partition(vals, vals.size - kk)[
+                            vals.size - kk
+                        ]
+                        keep = valid & (col >= kth - 2e-6)
+                    else:
+                        keep = valid
+                    idx = np.nonzero(keep)[0]
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "vec_id": vid[idx],
+                                "_pi": np.full(idx.size, j, dtype=np.int32),
+                                "_raw": col[idx],
+                            }
+                        )
+                    )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        scored = (
+            c.filter(F.col("_cv").isNotNull())
+            .mapInPandas(
+                _score_prune, f"vec_id {id_type}, _pi int, _raw double"
+            )
+            .select(
+                F.element_at(id_arr, F.col("_pi") + 1).alias("probe_id"),
+                "vec_id",
+                F.round("_raw", 6).alias("cosine"),
+            )
+        )
+        return _topk_per_probe(scored, k, n_buckets=1)
     if prows:
-        # Arrow fan-out: corpus row → array of all probe dots in ONE
-        # numpy matmul per batch, posexplode to (probe idx, cosine),
-        # map idx → probe id through a literal array. No BNL: the map
-        # stage parallelism is the (widened) scan's, not a join's.
+        # banded fan-out (hard-negative mining): the band may select
+        # rows far below the global top-k, so in-kernel top-k pruning
+        # is unsound here — keep the full posexplode and let the band
+        # filter run on the rounded cosine JVM-side as before.
         ids = [r["probe_id"] for r in prows]
         mat = np.asarray([list(r["_pv"]) for r in prows], dtype=np.float64)
         id_arr = F.array(*[F.lit(i) for i in ids])

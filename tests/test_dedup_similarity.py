@@ -1034,3 +1034,24 @@ def test_pq_saved_concurrent_construction_builds_once(spark):
         assert trains == [] and saves == [], (trains, saves)
     finally:
         sim.train_pq_codebooks, sim.save_pq_index = orig_train, orig_save
+
+
+def test_topk_arrow_pruned_path_matches_bnl(spark, monkeypatch):
+    """The r13 in-kernel pruned Arrow fan-out must return EXACTLY the
+    BNL expression-fold path's rows: the kernel keeps every row whose
+    raw cosine is within 2e-6 of its batch's k-th best, so no row that
+    could enter the global top-k under (round(cosine,6) DESC, vec_id)
+    is ever dropped, and rounding/ranking stay JVM-side on both paths.
+    The self row (vec_id == probe_id) is excluded in-kernel and must
+    not count toward the batch's k."""
+    import gaming_ai_analytics_spark.operators.similarity as sim
+
+    emb = load_table(spark, SF, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    bnl = sorted(map(tuple, topk_similar(emb, probes, k=5).collect()))
+    monkeypatch.setattr(sim, "ARROW_FANOUT_MIN_BYTES", 0)
+    arrow = sorted(map(tuple, topk_similar(emb, probes, k=5).collect()))
+    assert bnl == arrow
+    assert len(bnl) == 5 * 5  # every probe returns k rows
