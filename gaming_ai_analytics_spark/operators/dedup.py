@@ -142,39 +142,95 @@ def ngram_jaccard_pairs(
     BASELINE.md §3: sf1 minhash 7.3→4.0 s; below the gate the
     planner's broadcast genuinely wins (sf0.1 1.0 vs 1.8 s hinted),
     which is why tiny sources are left alone.
+
+    r13 (no ``max_shingle_df``): the per-doc shingle count is
+    ``size(word_shingles(text,k))`` — the shingle array is already
+    distinct — so ``|A|``/``|B|`` ride each posting row map-side
+    instead of a separate corpus-sized ``groupBy(_id)`` aggregation
+    joined back onto the pair frame twice. That removes three
+    exchanges (the sizes aggregate plus two shuffles of the PAIR
+    stream keyed by id_a then id_b), and makes the exact
+    prefix/length filter available INSIDE the posting join:
+    ``jaccard ≤ min(|A|,|B|)/max(|A|,|B|)``, so any pair with
+    ``min < (t − 1e-6)·max`` can never survive the final
+    ``round(jac,6) ≥ t`` filter (round is monotone and HALF_UP:
+    ``jac ≤ min/max < t−1e-6 ⟹ round(jac,6) < t``) and is dropped
+    before the pair exchange — candidate pruning with zero recall
+    loss. With ``max_shingle_df`` the doc size must count SURVIVING
+    postings, so that path keeps the aggregate-and-join shape.
     """
-    sh = ensure_parallelism(df).select(
+    base = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("_sh"),
+        word_shingles(F.col(text_col), k).alias("_arr"),
     )
+    _hint = _self_join_hinter(df)
+    jac = F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common"))
+
     if max_shingle_df is not None:
-        sh = sh.withColumn(
+        sh = base.select("_id", F.explode("_arr").alias("_sh")).withColumn(
             "_df", F.count(F.lit(1)).over(Window.partitionBy("_sh"))
         ).filter(F.col("_df") <= max_shingle_df).drop("_df")
+        sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+        a, b = _hint(sh).alias("a"), _hint(sh).alias("b")
+        common = (
+            a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
+            .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("_common"))
+        )
+        # sizes is |corpus| rows — hinted for the same reason as the
+        # posting join (a broadcast build map of every doc id cannot be
+        # right at scale; AQE keeps the small-SF cost negligible)
+        sa = _hint(sizes).select(
+            F.col("_id").alias("id_a"), F.col("_n").alias("_na")
+        )
+        sb = _hint(sizes).select(
+            F.col("_id").alias("id_b"), F.col("_n").alias("_nb")
+        )
+        return (
+            common.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
 
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-
-    _hint = _self_join_hinter(df)
+    # fast path: sizes carried on the posting rows (array built once in
+    # the child Project — CollapseProject keeps multiply-referenced
+    # non-cheap aliases un-inlined, verified in plans/r13/).
+    # explode_OUTER, deliberately: plain explode lets
+    # InferFiltersFromGenerate synthesize `size(arr)>0 AND
+    # isnotnull(arr)` with the whole shingle expression re-inlined
+    # TWICE, and push it below the parallelize exchange — the corpus
+    # was tokenized 3× per side, two of them single-threaded in the
+    # scan stage (plans/r13/dedup_ngram_jaccard_*.txt). Outer explode
+    # blocks that inference; the no-shingle rows it keeps emit one
+    # null _sh each, dropped for free by the join key's inferred
+    # isnotnull above the Generate.
+    sh = base.select(
+        "_id", F.size("_arr").alias("_n"), F.explode_outer("_arr").alias("_sh")
+    )
     a, b = _hint(sh).alias("a"), _hint(sh).alias("b")
+    length_ok = F.least(F.col("a._n"), F.col("b._n")) >= (
+        F.lit(float(threshold) - 1e-6)
+        * F.greatest(F.col("a._n"), F.col("b._n"))
+    )
     common = (
-        a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        a.join(
+            b,
+            (F.col("a._sh") == F.col("b._sh"))
+            & (F.col("a._id") < F.col("b._id"))
+            & length_ok,
+        )
+        .groupBy(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._n").alias("_na"),
+            F.col("b._n").alias("_nb"),
+        )
         .agg(F.count(F.lit(1)).alias("_common"))
     )
-    # sizes is |corpus| rows — hinted for the same reason as the
-    # posting join (a broadcast build map of every doc id cannot be
-    # right at scale; AQE keeps the small-SF cost negligible)
-    sa = _hint(sizes).select(
-        F.col("_id").alias("id_a"), F.col("_n").alias("_na")
-    )
-    sb = _hint(sizes).select(
-        F.col("_id").alias("id_b"), F.col("_n").alias("_nb")
-    )
-    jac = F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common"))
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard", F.round(jac, 6))
+        common.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

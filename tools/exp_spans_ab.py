@@ -1,0 +1,141 @@
+"""A/B probe for a rewrite of remove_duplicate_spans (guide §8: move
+the payload once): covered positions aggregated per doc into an int
+array, joined once onto the token-array frame, tokens reconstructed
+map-side with array_except + transform — replacing the two all-token
+shuffles (position-explode anti-join + struct-collect reassembly).
+Also: repartition("g") so the (g,id) aggregate and the g-window share
+one exchange (hash(g) satisfies the (g,id) clustering).
+
+Runs BOTH implementations in one session, interleaved, checks result
+equality, prints timings. Usage:
+  python tools/exp_spans_ab.py [sf_dir] [rounds]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+
+def remove_duplicate_spans_v2(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    carry: tuple[str, ...] = (),
+    extra_flag_grams: DataFrame | None = None,
+) -> DataFrame:
+    from pyspark.sql import Window
+    from gaming_ai_analytics_spark.functions.text import tokens
+    from gaming_ai_analytics_spark.operators.dedup import _self_join_hinter
+
+    _hint = _self_join_hinter(docs, strategy="shuffle_hash")
+    toks = docs.select(id_col, *carry, tokens(F.col(text_col)).alias("t"))
+    gp = toks.filter(F.size("t") >= k).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - k),
+                lambda i: F.array_join(F.slice("t", i + 1, k), " "),
+            )
+        ).alias("i", "g"),
+    )
+    gd = (
+        gp.repartition("g")
+        .groupBy("g", id_col)
+        .agg(F.collect_list("i").alias("starts"))
+    )
+    with_df = gd.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    if extra_flag_grams is not None:
+        known = extra_flag_grams.select("g").withColumn("_known", F.lit(True))
+        flagged = with_df.join(known, "g", "left").filter(
+            (F.col("df") >= 2) | F.col("_known").isNotNull()
+        )
+    else:
+        flagged = with_df.filter(F.col("df") >= 2)
+    cov = (
+        flagged.select(
+            id_col,
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "starts", lambda s: F.sequence(s, s + F.lit(k - 1))
+                    )
+                )
+            ).alias("p"),
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("p")).alias("_cov"))
+    )
+    joined = toks.filter(F.size("t") > 0).join(_hint(cov), id_col, "left")
+    kept_pos = F.array_except(
+        F.sequence(F.lit(0), F.size("t") - 1),
+        F.coalesce(F.col("_cov"), F.array().cast("array<int>")),
+    )
+    out = joined.select(
+        id_col,
+        *carry,
+        F.size("t").cast("long").alias("n_tokens"),
+        kept_pos.alias("_kp"),
+        F.col("t"),
+    ).filter(F.size("_kp") > 0)
+    return out.select(
+        id_col,
+        *carry,
+        "n_tokens",
+        F.size("_kp").cast("long").alias("n_kept"),
+        (F.col("n_tokens") - F.size("_kp").cast("long")).alias("n_removed"),
+        F.array_join(
+            F.transform("_kp", lambda p: F.element_at("t", p + 1)), " "
+        ).alias("cleaned_text"),
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    from gaming_ai_analytics_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+    from gaming_ai_analytics_spark.queries_llm import _nonempty_docs, _SPAN_K
+    from gaming_ai_analytics_spark.session import get_spark
+
+    spark = get_spark("exp_spans_ab")
+
+    def old():
+        return remove_duplicate_spans(_nonempty_docs(spark, sf_dir), k=_SPAN_K)
+
+    def new():
+        return remove_duplicate_spans_v2(
+            _nonempty_docs(spark, sf_dir), k=_SPAN_K
+        )
+
+    # result parity (order-insensitive)
+    a = {tuple(r) for r in old().collect()}
+    b = {tuple(r) for r in new().collect()}
+    assert a == b, (
+        f"MISMATCH: old={len(a)} new={len(b)} "
+        f"only_old={list(a - b)[:3]} only_new={list(b - a)[:3]}"
+    )
+    print(f"parity OK: {len(a)} rows", flush=True)
+
+    res = {"old": [], "new": []}
+    for _ in range(rounds):
+        for tag, fn in (("old", old), ("new", new)):
+            t0 = time.perf_counter()
+            fn().toPandas()
+            res[tag].append(round(time.perf_counter() - t0, 3))
+    print(json.dumps({"sf_dir": sf_dir, **res}))
+
+
+if __name__ == "__main__":
+    main()
