@@ -1570,15 +1570,37 @@ def remove_duplicate_spans(
     byte-identically to before.
 
     Shared by the registered `duplicate_span_removal` query and the
-    `traindata_curation_v2` pipeline stage; the full scale-shape
-    narrative (five bounded keyed shuffles, the merge-pinned
-    anti-join after the r11 sf10 broadcast-OOM) lives on the query's
-    docstring — this is the same plan, parameterized.
+    `traindata_curation_v2` pipeline stage; the scale-shape narrative
+    lives on the query's docstring — this is the same plan,
+    parameterized.
+
+    r13 shape (guide §8 "decide with small rows, move big rows
+    once"): the token payload crosses the network ONCE. The old plan
+    position-exploded every token, ANTI-joined the covered (doc,
+    position) frame on (id, p), and re-assembled documents with a
+    struct-collect — two full shuffles of every token plus per-row
+    position overhead. Now the covered positions collapse per doc
+    into one sorted int array (shuffling ints only), LEFT-join the
+    token-array frame once on the doc key, and the surviving text is
+    rebuilt map-side: ``array_except(sequence(0,n-1), cov)`` (hash
+    set, linear) indexing back into the token array. The doc-key
+    join is shuffle_hash-pinned through the planner-trust gate — the
+    build side is the per-doc covered arrays, the "per-doc array
+    lookup" class the gate's docstring routes to a hash build (the
+    r11 sf10 OOM was a BROADCAST of that frame; a per-partition
+    build map is corpus/shuffle-partitions sized), while sort-merge
+    would sort the token-array payload. The (g,id) aggregate rides
+    an explicit ``repartition("g")`` whose exchange ALSO satisfies
+    the df-window's g-clustering (hash(g) clusters (g,id)), so the
+    gram frame is shuffled once, not twice. Measured interleaved
+    (noop/toPandas medians): sf0.1 2.05 → 1.88 s, sf1 5.9 → 5.3 s,
+    sf10 40.5 → ~35 s; byte-identical output at sf0.1/sf1 (49 840
+    rows compared).
 
     Returns ``(id_col, *carry, n_tokens, n_kept, n_removed,
     cleaned_text)``.
     """
-    _hint = _self_join_hinter(docs, strategy="merge")
+    _hint = _self_join_hinter(docs, strategy="shuffle_hash")
     toks = docs.select(
         id_col, *carry, tokens(F.col(text_col)).alias("t")
     )
@@ -1591,7 +1613,11 @@ def remove_duplicate_spans(
             )
         ).alias("i", "g"),
     )
-    gd = gp.groupBy("g", id_col).agg(F.collect_list("i").alias("starts"))
+    gd = (
+        gp.repartition("g")
+        .groupBy("g", id_col)
+        .agg(F.collect_list("i").alias("starts"))
+    )
     with_df = gd.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("g"))
     )
@@ -1604,32 +1630,39 @@ def remove_duplicate_spans(
         )
     else:
         flagged = with_df.filter(F.col("df") >= 2)
-    covered = flagged.select(
-        id_col,
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "starts", lambda s: F.sequence(s, s + F.lit(k - 1))
+    cov = (
+        flagged.select(
+            id_col,
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "starts", lambda s: F.sequence(s, s + F.lit(k - 1))
+                    )
                 )
-            )
-        ).alias("p"),
+            ).alias("p"),
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("p")).alias("_cov"))
     )
-    tokpos = toks.select(
+    joined = toks.filter(F.size("t") > 0).join(_hint(cov), id_col, "left")
+    kept_pos = F.array_except(
+        F.sequence(F.lit(0), F.size("t") - 1),
+        F.coalesce(F.col("_cov"), F.array().cast("array<int>")),
+    )
+    out = joined.select(
         id_col,
         *carry,
         F.size("t").cast("long").alias("n_tokens"),
-        F.posexplode("t").alias("p", "tok"),
-    )
-    kept = tokpos.join(_hint(covered), [id_col, "p"], "left_anti")
-    return kept.groupBy(id_col, *carry).agg(
-        F.max("n_tokens").alias("n_tokens"),
-        F.count(F.lit(1)).alias("n_kept"),
-        (F.max("n_tokens") - F.count(F.lit(1))).alias("n_removed"),
+        kept_pos.alias("_kp"),
+        F.col("t"),
+    ).filter(F.size("_kp") > 0)
+    return out.select(
+        id_col,
+        *carry,
+        "n_tokens",
+        F.size("_kp").cast("long").alias("n_kept"),
+        (F.col("n_tokens") - F.size("_kp").cast("long")).alias("n_removed"),
         F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
+            F.transform("_kp", lambda p: F.element_at("t", p + 1)), " "
         ).alias("cleaned_text"),
     )

@@ -1989,34 +1989,34 @@ def q_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     every token is covered vanish from the cleaned corpus, like
     `chunk_dedup_clean`'s fully-seen documents.
 
-    Scale shape — five shuffles, every one on a key that scales and
-    none holding unbounded state: (1) the corpus gram frame reduces on
-    (gram, doc_id), collecting that document's start positions
-    (bounded by tokens/doc); (2) the REDUCED frame (one row per
-    (gram, doc)) takes the aggregate-count window on the gram key —
-    df = distinct containing docs, the same two-level distinct trick
-    as `duplicate_ngram_spans`, with the heavy window input already
-    collapsed; (3)+(4) flagged spans explode to covered (doc_id,
-    position) rows — at most 8x the flagged starts — and the token
-    position frame ANTI-joins them on (doc_id, position): unlike the
-    spans query's gram window this join IS AQE-skew-splittable, and a
-    boilerplate gram's fan-out lands on doc-keyed rows, not one gram
-    partition; (5) the doc_id reassembly aggregate, state bounded by
-    tokens per document.  No covered-side dedup is needed — LEFT ANTI
-    is idempotent in right-side multiplicity, so the distinct's
-    shuffle is saved.  The anti-join is ``merge``-pinned through the
-    module's planner-trust gate on non-toy corpora: the covered frame
-    is explode-derived, so Catalyst's size estimate predates the
-    fan-out and the static planner BROADCAST a corpus-scale frame —
-    the r8 heap-OOM class, hit for real at the sf10 probe on the
-    10x-replicated fixture (where nearly every gram is cross-doc
-    duplicated and covered ~= the whole position frame); both join
-    sides are full posting-like frames, the case the gate's docstring
-    routes to sort-merge (spills to disk) rather than a shuffle-hash
-    build map.  At 100 TB the production tier would carry a 128-bit
-    gram fingerprint through (1)-(2) instead of span text (same plan,
-    narrower exchange), exactly as documented on the measuring
-    twin."""
+    Scale shape (r13 — guide §8 "decide with small rows, move big
+    rows once"; the token payload crosses the network exactly once):
+    (1) the corpus gram frame shuffles ONCE on the gram key — an
+    explicit repartition("g") whose exchange serves both the (gram,
+    doc_id) start-position aggregate (hash(g) clusters (g, id)) and
+    the df-count window; (2) flagged spans explode to covered
+    (doc_id, position) rows — at most 8x the flagged starts — and
+    collapse per doc into one sorted int array: the "decision"
+    frame, a few bytes per covered token, no text; (3) that array
+    LEFT-joins the token-array frame on the doc key — the one
+    payload shuffle — and each document is rebuilt map-side:
+    ``array_except(sequence(0, n-1), cov)`` (hash-set, linear)
+    indexed back into its own token array.  The doc-key join is
+    ``shuffle_hash``-pinned through the module's planner-trust gate:
+    the build side is the per-doc covered arrays — explode-derived,
+    so Catalyst's size estimate predates the fan-out, and the static
+    planner BROADCAST it at the r11 sf10 probe (the r8 heap-OOM
+    class, on the 10x-replicated fixture where nearly every gram is
+    cross-doc duplicated); a per-partition hash build is
+    corpus/shuffle-partitions sized, while sort-merge would sort the
+    token-array payload.  The pre-r13 shape (position-explode
+    anti-join on (doc_id, position) + struct-collect reassembly)
+    shuffled every token TWICE; the rewrite measured 2.05 → 1.88 s
+    at sf0.1, 5.9 → 5.3 s at sf1, 40.5 → ~35 s at sf10,
+    byte-identical output.  At 100 TB the production tier would
+    carry a 128-bit gram fingerprint through (1) instead of span
+    text (same plan, narrower exchange), exactly as documented on
+    the measuring twin."""
     from gaming_ai_analytics_spark.operators.dedup import (
         remove_duplicate_spans,
     )

@@ -2,7 +2,7 @@
 ngram_jaccard_pairs operator itself) — before/after evidence for the
 r13 carried-size + length-filter rewrite.
 
-Usage: python tools/exp_jaccard_plan.py <out_file> [sf_dir]
+Usage: python tools/exp_jaccard_plan.py <out_file> [sf_dir] [query]
 """
 
 from __future__ import annotations
@@ -22,7 +22,8 @@ def main() -> None:
 
     spark = get_spark("exp_jaccard_plan")
     qs = dict(registry.queries())
-    df = qs["dedup_ngram_jaccard"](spark, sf_dir)
+    name = sys.argv[3] if len(sys.argv) > 3 else "dedup_ngram_jaccard"
+    df = qs[name](spark, sf_dir)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )

@@ -119,7 +119,27 @@ def main() -> None:
             _nonempty_docs(spark, sf_dir), k=_SPAN_K
         )
 
-    # result parity (order-insensitive)
+    # result parity (order-insensitive; skipped at sf10 — the collect
+    # exceeds the driver result cap; parity is proven at sf0.1/sf1)
+    if os.environ.get("SKIP_PARITY") != "1":
+        _parity(old, new)
+
+    def sink(df):
+        if os.environ.get("SKIP_PARITY") == "1":  # scale mode: result
+            df.write.format("noop").mode("overwrite").save()  # cap-safe
+        else:
+            df.toPandas()
+
+    res = {"old": [], "new": []}
+    for _ in range(rounds):
+        for tag, fn in (("old", old), ("new", new)):
+            t0 = time.perf_counter()
+            sink(fn())
+            res[tag].append(round(time.perf_counter() - t0, 3))
+    print(json.dumps({"sf_dir": sf_dir, **res}))
+
+
+def _parity(old, new) -> None:
     a = {tuple(r) for r in old().collect()}
     b = {tuple(r) for r in new().collect()}
     assert a == b, (
@@ -127,14 +147,6 @@ def main() -> None:
         f"only_old={list(a - b)[:3]} only_new={list(b - a)[:3]}"
     )
     print(f"parity OK: {len(a)} rows", flush=True)
-
-    res = {"old": [], "new": []}
-    for _ in range(rounds):
-        for tag, fn in (("old", old), ("new", new)):
-            t0 = time.perf_counter()
-            fn().toPandas()
-            res[tag].append(round(time.perf_counter() - t0, 3))
-    print(json.dumps({"sf_dir": sf_dir, **res}))
 
 
 if __name__ == "__main__":
