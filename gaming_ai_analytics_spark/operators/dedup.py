@@ -1213,35 +1213,67 @@ def containment_pairs(
     directions are tested. One extra output row per mutually-
     contained pair, no extra shuffle.
     """
-    sh = ensure_parallelism(df).select(
-        F.col(id_col).alias("_id"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("_sh"),
-    )
+    _hint = _self_join_hinter(df)
     if max_shingle_df is not None:
-        sh = sh.withColumn(
+        # legacy stop-shingle path: sizes must count SURVIVING
+        # postings, so it keeps the aggregate-and-join shape
+        sh = ensure_parallelism(df).select(
+            F.col(id_col).alias("_id"),
+            F.explode(word_shingles(F.col(text_col), k)).alias("_sh"),
+        ).withColumn(
             "_df", F.count(F.lit(1)).over(Window.partitionBy("_sh"))
         ).filter(F.col("_df") <= max_shingle_df).drop("_df")
-
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-
-    _hint = _self_join_hinter(df)
-    a, b = _hint(sh).alias("a"), _hint(sh).alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a._sh") == F.col("b._sh"))
-            & (F.col("a._id") < F.col("b._id")),
+        sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+        a, b = _hint(sh).alias("a"), _hint(sh).alias("b")
+        common = (
+            a.join(
+                b,
+                (F.col("a._sh") == F.col("b._sh"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .groupBy(
+                F.col("a._id").alias("_ia"), F.col("b._id").alias("_ib")
+            )
+            .agg(F.count(F.lit(1)).alias("_common"))
         )
-        .groupBy(F.col("a._id").alias("_ia"), F.col("b._id").alias("_ib"))
-        .agg(F.count(F.lit(1)).alias("_common"))
-    )
-    sa = _hint(sizes).select(
-        F.col("_id").alias("_ia"), F.col("_n").alias("_na")
-    )
-    sb = _hint(sizes).select(
-        F.col("_id").alias("_ib"), F.col("_n").alias("_nb")
-    )
-    scored = common.join(sa, "_ia").join(sb, "_ib")
+        sa = _hint(sizes).select(
+            F.col("_id").alias("_ia"), F.col("_n").alias("_na")
+        )
+        sb = _hint(sizes).select(
+            F.col("_id").alias("_ib"), F.col("_n").alias("_nb")
+        )
+        scored = common.join(sa, "_ia").join(sb, "_ib")
+    else:
+        # r13: sizes carried on the posting rows exactly as in
+        # ngram_jaccard_pairs (see that docstring) — the sizes
+        # aggregate and both attach joins vanish. NO length filter
+        # here, deliberately: containment is asymmetric, and the
+        # smaller side's direction (common/n_small) can qualify at
+        # ANY size ratio, so no size-based prune is sound.
+        base = ensure_parallelism(df).select(
+            F.col(id_col).alias("_id"),
+            word_shingles(F.col(text_col), k).alias("_arr"),
+        )
+        sh = base.select(
+            "_id",
+            F.size("_arr").alias("_n"),
+            F.explode_outer("_arr").alias("_sh"),
+        )
+        a, b = _hint(sh).alias("a"), _hint(sh).alias("b")
+        scored = (
+            a.join(
+                b,
+                (F.col("a._sh") == F.col("b._sh"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .groupBy(
+                F.col("a._id").alias("_ia"),
+                F.col("b._id").alias("_ib"),
+                F.col("a._n").alias("_na"),
+                F.col("b._n").alias("_nb"),
+            )
+            .agg(F.count(F.lit(1)).alias("_common"))
+        )
     fwd = scored.select(
         F.col("_ia").alias("id_contained"),
         F.col("_ib").alias("id_container"),
