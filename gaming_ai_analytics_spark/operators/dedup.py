@@ -53,6 +53,22 @@ from gaming_ai_analytics_spark.operators.parallelism import ensure_parallelism
 #: exercise the planner path, covering both.
 PLANNER_TRUST_MAX_BYTES = 4 << 20
 
+#: Source-size gate for routing exact containment through the lossless
+#: PPJoin prefix tier (see containment_pairs, r14 note): the prefix
+#: tier pays fixed corpus-wide window + checkpoint overhead but its
+#: candidate/verify cost grows with the PRUNED candidate set, while
+#: the count-from-join tier's pair aggregate grows with EVERY
+#: colliding pair (no sound length filter exists for the asymmetric
+#: measure). Units are Catalyst sizeInBytes ESTIMATES (post-filter
+#: compressed-scan bytes — the same currency as
+#: PLANNER_TRUST_MAX_BYTES), not raw file sizes. Measured crossover
+#: on this corpus family sits between sf0.1 (estimate 0.59 MB, files
+#: 26 MB: 1.88 s count-from-join vs 2.73 s prefix) and sf1 (estimate
+#: 5.8 MB, files 260 MB: 49.3 s vs 21.6 s); 4 MB splits it, and
+#: matching the planner-trust gate means the prefix tier engages
+#: exactly where this module stops trusting toy-size planning.
+CONTAINMENT_PREFIX_MIN_BYTES = 4 << 20
+
 
 def _source_bytes(df: DataFrame) -> int | None:
     """Catalyst's size estimate for ``df``'s optimized plan (file-scan
@@ -106,6 +122,23 @@ def exact_dedup_canonical(
 # --------------------------------------------------------------------------
 # n-gram Jaccard (exact pairwise via inverted index)
 # --------------------------------------------------------------------------
+def _surviving_postings_and_sizes(
+    df: DataFrame, id_col: str, text_col: str, k: int, max_shingle_df: int
+) -> tuple[DataFrame, DataFrame]:
+    """Legacy stop-shingle scaffold shared by both exact tiers
+    (ADVICE r13): postings with document frequency ≤ ``max_shingle_df``
+    plus the per-doc SURVIVING-posting counts (which is why this path
+    keeps the aggregate-and-join shape rather than carried sizes)."""
+    sh = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("_sh"),
+    ).withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("_sh"))
+    ).filter(F.col("_df") <= max_shingle_df).drop("_df")
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    return sh, sizes
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -158,19 +191,30 @@ def ngram_jaccard_pairs(
     before the pair exchange — candidate pruning with zero recall
     loss. With ``max_shingle_df`` the doc size must count SURVIVING
     postings, so that path keeps the aggregate-and-join shape.
+
+    r14, two measured-and-rejected rewrites (numbers in
+    OPTIMIZATION_r14.md): (1) identical-set collapse — group docs by
+    their exact shingle array, pair representatives, fan members back
+    out; byte-identical and sound, but every benchable corpus here is
+    deliberately duplicate-free (make_scaled_sf salts replica text
+    precisely so pair output does not grow K²), so it measured 0.76×
+    at sf1 (the group exchange and collect_list pay for nothing) and
+    was reverted — tools/exp_set_collapse_ab.py holds both arms.
+    (2) PPJoin prefix positions for this tier: with t = 0.5 a
+    hash-order prefix cuts the enumeration mass only ~2.1× (DuckDB
+    posting analysis) while forcing per-candidate array verification
+    of ~50× more pairs than the final answer — the count-from-join
+    formulation needs full postings on both sides, and this corpus's
+    saturated template vocabulary keeps lossless prefix candidates
+    within ~2× of all colliding pairs.
     """
-    base = ensure_parallelism(df).select(
-        F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col), k).alias("_arr"),
-    )
     _hint = _self_join_hinter(df)
     jac = F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common"))
 
     if max_shingle_df is not None:
-        sh = base.select("_id", F.explode("_arr").alias("_sh")).withColumn(
-            "_df", F.count(F.lit(1)).over(Window.partitionBy("_sh"))
-        ).filter(F.col("_df") <= max_shingle_df).drop("_df")
-        sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+        sh, sizes = _surviving_postings_and_sizes(
+            df, id_col, text_col, k, max_shingle_df
+        )
         a, b = _hint(sh).alias("a"), _hint(sh).alias("b")
         common = (
             a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
@@ -206,6 +250,10 @@ def ngram_jaccard_pairs(
     # blocks that inference; the no-shingle rows it keeps emit one
     # null _sh each, dropped for free by the join key's inferred
     # isnotnull above the Generate.
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), k).alias("_arr"),
+    )
     sh = base.select(
         "_id", F.size("_arr").alias("_n"), F.explode_outer("_arr").alias("_sh")
     )
@@ -1212,18 +1260,31 @@ def containment_pairs(
     side's OWN shingle count instead of the union, and both
     directions are tested. One extra output row per mutually-
     contained pair, no extra shuffle.
+
+    r14: above ``CONTAINMENT_PREFIX_MIN_BYTES`` the default path
+    DELEGATES to :func:`containment_pairs_prefix` — lossless, same
+    output, and 2.3× faster once collision mass dominates (measured
+    sf1: 49.3 → 21.6 s median, interleaved noop A/B). Containment has
+    no sound length filter (asymmetric measure), so the count-from-
+    join formulation enumerates and aggregates EVERY colliding pair
+    (~86 M groups at sf1) where the prefix tier verifies 24.5 M
+    candidates; below the gate the fixed window/checkpoint overhead
+    of the prefix tier dominates instead (measured sf0.1: 1.88 s
+    count-from-join vs 2.73 s prefix; sf0.01: 0.84 vs 1.47 s) and the
+    count-from-join shape stays. Unknown source size takes the prefix
+    path — same scale-safe default as the join hints.
     """
+    if max_shingle_df is None:
+        size = _source_bytes(df)
+        if size is None or size >= CONTAINMENT_PREFIX_MIN_BYTES:
+            return containment_pairs_prefix(df, id_col, text_col, k, threshold)
     _hint = _self_join_hinter(df)
     if max_shingle_df is not None:
         # legacy stop-shingle path: sizes must count SURVIVING
         # postings, so it keeps the aggregate-and-join shape
-        sh = ensure_parallelism(df).select(
-            F.col(id_col).alias("_id"),
-            F.explode(word_shingles(F.col(text_col), k)).alias("_sh"),
-        ).withColumn(
-            "_df", F.count(F.lit(1)).over(Window.partitionBy("_sh"))
-        ).filter(F.col("_df") <= max_shingle_df).drop("_df")
-        sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+        sh, sizes = _surviving_postings_and_sizes(
+            df, id_col, text_col, k, max_shingle_df
+        )
         a, b = _hint(sh).alias("a"), _hint(sh).alias("b")
         common = (
             a.join(
@@ -1243,37 +1304,50 @@ def containment_pairs(
             F.col("_id").alias("_ib"), F.col("_n").alias("_nb")
         )
         scored = common.join(sa, "_ia").join(sb, "_ib")
-    else:
-        # r13: sizes carried on the posting rows exactly as in
-        # ngram_jaccard_pairs (see that docstring) — the sizes
-        # aggregate and both attach joins vanish. NO length filter
-        # here, deliberately: containment is asymmetric, and the
-        # smaller side's direction (common/n_small) can qualify at
-        # ANY size ratio, so no size-based prune is sound.
-        base = ensure_parallelism(df).select(
-            F.col(id_col).alias("_id"),
-            word_shingles(F.col(text_col), k).alias("_arr"),
+        fwd = scored.select(
+            F.col("_ia").alias("id_contained"),
+            F.col("_ib").alias("id_container"),
+            F.round(F.col("_common") / F.col("_na"), 6).alias("containment"),
         )
-        sh = base.select(
-            "_id",
-            F.size("_arr").alias("_n"),
-            F.explode_outer("_arr").alias("_sh"),
+        rev = scored.select(
+            F.col("_ib").alias("id_contained"),
+            F.col("_ia").alias("id_container"),
+            F.round(F.col("_common") / F.col("_nb"), 6).alias("containment"),
         )
-        a, b = _hint(sh).alias("a"), _hint(sh).alias("b")
-        scored = (
-            a.join(
-                b,
-                (F.col("a._sh") == F.col("b._sh"))
-                & (F.col("a._id") < F.col("b._id")),
-            )
-            .groupBy(
-                F.col("a._id").alias("_ia"),
-                F.col("b._id").alias("_ib"),
-                F.col("a._n").alias("_na"),
-                F.col("b._n").alias("_nb"),
-            )
-            .agg(F.count(F.lit(1)).alias("_common"))
+        return fwd.unionByName(rev).filter(
+            F.col("containment") >= threshold
         )
+
+    # r13: sizes carried on the posting rows exactly as in
+    # ngram_jaccard_pairs (see that docstring) — the sizes
+    # aggregate and both attach joins vanish. NO length filter
+    # here, deliberately: containment is asymmetric, and the
+    # smaller side's direction (common/n_small) can qualify at
+    # ANY size ratio, so no size-based prune is sound.
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), k).alias("_arr"),
+    )
+    sh = base.select(
+        "_id",
+        F.size("_arr").alias("_n"),
+        F.explode_outer("_arr").alias("_sh"),
+    )
+    a, b = _hint(sh).alias("a"), _hint(sh).alias("b")
+    scored = (
+        a.join(
+            b,
+            (F.col("a._sh") == F.col("b._sh"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(
+            F.col("a._id").alias("_ia"),
+            F.col("b._id").alias("_ib"),
+            F.col("a._n").alias("_na"),
+            F.col("b._n").alias("_nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
     fwd = scored.select(
         F.col("_ia").alias("id_contained"),
         F.col("_ib").alias("id_container"),
