@@ -72,99 +72,15 @@ def _load_all() -> None:
 #: checked window.  So the window is pinned EXPLICITLY: these names are
 #: moved to the front (in this order) after all modules register.
 #:
-#: ROUND-13 COMPOSITION (VERDICT r12 ask #1 — CORRECTNESS_r12 landed
-#: 50/50 green and the driver committed the r12 artifacts itself,
-#: 092d288).  Exactly the r12 backlog's pre-planned order: the 14
-#: r9-green core-tier names that crossed the 3-round core cap when
-#: CORRECTNESS_r12 landed, then the 15 r10-green core names that
-#: cross the cap the moment CORRECTNESS_r13 lands (refreshed in the
-#: same round, the established pattern), then the oldest stable-tier
-#: fillers (r6/r7-green — not due until r16/r17, taken early to buy
-#: future slack).  New r13 operators displace fillers from the TAIL
-#: of this window as they are registered (fillers move back to the
-#: backlog).
+#: ROUND-14 COMPOSITION (rotation at round start, the r6 discipline:
+#: fresh r13-green names out, stale names in).  Exactly the r13
+#: backlog's pre-planned order: the 39 r11-green core-tier names and
+#: the frozen agg_rollup that crossed (or ride along with) their caps
+#: when CORRECTNESS_r14 lands, then the r7-green stable fillers the
+#: r13 window could not seat (due r17, taken early for slack).  No
+#: new operators this round (optimization round — surface frozen).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- r9-green core tier (crossed the 3-round cap at r12) ----------
-    "join_anti_incremental",
-    "events_asof_enrich",
-    "events_range_join",
-    "metric_view_region",
-    "metric_view_two_dims_where",
-    "hard_negative_mining",
-    "similarity_topk_lsh_recall",
-    "similarity_topk_ivf_recall",
-    "dedup_containment_prefix",
-    "dedup_containment_lsh",
-    "global_quality_rank",
-    "bpe_merge_pairs",
-    "user_event_sequences",
-    "dedup_cluster_assign_star",
-    # -- r10-green core tier (cross the cap when CORRECTNESS_r13
-    #    lands; refreshed in the same round) --------------------------
-    "agg_geomean_udaf",
-    "agg_percentile",
-    "binaryfile_ingest_scan",
-    "bpe_compression_by_source",
-    "bpe_merge_iterations",
-    "bpe_vocab_segmentation",
-    "dataset_hash_split",
-    "dedup_embedding_lsh",
-    "doc_chunking_udtf",
-    "grouped_zscore_applyinpandas",
-    "leakage_safe_split",
-    "mapinarrow_bytelen",
-    "orc_roundtrip_scan",
-    "pareto_revenue_share",
-    "python_datasource_stream",
-    # -- oldest stable-tier fillers (r6-green, due r16) ---------------
-    "nation_trade_flows",
-    "agg_grouping_sets",
-    # -- r7-green stable fillers (due r17; displaceable tail — newest-
-    #    registered new operators take these slots first) -------------
-    "set_except_all",
-    "set_intersect_all",
-    "union_by_name_evolution",
-    "try_arithmetic_safety",
-    "pivot_lang_counts",
-    "dq_observed_metrics",
-    "string_agg_langs",
-    "events_local_hour_profile",
-    "quantity_width_buckets",
-    "regex_token_mentions",
-    "content_hash_manifest",
-    "token_array_hof_profile",
-    "doc_chunking",
-    # -- new r13 operators (displaced fillers; zero driver evidence) --
-    "traindata_curation_v2_incremental",
-    "similarity_topk_ivf_saved",
-    "curation_funnel_v2_incremental",
-    "similarity_topk_pq_recall",
-    "documents_streaming_curation",
-    "similarity_topk_pq_saved",
-)
-
-#: Everything still owed a fresh driver row AFTER this round's window,
-#: pre-ordered as the r14 window plan.  Composition — count it from the
-#: list, not this comment (ADVICE r9): the 40 r11-green core-tier names
-#: that cross the 3-round core cap the moment CORRECTNESS_r14 lands
-#: (last green r11 <= 14 - 3), then the r7-green stable fillers not
-#: taken into the r13 window.  New operators registered mid-round go
-#: to the WINDOW (they have zero evidence), displacing fillers back to
-#: this list.
-#: r14 TIER-SLACK PLAN (staged here per the VERDICT r12 ask #6
-#: discipline — spend slack BEFORE registering).  The r13 session
-#: executed the EARLY TRANCHE: the five stable names that already
-#: carried >=3 committed greens on r1-r12 evidence were promoted to
-#: FROZEN_TIER, agg_rollup (5 greens, the frozen agg_cube's twin)
-#: moved core→frozen, and pareto_revenue_share (plan-pinned, r7-
-#: byte-stable) moved core→stable — demand 47→46, funding this
-#: round's new core operators.  REMAINING for r14: the r7-green
-#: filler cohort reaches its third green when CORRECTNESS_r13 lands;
-#: promoting ~10 of them takes stable ~110→100 (demand −1 more);
-#: `curation_funnel_v2` also becomes a core→stable demotion
-#: candidate once CORRECTNESS_r15 gives it a second green round.
-ROTATION_BACKLOG: tuple[str, ...] = (
-    # r11-green core tier (stale when CORRECTNESS_r14 lands)
+    # -- r11-green core tier + agg_rollup (40 names, due at r14) ------
     "agg_rollup",
     "agg_scale_sketches",
     "agg_winsorized_stats",
@@ -205,19 +121,70 @@ ROTATION_BACKLOG: tuple[str, ...] = (
     "tf_idf",
     "traindata_curation_pipeline",
     "zorder_key_events",
-    # r7-green stable fillers not taken into the r13 window (due r17)
+    # -- r7-green stable fillers (due r17; taken early) ----------------
     "agg_incremental_merge",
     "agg_sketch_rollup",
     "latest_event_per_user",
     "window_forward_fill",
     "window_value_range_frame",
-    # r7-green stable fillers displaced from the r13 window tail by
-    # the round's new operators
     "anomaly_zscore",
     "retention_cohorts",
     "funnel_conversion",
     "quality_repetition",
     "sample_stratified",
+)
+
+#: Everything still owed a fresh driver row AFTER this round's window,
+#: pre-ordered as the r15 window plan.  Composition — count it from
+#: the list, not this comment (ADVICE r9): the 31 r12-green core-tier
+#: names that cross the 3-round core cap the moment CORRECTNESS_r15
+#: lands, then the one r7-green stable filler the r14 window could
+#: not seat (due r17).
+#: r14 TIER-SLACK EXECUTION: of the staged "r7-green filler cohort on
+#: its third green" promotion, only pivot_lang_counts and doc_chunking
+#: actually reached 3 committed greens when CORRECTNESS_r13 landed
+#: (the cohort's other members carry greens from r7/r13 only — their
+#: r3 rows predate their registration), plus pareto_revenue_share
+#: (greens r3/r7/r13).  All three moved stable→FROZEN_TIER below;
+#: demand stays 47/50 (the ceil boundaries do not move at |stable|
+#: 106→103) but the promotion absorbs three future registrations
+#: before the stable ceil bumps.  The next real demand relief remains
+#: `curation_funnel_v2` core→stable once CORRECTNESS_r15 gives it a
+#: second green round.
+ROTATION_BACKLOG: tuple[str, ...] = (
+    # r12-green core tier (stale when CORRECTNESS_r15 lands)
+    "audience_overlap_sketch",
+    "blocking_snm_candidates",
+    "curation_funnel_v2",
+    "dedup_containment",
+    "dedup_incremental_index",
+    "dedup_semantic",
+    "dedup_simhash_pairs",
+    "events_session_window",
+    "events_stream_stream_join",
+    "events_streaming_rate_alert",
+    "events_streaming_session",
+    "events_streaming_tumbling",
+    "fact_build_transform",
+    "flagship_star_metrics",
+    "frequent_itemset_pairs",
+    "inverted_index_postings",
+    "join_salted_skew",
+    "join_skew_isolated",
+    "lm_perplexity_score",
+    "multimodal_features",
+    "multimodal_resize",
+    "pagerank_trade_graph",
+    "pit_dim_join",
+    "quality_classifier_distill",
+    "quality_psi_drift",
+    "sample_weighted",
+    "similarity_topk",
+    "text_analysis_profile",
+    "traindata_curation_v2",
+    "traindata_sequence_packing",
+    "triangle_count_parts",
+    # r7-green stable filler the r14 window could not seat (due r17)
     "vocab_top_terms",
 )
 
@@ -357,6 +324,13 @@ FROZEN_TIER: frozenset[str] = frozenset({
     # agg_cube — a single groupBy rollup aggregate, byte-identical
     # since its r1 registration, greens r1/r2/r3/r7/r11.
     "agg_rollup",
+    # r14 promotion (VERDICT r13 ask #8, the staged tranche): the only
+    # stable names that reached >=3 committed greens when
+    # CORRECTNESS_r13 landed — each a compact one-table plan,
+    # byte-stable under the hash guard since registration:
+    "pivot_lang_counts",     # greens r3/r7/r13 — one pivot aggregate
+    "doc_chunking",          # greens r3/r7/r13 — one HOF chunk explode
+    "pareto_revenue_share",  # greens r3/r7/r13 — window over one agg
 })
 
 CORE_TIER: frozenset[str] = frozenset({
