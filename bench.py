@@ -49,6 +49,11 @@ from concurrent.futures import ThreadPoolExecutor
 
 WARM_RUNS = 3
 
+
+def _cpus() -> int:
+    """The driver's core-count knob (also drives Spark's master)."""
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
 try:  # sampled at import, before any engine starts
     _LOAD_AT_START = round(os.getloadavg()[0], 2)
 except OSError:  # platform without getloadavg
@@ -94,6 +99,27 @@ _DUCK_TABLES = (
     "documents embeddings"
 ).split()
 
+#: r14 (VERDICT r13 ask #5): a scale tier where the engine's
+#: data-proportional work dominates the per-query scheduling floor —
+#: at sf0.1 all 13 tier-1 scaling ratios read ≈1 (8 cores ≈ 32), and
+#: even sf1 under-reports data-proportional optimizations.  Queries:
+#: the two heavy LLM-pipeline paths that stay single-host-feasible at
+#: sf10 (5 M docs).  ``dedup_cluster_assign_star`` is deliberately
+#: EXCLUDED: its exact pair tier's enumeration mass grows with
+#: Σ df(s)² ≈ 1.27 M × (100)² ≈ 1.3e10 joined rows at sf10 (~8.6e9
+#: distinct pairs, a >300 GB pair exchange) — beyond single-host
+#: disk, the regime the MinHash tier exists for (see
+#: containment_pairs_prefix's fixture-honesty note).  DuckDB twins
+#: are likewise omitted at this tier: the sf1 star-CC twin alone ran
+#: 95-222 s; the sf10 exact twins would exceed the child cap by
+#: orders of magnitude.  One cold + one timed warm run per query
+#: (entries run tens of seconds — long enough to average a steal
+#: burst out, the sf1 tier-2 rationale).
+SF10 = [
+    "dedup_minhash_lsh",
+    "duplicate_span_removal",
+]
+
 
 def materialize(df) -> None:
     """Full execution + Arrow client materialization (see module doc)."""
@@ -115,7 +141,10 @@ def duckdb_totals(
     sql = dict(oracles)
     sql["similarity_topk_lsh"] = sql["similarity_topk"]  # exact twin
     con = duckdb.connect()
-    con.execute("SET threads=32")
+    # r14: honor the driver's core-count knob in the comparator too —
+    # a hardcoded 32 made the c8 run's DuckDB twins a 32-core
+    # comparator against 8-core Spark (VERDICT r13 "what's wrong" #6)
+    con.execute(f"SET threads={_cpus()}")
     for t in _DUCK_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     for name in names:  # cold
@@ -189,6 +218,19 @@ def _sf1_dir() -> str | None:
         except Exception:
             return None
     return out
+
+
+def _sf10_dir() -> str | None:
+    """The derived 100× scale-up of sf0.1 — the sf10 tier's data
+    (see the SF10 list). Never built inside a bench run (the 100×
+    derivation takes minutes and would contaminate every timing that
+    follows): the tier runs only when the directory already exists —
+    build it once with tools/make_scaled_sf.py. Opt out with
+    SPARK_GRAFT_SF10=0."""
+    if os.environ.get("SPARK_GRAFT_SF10", "1") == "0":
+        return None
+    out = os.path.join(REPO, ".benchdata", "sf10")
+    return out if os.path.isdir(out) else None
 
 
 def _settle_host(ceiling: float = 1.0, max_wait_s: int = 120) -> float:
@@ -339,6 +381,32 @@ def main() -> None:
         except Exception:
             sf1_tier2 = None
 
+    # sf10 tier (r14): one cold + one timed warm run per query, no
+    # DuckDB twins — rationale on the SF10 list above. Sink is the
+    # NOOP write (guide §1.4), NOT toPandas: duplicate_span_removal
+    # re-emits ~5 M cleaned documents at this SF, so toPandas would
+    # time a multi-GB driver transfer instead of the computation.
+    # This is a new additions-only tier defining its own sink; every
+    # pre-existing tier keeps the toPandas contract unchanged.
+    sf10_timings: dict[str, float] | None = None
+    sf10_dir = _sf10_dir() if at_default_sf else None
+    if sf10_dir:
+        try:
+            sf10_timings = {}
+            for name in SF10:
+                fn = qs[name]
+                sink = (
+                    lambda df: df.write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
+                sink(fn(spark, sf10_dir))  # cold
+                t0 = time.perf_counter()
+                sink(fn(spark, sf10_dir))
+                sf10_timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception:
+            sf10_timings = None
+
     # DuckDB sf1 LAST, in a SUBPROCESS. Measured in-process before the
     # JVM, its ~100 s of 32-thread churn (the exact minhash twin at
     # 600k docs) degrades the OS/memory state enough to inflate the
@@ -464,6 +532,9 @@ def main() -> None:
             if duck_sf1_t2
             else None
         )
+    if sf10_timings:
+        out["sf10_total_warm"] = round(sum(sf10_timings.values()), 3)
+        out["sf10_queries"] = sf10_timings
     try:  # end-of-run load closes the contamination bracket
         out["load_avg_end"] = round(os.getloadavg()[0], 2)
     except OSError:
@@ -513,7 +584,7 @@ def duck_sf1_child(sf1_dir: str, names: list[str] | None = None) -> None:
     sql = dict(oracles)
     sql["similarity_topk_lsh"] = sql["similarity_topk"]  # exact twin
     con = duckdb.connect()
-    con.execute("SET threads=32")
+    con.execute(f"SET threads={_cpus()}")  # r14: honor the driver knob
     for t in _DUCK_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf1_dir}/{t}.parquet'"

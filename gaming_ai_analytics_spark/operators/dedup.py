@@ -1703,6 +1703,11 @@ def remove_duplicate_spans(
     sf10 40.5 → ~35 s; byte-identical output at sf0.1/sf1 (49 840
     rows compared).
 
+    r14: the coverage aggregate collects distinct STARTS instead of
+    pre-expanded positions (k× fewer exploded rows into its exchange)
+    and the kept positions become a map-side interval complement —
+    see the inline note at ``cov``; sf10 44.7 → 32.8 s.
+
     Returns ``(id_col, *carry, n_tokens, n_kept, n_removed,
     cleaned_text)``.
     """
@@ -1736,24 +1741,50 @@ def remove_duplicate_spans(
         )
     else:
         flagged = with_df.filter(F.col("df") >= 2)
+    # r14 (§2.3 — shuffle 8× fewer rows into the coverage aggregate):
+    # the r13 shape expanded every flagged start into its k covered
+    # positions BEFORE the per-doc aggregate (one exploded row per
+    # position — 192 M rows at sf10 for 24 M starts) and subtracted
+    # the collected position set with array_except. All intervals
+    # share the fixed length k, so the per-doc aggregate only needs
+    # the DISTINCT STARTS (24 M rows) and the surviving positions are
+    # the interval-complement, computed map-side in the reassembly
+    # projection: with S the sorted distinct starts, kept =
+    # [0, S₁−1] ∪ ⋃ᵢ [Sᵢ+k, next(Sᵢ)−1] (next of the last = n) —
+    # ascending, exactly array_except's first-array order, so output
+    # is byte-identical (proved at sf0.01/0.1/1; sf10 interleaved
+    # noop A/B: 44.7 → 32.8 s median). The guarded `when`s matter:
+    # Spark's `sequence(a, b)` DESCENDS when b < a instead of
+    # returning empty. A 128-bit gram fingerprint for the exchange
+    # was also measured here and rejected (parity: string grams
+    # lz4-compress well and the hash work cancels the byte saving).
     cov = (
-        flagged.select(
-            id_col,
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "starts", lambda s: F.sequence(s, s + F.lit(k - 1))
-                    )
-                )
-            ).alias("p"),
-        )
+        flagged.select(id_col, F.explode("starts").alias("s"))
         .groupBy(id_col)
-        .agg(F.sort_array(F.collect_set("p")).alias("_cov"))
+        .agg(F.sort_array(F.collect_set("s")).alias("_starts"))
     )
     joined = toks.filter(F.size("t") > 0).join(_hint(cov), id_col, "left")
-    kept_pos = F.array_except(
-        F.sequence(F.lit(0), F.size("t") - 1),
-        F.coalesce(F.col("_cov"), F.array().cast("array<int>")),
+    _n = F.size("t")
+    _S = F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
+    _empty = F.array().cast("array<int>")
+    _k = F.lit(k)
+    _m = F.size(_S)
+    _lead = F.concat(F.slice(_S, 2, _m - 1), F.array(_n))
+    _head = F.when(
+        F.element_at(_S, 1) > 0,
+        F.sequence(F.lit(0), F.element_at(_S, 1) - 1),
+    ).otherwise(_empty)
+    _gaps = F.flatten(
+        F.zip_with(
+            _S,
+            _lead,
+            lambda s, nx: F.when(
+                nx - 1 >= s + _k, F.sequence(s + _k, nx - 1)
+            ).otherwise(_empty),
+        )
+    )
+    kept_pos = F.when(_m == 0, F.sequence(F.lit(0), _n - 1)).otherwise(
+        F.concat(_head, _gaps)
     )
     out = joined.select(
         id_col,
