@@ -320,10 +320,19 @@ def quality_score(col: Column) -> Column:
 def quality_score_unfused(col: Column) -> Column:
     """The r4–r7 structure-materializing formulation of
     :func:`quality_score` — kept as the equivalence-test reference and
-    the A/B baseline (BASELINE.md §3), NOT registered anywhere."""
+    the A/B baseline (BASELINE.md §3), NOT registered anywhere.
+
+    The punctuation term keeps the REGEX formulation inline
+    (ADVICE r13): a frozen baseline must not ride along with hot-path
+    rewrites, and this is what keeps the fused-vs-unfused equivalence
+    test independently exercising regex-vs-translate punctuation
+    counting (the DuckDB oracle's _PUNCT_RATIO is the other
+    cross-check)."""
     length_term = F.least(F.length(col) / 400.0, F.lit(1.0))
     stop_term = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
-    punct_penalty = punctuation_ratio(col)
+    punct_penalty = F.when(F.length(col) == 0, 0.0).otherwise(
+        F.regexp_count(col, F.lit("[^a-zA-Z0-9 ]")) / F.length(col)
+    )
     score = 0.5 * length_term + 0.3 * stop_term + 0.2 * (1.0 - punct_penalty)
     return F.round(score + 5e-10, 4)
 
