@@ -813,6 +813,44 @@ def test_duplicate_span_removal_planted(spark, tmp_path):
     assert out[4].cleaned_text == "too short" and out[4].n_removed == 0
 
 
+def test_span_removal_interval_complement_edges(spark):
+    """r14: the coverage aggregate collects distinct STARTS and the
+    kept positions are rebuilt as a map-side interval complement
+    (dedup.remove_duplicate_spans). Pin the complement's edge cases
+    against hand-computed truth at k=2: a covered HEAD at position 0
+    (no head range — and Spark's sequence(a,b) DESCENDS when b<a, so
+    an unguarded head would emit [0,-1]), an OVERLAPPING start chain
+    collapsing to one interval, a TAIL gap after the last interval,
+    full coverage (doc vanishes), and an untouched doc (null-join
+    path keeps everything)."""
+    from gaming_ai_analytics_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    rows = [
+        (1, "a b c d e"),    # starts {0,1,2} overlap-chain -> kept "e"
+        (2, "a b x y z"),    # head covered at 0 -> kept "x y z"
+        (3, "p q r a b"),    # tail covered -> kept "p q r"
+        (4, "a b"),          # fully covered -> vanishes
+        (5, "m n o"),        # unique -> untouched
+        (6, "a b c x"),      # two adjacent starts -> kept "x"
+        (7, "b c d x"),      # duplicated "b c","c d" -> kept "x"
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_kept, r.n_removed, r.cleaned_text)
+        for r in remove_duplicate_spans(df, "doc_id", "text", k=2).collect()
+    }
+    assert got == {
+        1: (5, 1, 4, "e"),
+        2: (5, 3, 2, "x y z"),
+        3: (5, 3, 2, "p q r"),
+        5: (3, 3, 0, "m n o"),
+        6: (4, 1, 3, "x"),
+        7: (4, 1, 3, "x"),
+    }
+
+
 def test_cross_corpus_minhash_hint_gate(spark, monkeypatch, sf_dir):
     """Both PLANNER_TRUST gate paths of the fuzzy-decontamination
     verify join must agree on values, and the forced-hint path must

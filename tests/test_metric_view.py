@@ -270,3 +270,24 @@ def test_curation_view_measures_internally_consistent(spark, sf_dir):
         assert view[src].bpe_tokens == n, src
     for r in view.values():
         assert 0.0 <= r.median_quality <= 1.0
+
+
+def test_orders_metric_view_definition_cached_per_session(spark, sf_dir):
+    """r14 construction-floor fix: the orders MetricView is a
+    long-lived definition — repeated constructions in one session
+    must reuse the SAME instance (no temp-view re-registration, no
+    __mvN_ catalog leak), a different sf_dir must get its own, and
+    the consumer query must still compile fresh with identical
+    results across calls."""
+    from gaming_ai_analytics_spark.queries_ext import (
+        _orders_metric_view,
+        q_metric_view_region,
+    )
+
+    mv1 = _orders_metric_view(spark, sf_dir)
+    mv2 = _orders_metric_view(spark, sf_dir)
+    assert mv1 is mv2
+    assert _orders_metric_view(spark, sf_dir + "/") is not mv1
+    a = sorted(map(tuple, q_metric_view_region(spark, sf_dir).collect()))
+    b = sorted(map(tuple, q_metric_view_region(spark, sf_dir).collect()))
+    assert a == b and a
